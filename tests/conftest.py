@@ -1,0 +1,69 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests never touch real TPU hardware — sharding/parallelism is validated on a
+host-platform mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8),
+mirroring the multi-chip layout the driver dry-runs.
+
+NOTE: this environment's sitecustomize force-registers a TPU PJRT plugin and
+overrides JAX_PLATFORMS, so we must override back via jax.config *after*
+import, and set XLA_FLAGS before the backend initializes.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from vllm_i64_tpu.config import ModelConfig  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_config() -> ModelConfig:
+    """Tiny routed config mirroring the reference test fixture
+    (ref: tests/test_model.py:38-54)."""
+    return ModelConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        num_experts=4,
+        top_k=2,
+        shared_expert=True,
+        use_qk_norm=True,
+        use_mu_guidance=False,
+    )
+
+
+@pytest.fixture(scope="session")
+def tiny_dense_config() -> ModelConfig:
+    return ModelConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        use_token_routed_mlp=False,
+        num_experts=1,
+        shared_expert=False,
+        use_qk_norm=False,
+    )
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,187 @@
+"""Configuration for vllm-i64-tpu.
+
+Two config layers, mirroring the reference's split
+(ref: vllm_i64/models/complexity_deep/config.py, vllm_i64/engine/config.py):
+
+- ``ModelConfig``: frozen/hashable so it can be a static argument to ``jax.jit``.
+  Mirrors the checkpoint ``config.json`` fields of the Complexity-Deep family
+  (ref: complexity_deep/config.py:16-78).
+- ``EngineConfig``: runtime knobs for the serving engine
+  (ref: engine/config.py:1-50).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static model hyperparameters (hashable -> usable as jit static arg).
+
+    Field names mirror the checkpoint config.json of Complexity-Deep models
+    (ref: complexity_deep/config.py:16-78) so checkpoints load unchanged.
+    """
+
+    # Architecture identity
+    model_type: str = "complexity-deep"
+    architecture: str = "DeepForCausalLM"
+
+    # Dimensions
+    vocab_size: int = 32000
+    hidden_size: int = 1024
+    intermediate_size: int = 3200
+    num_hidden_layers: int = 20
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 4
+
+    # Positions
+    max_position_embeddings: int = 2048
+    rope_theta: float = 10000.0
+
+    # Norm / activation
+    rms_norm_eps: float = 1e-6
+    hidden_act: str = "silu"
+
+    # Embeddings
+    tie_word_embeddings: bool = True
+
+    # Special tokens (</s>=0, <pad>=1, <s>=2)
+    pad_token_id: int = 1
+    bos_token_id: int = 2
+    eos_token_id: int = 0
+
+    # Token-routed MoE (integer routing)
+    use_token_routed_mlp: bool = True
+    num_experts: int = 4
+    shared_expert: bool = True
+    shared_intermediate_size: Optional[int] = None
+    top_k: int = 1
+    top_k_primary_weight: Optional[float] = None
+    use_shared_routed_gates: bool = False
+    shared_gate_init: float = 1.0
+    routed_gate_init: float = 1.0
+    shared_output_scale: float = 1.0
+    routed_output_scale: float = 1.0
+    routing_strategy: str = "modulo_cyclic"
+
+    # Attention features
+    use_qk_norm: bool = True
+    sliding_window: Optional[int] = None
+
+    # Mu-guidance (learnable equilibrium vector threaded between layers)
+    use_mu_guidance: bool = False
+    disable_mu_guidance: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    @property
+    def expert_intermediate_size(self) -> int:
+        return self.intermediate_size // self.num_experts
+
+    @property
+    def resolved_shared_intermediate_size(self) -> int:
+        s = self.shared_intermediate_size
+        return s if (s is not None and s > 0) else self.expert_intermediate_size
+
+    @property
+    def effective_top_k(self) -> int:
+        return max(1, int(self.top_k))
+
+    @property
+    def primary_weight(self) -> float:
+        """Weight of route 0; remaining (1-w)/(k-1) split between other routes.
+
+        Mirrors the clamp rules of the reference MoE layer
+        (ref: layers/token_routed_mlp.py:53-58).
+        """
+        if self.effective_top_k <= 1:
+            return 1.0
+        w = self.top_k_primary_weight
+        if w is None:
+            w = 0.95
+        return min(1.0, max(0.0, float(w)))
+
+    @property
+    def mu_enabled(self) -> bool:
+        return self.use_mu_guidance and not self.disable_mu_guidance
+
+    @staticmethod
+    def from_json(path: str) -> "ModelConfig":
+        """Build from a checkpoint config.json (deep or framework format).
+
+        Field mapping mirrors ref complexity_deep/config.py:88-114.
+        """
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+        return ModelConfig.from_dict(data)
+
+    @staticmethod
+    def from_dict(data: dict) -> "ModelConfig":
+        field_map = {"norm_eps": "rms_norm_eps"}
+        known = {f.name for f in dataclasses.fields(ModelConfig)}
+        kwargs = {}
+        for key, val in data.items():
+            if key in ("parameters", "innovations", "extra_config"):
+                continue
+            mapped = field_map.get(key, key)
+            if mapped in known:
+                kwargs[mapped] = val
+        # Framework format: mlp_type selects routed vs dense
+        if data.get("mlp_type") == "token_routed":
+            kwargs["use_token_routed_mlp"] = True
+        elif data.get("mlp_type") == "swiglu":
+            kwargs["use_token_routed_mlp"] = False
+            kwargs["num_experts"] = 1
+        return ModelConfig(**kwargs)
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class EngineConfig:
+    """Engine runtime knobs (ref: engine/config.py:1-50)."""
+
+    max_batch_size: int = 32
+    max_seq_len: int = 2048
+    kv_block_size: int = 16
+    max_kv_blocks: int = 0  # 0 = auto
+    max_prefill_tokens: int = 512
+    enable_preemption: bool = True
+    enable_prefix_caching: bool = True
+    request_timeout_s: float = 0.0  # 0 = no timeout
+
+    # Numerics
+    dtype: str = "bfloat16"          # activations/weights compute dtype
+    kv_cache_dtype: str = "bfloat16"
+    quantization: str = "none"        # none | int8 | int4 | fp8
+
+    # Compilation buckets (static shapes replace CUDA graphs;
+    # ref analog: core/cuda_graph.py batch-size buckets {1..64})
+    decode_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    prefill_token_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
+    prefill_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+
+    # Scheduling extras
+    enable_request_merging: bool = True
+
+    def resolve_kv_blocks(self) -> int:
+        """Auto KV block count (ref: engine/config.py resolve_kv_blocks)."""
+        if self.max_kv_blocks and self.max_kv_blocks > 0:
+            return self.max_kv_blocks
+        per_seq = -(-self.max_seq_len // self.kv_block_size)
+        return max(256, self.max_batch_size * 8, self.max_batch_size * per_seq // 2)
+
+    @property
+    def max_blocks_per_seq(self) -> int:
+        return -(-self.max_seq_len // self.kv_block_size)

@@ -1,0 +1,444 @@
+"""Integer-only continuous-batching scheduler.
+
+Re-implementation of the reference scheduler semantics
+(ref: vllm_i64/engine/i64_scheduler.py) — every scheduling decision is an
+integer operation; no float anywhere:
+
+- priority heap pending queue (priority, arrival_step, request_id)  (:199-254)
+- continuous batching mixing prefill chunks and decodes             (:345-503)
+- chunked prefill under a token budget                              (:437-458)
+- preemption of low-priority requests with save/restore of partial
+  generation, re-admitted with a priority boost                     (:300-343, :404-414)
+- integer KV block allocator with O(1) free-list ops                (:275-291)
+- post-step block growth with preempt-on-OOM                        (:505-546)
+
+Deviations from the reference (deliberate):
+- block id 0 is reserved as the null block (scatter target for padding
+  tokens on device; ref block_pool.py:190-192 reserves it too).
+- mid-prefill chunks do NOT append a sampled token to the output (the
+  reference appends one per step even before prefill completes,
+  i64_scheduler.py:505-523 — a correctness bug for prompts longer than the
+  prefill budget). Here ``update_after_step`` only consumes tokens for rows
+  whose prefill completed, and ``schedule`` reports which rows need sampling.
+"""
+
+from __future__ import annotations
+
+import heapq
+import logging
+from collections import deque
+from dataclasses import dataclass, field
+from enum import IntEnum
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("vllm_i64_tpu.scheduler")
+
+
+class RequestState(IntEnum):
+    PENDING = 0
+    RUNNING = 1
+    PREEMPTED = 2
+    FINISHED = 3
+
+
+@dataclass
+class Request:
+    """One inference request — all fields integer or integer arrays."""
+
+    request_id: int
+    prompt_token_ids: np.ndarray  # (prompt_len,) i64
+    max_new_tokens: int
+    state: RequestState = RequestState.PENDING
+    priority: int = 0  # lower = more urgent
+    arrival_step: int = 0
+    eos_token_id: int = 0
+
+    output_token_ids: List[int] = field(default_factory=list)
+    kv_block_ids: List[int] = field(default_factory=list)
+    prefill_done: int = 0  # prompt tokens already written to KV
+    cached_prefix_len: int = 0  # tokens satisfied by prefix cache at admission
+
+    # preemption save slots
+    _saved: Optional[Tuple[List[int], int]] = field(default=None, repr=False)
+
+    # per-tenant prefix-cache namespace (sha256[:16] of api key)
+    cache_namespace: Optional[bytes] = field(default=None, repr=False)
+
+    finish_reason: Optional[str] = None
+
+    @property
+    def num_prompt_tokens(self) -> int:
+        return int(len(self.prompt_token_ids))
+
+    @property
+    def num_generated(self) -> int:
+        return len(self.output_token_ids)
+
+    @property
+    def total_tokens(self) -> int:
+        return self.num_prompt_tokens + self.num_generated
+
+    @property
+    def prefill_complete(self) -> bool:
+        return self.prefill_done >= self.num_prompt_tokens
+
+    @property
+    def is_finished(self) -> bool:
+        if self.state == RequestState.FINISHED:
+            return True
+        if self.num_generated >= self.max_new_tokens:
+            return True
+        return bool(
+            self.output_token_ids and self.output_token_ids[-1] == self.eos_token_id
+        )
+
+    def last_token_id(self) -> int:
+        if self.output_token_ids:
+            return self.output_token_ids[-1]
+        return int(self.prompt_token_ids[-1])
+
+
+@dataclass
+class ScheduledSeq:
+    """One row of a scheduled batch."""
+
+    request: Request
+    token_ids: np.ndarray  # (n,) i64 tokens to feed this step
+    positions: np.ndarray  # (n,) i32
+    is_prefill: bool
+    needs_sample: bool  # last logits of this row produce a token
+
+
+@dataclass
+class ScheduledBatch:
+    seqs: List[ScheduledSeq]
+    step: int
+
+    @property
+    def num_seqs(self) -> int:
+        return len(self.seqs)
+
+    @property
+    def total_tokens(self) -> int:
+        return sum(len(s.token_ids) for s in self.seqs)
+
+    @property
+    def decode_seqs(self) -> List[ScheduledSeq]:
+        return [s for s in self.seqs if len(s.token_ids) == 1 and not s.is_prefill]
+
+    @property
+    def prefill_seqs(self) -> List[ScheduledSeq]:
+        return [s for s in self.seqs if s.is_prefill or len(s.token_ids) > 1]
+
+
+class BlockAllocator:
+    """Integer KV block free list: O(1) alloc/free, O(1) membership.
+
+    Block 0 is reserved as the null block and never handed out.
+    """
+
+    def __init__(self, num_blocks: int):
+        self.num_blocks = num_blocks
+        self._free = deque(range(1, num_blocks))
+        self._free_set: Set[int] = set(range(1, num_blocks))
+
+    @property
+    def num_free(self) -> int:
+        return len(self._free)
+
+    def allocate(self, n: int) -> Optional[List[int]]:
+        if len(self._free) < n:
+            return None
+        out = []
+        for _ in range(n):
+            bid = self._free.popleft()
+            self._free_set.discard(bid)
+            out.append(bid)
+        return out
+
+    def allocate_specific(self, block_id: int) -> bool:
+        """Claim a specific block (prefix-cache reuse path)."""
+        if block_id not in self._free_set:
+            return False
+        self._free_set.discard(block_id)
+        self._free.remove(block_id)  # O(n) — prefix hits are per-admission, not per-step
+        return True
+
+    def free(self, block_ids: List[int]) -> None:
+        for bid in block_ids:
+            if bid > 0 and bid not in self._free_set:
+                self._free.append(bid)
+                self._free_set.add(bid)
+
+
+class Scheduler:
+    """Continuous-batching scheduler over integer state."""
+
+    def __init__(
+        self,
+        max_batch_size: int = 32,
+        max_seq_len: int = 2048,
+        kv_block_size: int = 16,
+        max_kv_blocks: int = 4096,
+        max_prefill_tokens: int = 512,
+        enable_preemption: bool = True,
+    ):
+        self.max_batch_size = max_batch_size
+        self.max_seq_len = max_seq_len
+        self.kv_block_size = kv_block_size
+        self.max_prefill_tokens = max_prefill_tokens
+        self.enable_preemption = enable_preemption
+
+        self.blocks = BlockAllocator(max_kv_blocks)
+
+        self._pending: List[Tuple[int, int, int, Request]] = []
+        self.running: List[Request] = []
+        self.finished: List[Request] = []
+
+        self._next_id = 0
+        self.step_counter = 0
+        self._requests: Dict[int, Request] = {}
+
+    # -- queue ops ---------------------------------------------------------
+
+    def add_request(
+        self,
+        prompt_token_ids: np.ndarray,
+        max_new_tokens: int = 256,
+        priority: int = 0,
+        eos_token_id: int = 0,
+        cache_namespace: Optional[bytes] = None,
+        request_id: Optional[int] = None,
+    ) -> int:
+        rid = self._next_id if request_id is None else request_id
+        self._next_id = max(self._next_id, rid) + 1
+        req = Request(
+            request_id=rid,
+            prompt_token_ids=np.asarray(prompt_token_ids, dtype=np.int64),
+            max_new_tokens=int(max_new_tokens),
+            priority=int(priority),
+            arrival_step=self.step_counter,
+            eos_token_id=int(eos_token_id),
+            cache_namespace=cache_namespace,
+        )
+        self._requests[rid] = req
+        heapq.heappush(self._pending, (req.priority, req.arrival_step, rid, req))
+        return rid
+
+    def get_request(self, rid: int) -> Optional[Request]:
+        return self._requests.get(rid)
+
+    def cancel(self, rid: int) -> bool:
+        req = self._requests.get(rid)
+        if req is None or req.state == RequestState.FINISHED:
+            return False
+        if req.state == RequestState.RUNNING and req in self.running:
+            self.running.remove(req)
+            self.blocks.free(req.kv_block_ids)
+            req.kv_block_ids = []
+        req.state = RequestState.FINISHED
+        req.finish_reason = "cancelled"
+        self.finished.append(req)
+        return True
+
+    def _pop_pending(self) -> Optional[Request]:
+        while self._pending:
+            _, _, _, req = heapq.heappop(self._pending)
+            if req.state == RequestState.PENDING:
+                return req
+        return None
+
+    def _peek_pending(self) -> Optional[Request]:
+        while self._pending:
+            _, _, _, req = self._pending[0]
+            if req.state == RequestState.PENDING:
+                return req
+            heapq.heappop(self._pending)
+        return None
+
+    @property
+    def num_pending(self) -> int:
+        return sum(1 for *_, r in self._pending if r.state == RequestState.PENDING)
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.running) or self.num_pending > 0
+
+    # -- preemption ---------------------------------------------------------
+
+    def _preempt_for(self, blocks_needed: int, requester_priority: int) -> bool:
+        """Evict lowest-priority running requests until enough blocks free.
+
+        Partial generation is saved on the request and restored when it is
+        re-admitted (ref: i64_scheduler.py:300-343).
+        """
+        if not self.enable_preemption or not self.running:
+            return False
+        victims = sorted(
+            self.running, key=lambda r: (-r.priority, -len(r.kv_block_ids))
+        )
+        freed = 0
+        for victim in victims:
+            if freed >= blocks_needed:
+                break
+            # never preempt equal-or-higher-priority work
+            if victim.priority <= requester_priority:
+                continue
+            victim.state = RequestState.PREEMPTED
+            victim._saved = (list(victim.output_token_ids), victim.prefill_done)
+            self.blocks.free(victim.kv_block_ids)
+            freed += len(victim.kv_block_ids)
+            victim.kv_block_ids = []
+            victim.output_token_ids = []
+            victim.prefill_done = 0
+            victim.cached_prefix_len = 0
+            self.running.remove(victim)
+            # re-admit with a priority boost so it isn't starved
+            victim.priority = min(victim.priority, -1)
+            victim.state = RequestState.PENDING
+            heapq.heappush(
+                self._pending,
+                (victim.priority, victim.arrival_step, victim.request_id, victim),
+            )
+            logger.info(
+                "preempted request %d (saved %d generated tokens)",
+                victim.request_id,
+                len(victim._saved[0]),
+            )
+        return freed >= blocks_needed
+
+    # -- main scheduling ----------------------------------------------------
+
+    def schedule(self) -> Optional[ScheduledBatch]:
+        self.step_counter += 1
+
+        # sweep finished
+        still = []
+        for req in self.running:
+            if req.is_finished:
+                req.state = RequestState.FINISHED
+                if req.finish_reason is None:
+                    req.finish_reason = (
+                        "stop"
+                        if req.output_token_ids
+                        and req.output_token_ids[-1] == req.eos_token_id
+                        else "length"
+                    )
+                self.blocks.free(req.kv_block_ids)
+                self.finished.append(req)
+            else:
+                still.append(req)
+        self.running = still
+
+        # admission
+        while self.num_pending > 0 and len(self.running) < self.max_batch_size:
+            req = self._peek_pending()
+            if req is None:
+                break
+            tokens_needed = req.num_prompt_tokens
+            if req._saved is not None:
+                tokens_needed += len(req._saved[0])
+            nblocks = -(-tokens_needed // self.kv_block_size)
+            blocks = self.blocks.allocate(nblocks)
+            if blocks is None and self._preempt_for(nblocks, req.priority):
+                blocks = self.blocks.allocate(nblocks)
+            if blocks is None:
+                break
+            self._pop_pending()
+            req.kv_block_ids = blocks
+            req.state = RequestState.RUNNING
+            if req._saved is not None:
+                saved_out, saved_prefill = req._saved
+                req.output_token_ids = saved_out
+                req.prefill_done = 0  # KV gone — must re-prefill prompt (+ saved out)
+                req._saved = None
+            self.running.append(req)
+
+        if not self.running:
+            return None
+
+        # batch build with chunked-prefill token budget
+        budget = self.max_prefill_tokens
+        seqs: List[ScheduledSeq] = []
+        for req in self.running:
+            if not req.prefill_complete:
+                # tokens to (re-)prefill: prompt plus restored output tokens
+                full = list(req.prompt_token_ids) + req.output_token_ids
+                remaining = len(full) - req.prefill_done
+                chunk = min(remaining, max(budget, 0))
+                if chunk <= 0:
+                    continue  # out of budget this step; prefill next step
+                start = req.prefill_done
+                toks = np.asarray(full[start : start + chunk], dtype=np.int64)
+                pos = np.arange(start, start + chunk, dtype=np.int32)
+                budget -= chunk
+                final_chunk = start + chunk >= len(full)
+                seqs.append(
+                    ScheduledSeq(
+                        request=req,
+                        token_ids=toks,
+                        positions=pos,
+                        is_prefill=True,
+                        needs_sample=final_chunk,
+                    )
+                )
+            else:
+                toks = np.array([req.last_token_id()], dtype=np.int64)
+                pos = np.array([req.total_tokens - 1], dtype=np.int32)
+                seqs.append(
+                    ScheduledSeq(
+                        request=req,
+                        token_ids=toks,
+                        positions=pos,
+                        is_prefill=False,
+                        needs_sample=True,
+                    )
+                )
+
+        if not seqs:
+            return None
+        return ScheduledBatch(seqs=seqs, step=self.step_counter)
+
+    def update_after_step(
+        self, batch: ScheduledBatch, new_tokens: Dict[int, int]
+    ) -> None:
+        """Advance prefill progress; append sampled tokens; grow KV blocks."""
+        for seq in batch.seqs:
+            req = seq.request
+            if req.state != RequestState.RUNNING:
+                continue
+            if seq.is_prefill:
+                req.prefill_done += len(seq.token_ids)
+            if seq.needs_sample and req.request_id in new_tokens:
+                req.output_token_ids.append(int(new_tokens[req.request_id]))
+                # one decoded token also lives in KV next step; ensure capacity
+                self._grow_blocks(req)
+
+    def _grow_blocks(self, req: Request) -> None:
+        # +1: the next decode step writes K/V at position total_tokens
+        needed = -(-(req.total_tokens + 1) // self.kv_block_size)
+        deficit = needed - len(req.kv_block_ids)
+        if deficit <= 0:
+            return
+        new = self.blocks.allocate(deficit)
+        if new is None and self._preempt_for(deficit, req.priority):
+            new = self.blocks.allocate(deficit)
+        if new is None:
+            logger.warning(
+                "KV OOM for request %d — finishing early", req.request_id
+            )
+            req.state = RequestState.FINISHED
+            req.finish_reason = "kv_oom"
+            return
+        req.kv_block_ids.extend(new)
+
+    def get_stats(self) -> Dict[str, int]:
+        return {
+            "pending": self.num_pending,
+            "running": len(self.running),
+            "finished": len(self.finished),
+            "free_kv_blocks": self.blocks.num_free,
+            "total_steps": self.step_counter,
+        }

@@ -1,0 +1,368 @@
+"""ComplexityDeep model family (tr-hash-moe-500m / tr-moe-306 / dense-306).
+
+Pure-functional JAX re-design of the reference model
+(ref: vllm_i64/models/complexity_deep/model.py):
+- decoder-only transformer, GQA attention + rotate-half RoPE + optional
+  QK-RMSNorm (model.py:74-201)
+- token-routed MoE or dense SwiGLU MLP (model.py:310-343)
+- optional Mu-Guidance: a learnable equilibrium vector threaded between
+  layers, clamped to [-2, 2], biasing Q/K/V (model.py:58-67, 167-170, 421-432)
+- tied embeddings -> fp32 logits (model.py:436-439)
+
+TPU-first decisions:
+- parameters are stacked over the layer axis and the layer stack runs under
+  ``jax.lax.scan`` — one traced layer body, O(1) compile time in depth.
+- shapes are (B, T, ...) padded/bucketed; T=1 is the decode program. There is
+  no per-sequence Python loop anywhere (the reference's per-seq KV loop at
+  model.py:203-236 is the semantic spec only).
+- the KV cache is a functional paged array threaded through the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..ops.attention import paged_attention, varlen_self_attention, write_kv
+from ..ops.linear import linear, linear_f32
+from ..ops.moe import dense_swiglu_mlp, token_routed_mlp
+from ..ops.norms import apply_rope, rms_norm, rope_cos_sin
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def cyclic_route_table(vocab_size: int, num_experts: int, top_k: int) -> np.ndarray:
+    """Default modulo-cyclic routing table: route k of token t is
+    (t + k) % E (ref: token_routed_mlp.py:92-107). TR-HASH checkpoints
+    overwrite this with their exact balanced-hash tables at load time."""
+    ids = np.arange(vocab_size, dtype=np.int32)
+    return np.stack([(ids + k) % num_experts for k in range(max(1, top_k))])
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random-init parameters with the exact pytree layout the loader fills.
+
+    Weight convention: (in_features, out_features) so forward is x @ w
+    (torch Linear stores the transpose; the loader handles it).
+    """
+    L = cfg.num_hidden_layers
+    H = cfg.hidden_size
+    d = cfg.head_dim
+    Hq = cfg.num_attention_heads * d
+    Hkv = cfg.num_key_value_heads * d
+    E = cfg.num_experts
+    I = cfg.expert_intermediate_size
+    S = cfg.resolved_shared_intermediate_size
+    K = cfg.effective_top_k
+
+    keys = iter(jax.random.split(key, 64))
+
+    def w(shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dtype)
+
+    layers: Params = {
+        "input_ln": jnp.ones((L, H), dtype),
+        "q": w((L, H, Hq)),
+        "k": w((L, H, Hkv)),
+        "v": w((L, H, Hkv)),
+        "o": w((L, Hq, H)),
+        "post_ln": jnp.ones((L, H), dtype),
+    }
+    if cfg.use_qk_norm:
+        layers["q_norm"] = jnp.ones((L, d), dtype)
+        layers["k_norm"] = jnp.ones((L, d), dtype)
+    if cfg.mu_enabled:
+        layers["mu_to_q"] = w((L, H, Hq))
+        layers["mu_to_k"] = w((L, H, Hkv))
+        layers["mu_to_v"] = w((L, H, Hkv))
+        layers["mu"] = jnp.ones((L, H), dtype)
+        layers["mu_proj"] = jnp.zeros((L, H, H), dtype)
+
+    if cfg.use_token_routed_mlp and E > 1:
+        mlp: Params = {
+            "gate": w((L, E, H, I)),
+            "up": w((L, E, H, I)),
+            "down": w((L, E, I, H)),
+            "route_table": jnp.asarray(
+                np.broadcast_to(
+                    cyclic_route_table(cfg.vocab_size, E, K), (L, K, cfg.vocab_size)
+                ).copy()
+            ),
+        }
+        if cfg.shared_expert:
+            mlp["shared_gate"] = w((L, H, S))
+            mlp["shared_up"] = w((L, H, S))
+            mlp["shared_down"] = w((L, S, H))
+            if cfg.use_shared_routed_gates:
+                mlp["shared_gate_scalar"] = jnp.full((L,), cfg.shared_gate_init, dtype)
+                mlp["routed_gate_scalar"] = jnp.full((L,), cfg.routed_gate_init, dtype)
+        layers["mlp"] = mlp
+    else:
+        layers["mlp"] = {
+            "gate": w((L, H, cfg.intermediate_size)),
+            "up": w((L, H, cfg.intermediate_size)),
+            "down": w((L, cfg.intermediate_size, H)),
+        }
+
+    params: Params = {
+        "embed": w((cfg.vocab_size, H)),
+        "final_norm": jnp.ones((H,), dtype),
+        "layers": layers,
+    }
+    if cfg.mu_enabled:
+        params["mu_init"] = jnp.zeros((H,), dtype)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w((H, cfg.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Layer body
+# ---------------------------------------------------------------------------
+
+
+def _attention_block(
+    p: Params,
+    cfg: ModelConfig,
+    hidden: jax.Array,  # (B, T, H)
+    positions: jax.Array,  # (B, T)
+    mu_prev: Optional[jax.Array],
+    kv_layer: Optional[Tuple[jax.Array, jax.Array]],
+    block_tables: Optional[jax.Array],
+    ctx_lens: Optional[jax.Array],
+    seq_lens: Optional[jax.Array],
+    valid: Optional[jax.Array],
+):
+    b, t, _ = hidden.shape
+    d = cfg.head_dim
+    hq = cfg.num_attention_heads
+    hkv = cfg.num_key_value_heads
+
+    q = linear(hidden, p["q"])
+    k = linear(hidden, p["k"])
+    v = linear(hidden, p["v"])
+    if cfg.mu_enabled and mu_prev is not None:
+        q = q + linear(mu_prev, p["mu_to_q"])
+        k = k + linear(mu_prev, p["mu_to_k"])
+        v = v + linear(mu_prev, p["mu_to_v"])
+
+    q = q.reshape(b, t, hq, d)
+    k = k.reshape(b, t, hkv, d)
+    v = v.reshape(b, t, hkv, d)
+
+    if cfg.use_qk_norm:
+        q = rms_norm(q, p["q_norm"], 1e-6)
+        k = rms_norm(k, p["k_norm"], 1e-6)
+
+    cos, sin = rope_cos_sin(positions, d, cfg.rope_theta)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_kv = None
+    if kv_layer is not None:
+        k_cache, v_cache = kv_layer
+        k_cache, v_cache = write_kv(
+            k_cache, v_cache, k, v, block_tables, positions, valid
+        )
+        out = paged_attention(
+            q, k_cache, v_cache, block_tables, positions, ctx_lens,
+            sliding_window=cfg.sliding_window,
+        )
+        new_kv = (k_cache, v_cache)
+    else:
+        out = varlen_self_attention(
+            q, k, v, seq_lens, sliding_window=cfg.sliding_window
+        )
+
+    out = out.reshape(b, t, hq * d)
+    return linear(out, p["o"]), new_kv
+
+
+def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Array):
+    b, t, h = hidden.shape
+    x = hidden.reshape(b * t, h)
+    mp = p["mlp"]
+    if cfg.use_token_routed_mlp and cfg.num_experts > 1:
+        out = token_routed_mlp(
+            x,
+            token_ids.reshape(-1),
+            gate_w=mp["gate"],
+            up_w=mp["up"],
+            down_w=mp["down"],
+            topk_table=mp["route_table"],
+            num_experts=cfg.num_experts,
+            vocab_size=cfg.vocab_size,
+            primary_weight=cfg.primary_weight,
+            routed_output_scale=cfg.routed_output_scale,
+            shared_gate=mp.get("shared_gate"),
+            shared_up=mp.get("shared_up"),
+            shared_down=mp.get("shared_down"),
+            shared_output_scale=cfg.shared_output_scale,
+            shared_output_gate=mp.get("shared_gate_scalar"),
+            routed_output_gate=mp.get("routed_gate_scalar"),
+        )
+    else:
+        out = dense_swiglu_mlp(x, mp["gate"], mp["up"], mp["down"])
+    return out.reshape(b, t, h)
+
+
+def _layer_fn(
+    cfg: ModelConfig,
+    carry,
+    layer_in,
+    token_ids,
+    positions,
+    block_tables,
+    ctx_lens,
+    seq_lens,
+    valid,
+):
+    hidden, mu_prev = carry
+    if len(layer_in) == 3:
+        p, kc, vc = layer_in
+        kv_layer = (kc, vc)
+    else:
+        (p,) = layer_in
+        kv_layer = None
+
+    res = hidden
+    h = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
+    attn_out, new_kv = _attention_block(
+        p, cfg, h, positions, mu_prev, kv_layer, block_tables, ctx_lens, seq_lens, valid
+    )
+    hidden = res + attn_out
+
+    res = hidden
+    h = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
+    hidden = res + _mlp_block(p, cfg, h, token_ids)
+
+    mu_next = mu_prev
+    if cfg.mu_enabled:
+        # mu = clamp(mu_param, 0, 2) + mu_proj(h); threaded clamp to [-2, 2]
+        # (ref: model.py:58-67, 431-432)
+        mu_cur = jnp.clip(p["mu"], 0.0, 2.0)[None, None, :] + linear(
+            hidden, p["mu_proj"]
+        )
+        mu_next = jnp.clip(mu_cur, -2.0, 2.0)
+
+    out_carry = (hidden, mu_next)
+    if kv_layer is not None:
+        return out_carry, new_kv
+    return out_carry, None
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+
+def forward_hidden(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # (B, T) int32
+    positions: jax.Array,  # (B, T) int32
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # (L, NB, bs, Hkv, d) x2
+    block_tables: Optional[jax.Array] = None,  # (B, MB)
+    ctx_lens: Optional[jax.Array] = None,  # (B,)
+    seq_lens: Optional[jax.Array] = None,  # (B,) for cache-free mode
+    valid: Optional[jax.Array] = None,  # (B, T) bool
+):
+    """Run embedding + all decoder layers. Returns (hidden(B,T,H), new_kv)."""
+    ids = jnp.clip(token_ids, 0, cfg.vocab_size - 1).astype(jnp.int32)
+    hidden = jnp.take(params["embed"], ids, axis=0)
+    b, t, _ = hidden.shape
+
+    mu_prev = None
+    if cfg.mu_enabled:
+        mu_prev = jnp.broadcast_to(
+            params["mu_init"][None, None, :], hidden.shape
+        ).astype(hidden.dtype)
+
+    carry = (hidden, mu_prev)
+
+    def body(carry, layer_in):
+        return _layer_fn(
+            cfg, carry, layer_in, ids, positions, block_tables, ctx_lens,
+            seq_lens, valid,
+        )
+
+    if kv is not None:
+        xs = (params["layers"], kv[0], kv[1])
+        (hidden, _), new_caches = jax.lax.scan(body, carry, xs)
+        new_kv = (new_caches[0], new_caches[1])
+    else:
+        xs = (params["layers"],)
+        (hidden, _), _ = jax.lax.scan(body, carry, xs)
+        new_kv = None
+
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, new_kv
+
+
+def lm_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+    """fp32 logits from final hidden states (ref: model.py:436-439)."""
+    if cfg.tie_word_embeddings:
+        return linear_f32(hidden, params["embed"].T)
+    return linear_f32(hidden, params["lm_head"])
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,
+    positions: Optional[jax.Array] = None,
+    seq_lens: Optional[jax.Array] = None,
+    **kv_kwargs,
+) -> jax.Array:
+    """Standalone full-logits forward (parity tests / simple generation).
+
+    token_ids: (B, T). Returns fp32 logits (B, T, vocab).
+    """
+    b, t = token_ids.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    if seq_lens is None:
+        seq_lens = jnp.full((b,), t, jnp.int32)
+    hidden, _ = forward_hidden(
+        params, cfg, token_ids, positions, seq_lens=seq_lens, **kv_kwargs
+    )
+    return lm_logits(params, cfg, hidden)
+
+
+def forward_step(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # (B, T)
+    positions: jax.Array,  # (B, T)
+    kv: Tuple[jax.Array, jax.Array],
+    block_tables: jax.Array,  # (B, MB)
+    ctx_lens: jax.Array,  # (B,)
+    last_idx: jax.Array,  # (B,) index of last valid token per row
+    valid: jax.Array,  # (B, T) bool
+):
+    """Engine step: paged-cache forward returning last-token fp32 logits.
+
+    Only the gathered last-token hidden states hit the (H, V) lm head —
+    prefill never materializes (B, T, V) logits.
+    """
+    hidden, new_kv = forward_hidden(
+        params, cfg, token_ids, positions,
+        kv=kv, block_tables=block_tables, ctx_lens=ctx_lens, valid=valid,
+    )
+    last_h = jnp.take_along_axis(hidden, last_idx[:, None, None].astype(jnp.int32), axis=1)
+    logits = lm_logits(params, cfg, last_h[:, 0, :])  # (B, V) fp32
+    return logits, new_kv
+
+
+def num_parameters(params: Params) -> int:
+    leaves = jax.tree_util.tree_leaves(params)
+    return int(sum(np.prod(l.shape) for l in leaves))

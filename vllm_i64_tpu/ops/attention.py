@@ -1,0 +1,174 @@
+"""Paged attention over a block-table KV cache.
+
+TPU-native replacement for the reference attention backends
+(ref: vllm_i64/layers/attention.py — naive_varlen :123-187, naive_cached
+:190-245, tensor paged decode :469-514). Semantics match naive_cached
+attention: queries attend causally (k_pos <= q_pos) to the full cached
+history, with optional sliding window (q_pos - k_pos < window).
+
+Design: one fully-vectorized program for prefill and decode alike — shapes
+are (B, T, ...) with T=1 for decode. K/V pages are gathered through the block
+table into a dense (B, S, Hkv, d) view, masked, softmaxed in fp32. The
+gather is one sequential HBM read of the context (the unavoidable cost of
+decode attention); a Pallas kernel that fuses gather+attention without the
+intermediate materialization is layered underneath for long contexts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def kv_cache_slots(
+    block_tables: jax.Array,  # (B, MB) int32 physical block ids
+    positions: jax.Array,  # (B, T) int32 token positions
+    block_size: int,
+    valid: Optional[jax.Array] = None,  # (B, T) bool
+) -> jax.Array:
+    """Flat cache-slot index per token: block_table[pos // bs] * bs + pos % bs.
+
+    Invalid tokens map to a huge out-of-range slot so scatter `mode=drop`
+    discards them (the CUDA-graph-safe analog of ref kv_cache.py:422-459's
+    tensor-only decode write).
+    """
+    block_idx = positions // block_size
+    offset = positions % block_size
+    phys = jnp.take_along_axis(block_tables, block_idx, axis=1)
+    slots = phys.astype(jnp.int32) * block_size + offset
+    if valid is not None:
+        slots = jnp.where(valid, slots, jnp.int32(2**30))
+    return slots
+
+
+def write_kv(
+    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    v_cache: jax.Array,
+    k: jax.Array,  # (B, T, Hkv, d)
+    v: jax.Array,
+    block_tables: jax.Array,  # (B, MB)
+    positions: jax.Array,  # (B, T)
+    valid: Optional[jax.Array] = None,  # (B, T) bool
+):
+    """Scatter new K/V rows into the paged cache. Returns updated caches.
+
+    Functional update — callers donate the cache buffers so XLA performs the
+    scatter in place (no copy of the multi-hundred-MB cache per step).
+    """
+    nb, bs, hkv, d = k_cache.shape
+    slots = kv_cache_slots(block_tables, positions, bs, valid).reshape(-1)
+    k_flat = k.reshape(-1, hkv, d).astype(k_cache.dtype)
+    v_flat = v.reshape(-1, hkv, d).astype(v_cache.dtype)
+    k_cache = k_cache.reshape(nb * bs, hkv, d).at[slots].set(k_flat, mode="drop")
+    v_cache = v_cache.reshape(nb * bs, hkv, d).at[slots].set(v_flat, mode="drop")
+    return k_cache.reshape(nb, bs, hkv, d), v_cache.reshape(nb, bs, hkv, d)
+
+
+def gather_kv(
+    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # (B, MB)
+):
+    """Gather the paged context into dense (B, MB*bs, Hkv, d) views."""
+    nb, bs, hkv, d = k_cache.shape
+    k = jnp.take(k_cache, block_tables, axis=0)  # (B, MB, bs, Hkv, d)
+    v = jnp.take(v_cache, block_tables, axis=0)
+    b, mb = block_tables.shape
+    return k.reshape(b, mb * bs, hkv, d), v.reshape(b, mb * bs, hkv, d)
+
+
+def paged_attention(
+    q: jax.Array,  # (B, T, Hq, d) — T=1 for decode
+    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # (B, MB)
+    positions: jax.Array,  # (B, T) int32 query positions
+    ctx_lens: jax.Array,  # (B,) int32 total tokens (incl. current) per seq
+    *,
+    scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Causal attention of q against the cached history (which must already
+    contain the current tokens — write_kv runs first, matching ref
+    model.py:203-236 write-then-read ordering). Returns (B, T, Hq, d)."""
+    b, t, hq, d = q.shape
+    _, _, hkv, _ = k_cache.shape
+    g = hq // hkv
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+
+    k, v = gather_kv(k_cache, v_cache, block_tables)  # (B, S, Hkv, d)
+    s = k.shape[1]
+
+    qg = q.reshape(b, t, hkv, g, d)
+    # scores: (B, Hkv, g, T, S) in fp32
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    q_pos = positions  # (B, T)
+    mask = k_pos[:, None, :] <= q_pos[:, :, None]  # causal, (B, T, S)
+    mask &= k_pos[:, None, :] < ctx_lens[:, None, None]
+    if sliding_window is not None:
+        mask &= (q_pos[:, :, None] - k_pos[:, None, :]) < sliding_window
+
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    # Safe softmax: fully-masked (padding) rows produce zeros, not NaN.
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    smax = jnp.maximum(smax, -1e30)
+    unnorm = jnp.exp(scores - smax)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = unnorm / jnp.maximum(denom, 1e-30)
+
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, t, hq, d).astype(q.dtype)
+
+
+def varlen_self_attention(
+    q: jax.Array,  # (B, T, Hq, d)
+    k: jax.Array,  # (B, T, Hkv, d)
+    v: jax.Array,
+    seq_lens: jax.Array,  # (B,) valid token counts
+    *,
+    scale: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Cache-free causal self-attention (ref naive_varlen_attention
+    :123-187) for standalone model forward / parity tests."""
+    b, t, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+
+    qg = q.reshape(b, t, hkv, g, d)
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    mask = kpos <= pos
+    if sliding_window is not None:
+        mask &= (pos - kpos) < sliding_window
+    mask = mask[None] & (
+        jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) < seq_lens[:, None]
+    )[:, None, :]
+
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    smax = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
+    unnorm = jnp.exp(scores - smax)
+    probs = unnorm / jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, t, hq, d).astype(q.dtype)

@@ -1,0 +1,116 @@
+"""Fused INT8-weight dequant GEMM.
+
+TPU-native analog of the reference's fused dequant kernels
+(ref: csrc/I64_gemm.cu:1-60 `I64_gemm_dequant_int8`,
+kernels/triton/I64_fused_dequant_gemm.py:96): int8 weights are read from HBM
+at 1 byte/weight, widened in VMEM, fed to the MXU, and the per-output-channel
+scale is applied to the accumulator — the weight never exists in float in HBM.
+
+Two implementations:
+- ``_dequant_matmul_xla``: convert+dot, letting XLA fuse the convert into the
+  dot operand. Correct everywhere (CPU tests), and surprisingly good.
+- ``_dequant_matmul_pallas``: explicit Pallas kernel with K-tiled accumulation,
+  used on TPU for aligned shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant import QTensor
+
+_PALLAS_ENABLED = True
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _dequant_matmul_xla(x: jax.Array, w: QTensor) -> jax.Array:
+    acc = jnp.dot(x, w.q.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (acc * w.s.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    """Grid (M/tm, N/tn, K/tk); K innermost so acc lives across K steps."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xt = x_ref[:]
+    wt = q_ref[:].astype(xt.dtype)
+    acc_ref[:] += jnp.dot(xt, wt, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _done():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk"))
+def _dequant_matmul_pallas(
+    x: jax.Array, q: jax.Array, s: jax.Array, tm: int, tn: int, tk: int
+) -> jax.Array:
+    m, k = x.shape
+    _, n = q.shape
+    n_k = k // tk
+    grid = (m // tm, n // tn, n_k)
+    return pl.pallas_call(
+        functools.partial(_dm_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, q, s.reshape(1, n))
+
+
+def _pick_tile(dim: int, target: int) -> int:
+    t = min(dim, target)
+    while dim % t != 0:
+        t //= 2
+    return max(t, 1)
+
+
+def dequant_matmul(x: jax.Array, w: QTensor) -> jax.Array:
+    """x @ dequant(w) for x of shape (..., K), w.q of shape (K, N)."""
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    n = w.q.shape[-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    use_pallas = (
+        _PALLAS_ENABLED
+        and _on_tpu()
+        and w.q.ndim == 2
+        and m % 8 == 0
+        and k % 128 == 0
+        and n % 128 == 0
+    )
+    if use_pallas:
+        tm = _pick_tile(m, 256)
+        tn = _pick_tile(n, 512)
+        tk = _pick_tile(k, 512)
+        out = _dequant_matmul_pallas(x2, w.q, w.s, tm, tn, tk)
+    else:
+        out = _dequant_matmul_xla(x2, w)
+    return out.reshape(*orig_shape[:-1], n)

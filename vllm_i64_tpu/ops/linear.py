@@ -1,0 +1,41 @@
+"""Linear / matmul entry points that dispatch on weight representation.
+
+All model matmuls go through ``linear`` so the quantization format is a
+pure data question (plain array vs QTensor), not a model-code branch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .quant import QTensor
+
+
+def linear(x: jax.Array, w, *, precision=None) -> jax.Array:
+    """y = x @ w with w either a float array (in, out) or an int8 QTensor.
+
+    Per-output-channel scales commute with the contraction, so the quantized
+    path is (x @ q) * s — one MXU matmul with int8 weights loaded at
+    1 byte/weight (the HBM-bandwidth win that I64_gemm.cu:1-60 gets on GPU).
+    """
+    if isinstance(w, QTensor):
+        from .dequant_matmul import dequant_matmul
+
+        return dequant_matmul(x, w)
+    return jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype)
+
+
+def linear_f32(x: jax.Array, w) -> jax.Array:
+    """Matmul with fp32 accumulation and fp32 output (for logits;
+    ref computes tied-embedding logits in fp32: complexity_deep/model.py:436-439).
+    """
+    if isinstance(w, QTensor):
+        from .dequant_matmul import dequant_matmul
+
+        return dequant_matmul(x.astype(jnp.float32), w)
+    return jnp.dot(
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )

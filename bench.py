@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark driver: tr-hash-moe-500m INT8 continuous-batching throughput.
+
+Mirrors the reference bench harness metrics (ref: benchmarks/bench_engine.py
+:23-37 — ttft_ms, itl p50/p99, throughput_tok_s, peak_batch) on the
+north-star config: INT8 weights + paged KV + continuous batching on one
+TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+(extra diagnostic keys included after the required four).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="tr-hash-moe-500m")
+    p.add_argument("--quantization", default="int8")
+    p.add_argument("--requests", type=int, default=16)
+    p.add_argument("--prompt-len", type=int, default=128)
+    p.add_argument("--gen-tokens", type=int, default=64)
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from vllm_i64_tpu.config import EngineConfig
+    from vllm_i64_tpu.core.quantize_model import param_bytes, quantize_params
+    from vllm_i64_tpu.core.sampling import SamplingParams
+    from vllm_i64_tpu.engine import Engine
+    from vllm_i64_tpu.models import complexity_deep as cdm
+    from vllm_i64_tpu.models.presets import get_preset
+
+    dev = jax.devices()[0]
+    log(f"[bench] device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    cfg = get_preset(args.model)
+    if args.tiny:
+        cfg = cfg.replace(num_hidden_layers=2, hidden_size=256, intermediate_size=512,
+                          vocab_size=1024, max_position_embeddings=512)
+
+    import jax.numpy as jnp
+
+    # CPU XLA lacks bf16 x bf16 dot support — use f32 there
+    dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    t0 = time.perf_counter()
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    if args.quantization == "int8":
+        params = quantize_params(params, cfg, "int8")
+    params = jax.tree_util.tree_map(lambda x: jax.device_put(x), params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+    log(
+        f"[bench] params ready in {time.perf_counter()-t0:.1f}s "
+        f"({cdm.num_parameters(params)/1e6:.1f}M, {param_bytes(params)/1e6:.0f} MB)"
+    )
+
+    ecfg = EngineConfig(
+        max_batch_size=args.max_batch,
+        max_seq_len=min(2048, cfg.max_position_embeddings),
+        kv_block_size=16,
+        max_prefill_tokens=args.prompt_len,
+        quantization=args.quantization,
+        decode_batch_buckets=(args.max_batch,),
+        prefill_batch_buckets=(1, 2, 4),
+        prefill_token_buckets=(args.prompt_len,),
+    )
+    engine = Engine(params, cfg, ecfg)
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(3, cfg.vocab_size, size=args.prompt_len).tolist()
+        for _ in range(args.requests)
+    ]
+    sp = SamplingParams(temperature=0.0, max_tokens=args.gen_tokens)
+
+    # Warmup: compile decode+prefill programs
+    log("[bench] warmup (compiling step programs)...")
+    t0 = time.perf_counter()
+    wid = engine.add_request(prompts[0][: args.prompt_len], sp)
+    engine.wait_for(wid, max_steps=args.gen_tokens + 8)
+    log(f"[bench] warmup done in {time.perf_counter()-t0:.1f}s")
+
+    # Timed run: continuous batching over all requests
+    first_token_at = {}
+    t_start = time.perf_counter()
+    rids = [engine.add_request(pr, sp) for pr in prompts]
+    rid_set = set(rids)
+    peak_batch = 0
+    step_times = []
+    total_tokens = 0
+    while engine.scheduler.has_work:
+        t_s = time.perf_counter()
+        result = engine.step()
+        step_times.append((time.perf_counter() - t_s) * 1000)
+        now = time.perf_counter()
+        for rid in result:
+            if rid in rid_set and rid not in first_token_at:
+                first_token_at[rid] = (now - t_start) * 1000
+        total_tokens += len(result)
+        peak_batch = max(peak_batch, len(engine.scheduler.running))
+    elapsed = time.perf_counter() - t_start
+
+    gen_tokens = sum(
+        len(engine.scheduler.get_request(r).output_token_ids) for r in rids
+    )
+    throughput = gen_tokens / elapsed
+    ttft = sorted(first_token_at.values())
+    itl = sorted(step_times)
+
+    def pct(a, q):
+        return a[min(len(a) - 1, int(q * len(a)))] if a else 0.0
+
+    # vs_baseline: ratio against a published reference number if present
+    vs_baseline = 1.0
+    try:
+        with open("BASELINE.json") as f:
+            published = json.load(f).get("published", {})
+        base = published.get("tokens_per_sec_per_chip")
+        if base:
+            vs_baseline = throughput / float(base)
+    except Exception:
+        pass
+
+    out = {
+        "metric": "tokens_per_sec_per_chip",
+        "value": round(throughput, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "model": args.model,
+        "quantization": args.quantization,
+        "num_requests": args.requests,
+        "prompt_len": args.prompt_len,
+        "output_len": args.gen_tokens,
+        "total_time_s": round(elapsed, 2),
+        "ttft_ms_p50": round(pct(ttft, 0.5), 1),
+        "ttft_ms_p99": round(pct(ttft, 0.99), 1),
+        "itl_ms_avg": round(sum(itl) / max(len(itl), 1), 2),
+        "itl_ms_p50": round(pct(itl, 0.5), 2),
+        "itl_ms_p99": round(pct(itl, 0.99), 2),
+        "total_tokens": int(gen_tokens),
+        "peak_batch": int(peak_batch),
+        "device": f"{dev.platform}",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

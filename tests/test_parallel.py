@@ -1,0 +1,84 @@
+"""Sharded execution tests on the 8-device virtual CPU mesh.
+
+This is the multi-chip validation the reference never had (its TP tests run
+at tp_size=1 only, ref tests/test_tensor_parallel.py): the sharded forward
+must produce the same numbers as single-device execution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_i64_tpu.models import complexity_deep as cdm
+from vllm_i64_tpu.parallel import (
+    ParallelConfig,
+    make_mesh,
+    shard_params,
+    validate_divisibility,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    cfg = request.getfixturevalue("tiny_config")
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize(
+    "dp,ep,tp",
+    [(1, 1, 2), (1, 4, 2), (2, 2, 2), (1, 4, 1), (8, 1, 1)],
+)
+def test_sharded_forward_matches_single_device(setup, dp, ep, tp):
+    cfg, params = setup
+    ref = None
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 6), 0, cfg.vocab_size, dtype=jnp.int32)
+    ref = np.asarray(cdm.forward(params, cfg, ids))
+
+    pcfg = ParallelConfig(dp=dp, ep=ep, tp=tp)
+    validate_divisibility(cfg, pcfg)
+    mesh = make_mesh(pcfg)
+    sharded = shard_params(params, cfg, mesh)
+    with jax.set_mesh(mesh):
+        out = np.asarray(cdm.forward(sharded, cfg, ids))
+    np.testing.assert_allclose(out, ref, rtol=5e-5, atol=5e-5)
+
+
+def test_divisibility_validation(setup):
+    cfg, _ = setup
+    with pytest.raises(ValueError):
+        validate_divisibility(cfg, ParallelConfig(tp=3))
+    with pytest.raises(ValueError):
+        validate_divisibility(cfg, ParallelConfig(ep=3))
+
+
+def test_sharded_paged_step(setup):
+    """forward_step (paged KV) under a 2x2 ep/tp mesh matches unsharded."""
+    cfg, params = setup
+    B, T = 2, 8
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, cfg.vocab_size, dtype=jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    kv_shape = (cfg.num_hidden_layers, 16, 4, cfg.num_key_value_heads, cfg.head_dim)
+
+    def run(p, kv):
+        return cdm.forward_step(
+            p, cfg, ids, pos, kv, bt,
+            ctx_lens=jnp.full((B,), T, jnp.int32),
+            last_idx=jnp.full((B,), T - 1, jnp.int32),
+            valid=jnp.ones((B, T), bool),
+        )
+
+    ref, _ = run(params, (jnp.zeros(kv_shape), jnp.zeros(kv_shape)))
+
+    mesh = make_mesh(ParallelConfig(dp=1, ep=2, tp=2))
+    sharded = shard_params(params, cfg, mesh)
+    with jax.set_mesh(mesh):
+        out, _ = run(sharded, (jnp.zeros(kv_shape), jnp.zeros(kv_shape)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5)

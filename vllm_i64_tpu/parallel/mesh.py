@@ -1,0 +1,182 @@
+"""Device mesh + sharding rules.
+
+TPU-native replacement for the reference's NCCL process-group parallelism
+(ref: vllm_i64/parallel/tensor_parallel.py, token_routed_i64/layer.py):
+there is no explicit communication code — a single pjit-compiled step
+function runs over a ``jax.sharding.Mesh`` and XLA GSPMD inserts the
+collectives (psum over ICI where the reference called dist.all_reduce,
+local expert compute where the reference did all_to_all EP dispatch).
+
+Mesh axes:
+- ``dp``     data parallel: batch rows of a step (cross-host serving uses
+             one engine per host instead; this axis exists for single-
+             program scale-out and the driver's dry-run)
+- ``ep``     expert parallel: the E axis of expert weight stacks. With the
+             masked-dense MoE each device computes its local experts for
+             ALL tokens and the down-projection psum combines them — the
+             deterministic-routing analog of the reference's
+             all_to_all dispatch (token_routed_i64/layer.py:229-299)
+- ``tp``     tensor parallel: attention heads + expert/shared intermediate
+             (the reference's Column/RowParallelLinear semantics,
+             tensor_parallel.py:91-157)
+
+Sharding map (PartitionSpec per parameter leaf):
+  q/k/v   (L, H, heads*d)  -> (None, None, 'tp')       column parallel
+  o       (L, heads*d, H)  -> (None, 'tp', None)       row parallel + psum
+  gate/up (L, E, H, I)     -> (None, 'ep', None, 'tp')
+  down    (L, E, I, H)     -> (None, 'ep', 'tp', None) psum over ep+tp
+  shared gate/up (L, H, S) -> (None, None, 'tp')
+  shared down    (L, S, H) -> (None, 'tp', None)
+  embed / norms / tables   -> replicated
+  KV cache (L, NB, bs, Hkv, d) -> (None, None, None, 'tp', None)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..config import ModelConfig
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    dp: int = 1
+    ep: int = 1
+    tp: int = 1
+
+    @property
+    def total(self) -> int:
+        return self.dp * self.ep * self.tp
+
+
+def make_mesh(pcfg: ParallelConfig, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = pcfg.total
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(pcfg.dp, pcfg.ep, pcfg.tp)
+    return Mesh(dev_array, axis_names=("dp", "ep", "tp"))
+
+
+def _layer_specs(cfg: ModelConfig) -> dict:
+    specs = {
+        "input_ln": P(),
+        "q": P(None, None, "tp"),
+        "k": P(None, None, "tp"),
+        "v": P(None, None, "tp"),
+        "o": P(None, "tp", None),
+        "post_ln": P(),
+    }
+    if cfg.use_qk_norm:
+        specs["q_norm"] = P()
+        specs["k_norm"] = P()
+    if cfg.mu_enabled:
+        specs["mu_to_q"] = P(None, None, "tp")
+        specs["mu_to_k"] = P(None, None, "tp")
+        specs["mu_to_v"] = P(None, None, "tp")
+        specs["mu"] = P()
+        specs["mu_proj"] = P()
+    if cfg.use_token_routed_mlp and cfg.num_experts > 1:
+        mlp = {
+            "gate": P(None, "ep", None, "tp"),
+            "up": P(None, "ep", None, "tp"),
+            "down": P(None, "ep", "tp", None),
+            "route_table": P(),
+        }
+        if cfg.shared_expert:
+            mlp["shared_gate"] = P(None, None, "tp")
+            mlp["shared_up"] = P(None, None, "tp")
+            mlp["shared_down"] = P(None, "tp", None)
+            if cfg.use_shared_routed_gates:
+                mlp["shared_gate_scalar"] = P()
+                mlp["routed_gate_scalar"] = P()
+        specs["mlp"] = mlp
+    else:
+        specs["mlp"] = {
+            "gate": P(None, None, "tp"),
+            "up": P(None, None, "tp"),
+            "down": P(None, "tp", None),
+        }
+    return specs
+
+
+def param_specs(cfg: ModelConfig) -> dict:
+    specs = {
+        "embed": P(),
+        "final_norm": P(),
+        "layers": _layer_specs(cfg),
+    }
+    if cfg.mu_enabled:
+        specs["mu_init"] = P()
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def kv_cache_spec() -> P:
+    return P(None, None, None, "tp", None)
+
+
+def _spec_for_leaf_path(specs, path):
+    node = specs
+    for p in path:
+        key = getattr(p, "key", None) or getattr(p, "name", None)
+        if key is not None and isinstance(node, dict):
+            node = node[key]
+    return node
+
+
+def shard_params(params, cfg: ModelConfig, mesh: Mesh):
+    """Place a params pytree onto the mesh per the sharding map.
+
+    QTensor leaves inherit the float weight's spec for ``q`` and a reduced
+    spec (contraction axis dropped) for the per-out-channel scales.
+    """
+    from ..ops.quant import QTensor
+
+    specs = param_specs(cfg)
+
+    def place(path, leaf):
+        spec = _spec_for_leaf_path(specs, path)
+        if isinstance(leaf, QTensor):
+            q_sh = NamedSharding(mesh, spec)
+            # scale shape = weight shape minus the contraction axis (-2)
+            s_spec = P(*[a for i, a in enumerate(spec) if i != len(spec) - 2])
+            return QTensor(
+                jax.device_put(leaf.q, q_sh),
+                jax.device_put(leaf.s, NamedSharding(mesh, s_spec)),
+            )
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(
+        place, params, is_leaf=lambda x: isinstance(x, QTensor)
+    )
+
+
+def validate_divisibility(cfg: ModelConfig, pcfg: ParallelConfig) -> None:
+    """Fail fast when the model doesn't divide onto the mesh."""
+    if cfg.num_key_value_heads % pcfg.tp != 0:
+        raise ValueError(
+            f"num_key_value_heads ({cfg.num_key_value_heads}) not divisible by tp={pcfg.tp}"
+        )
+    if cfg.num_attention_heads % pcfg.tp != 0:
+        raise ValueError(
+            f"num_attention_heads ({cfg.num_attention_heads}) not divisible by tp={pcfg.tp}"
+        )
+    if cfg.use_token_routed_mlp and cfg.num_experts > 1:
+        if cfg.num_experts % pcfg.ep != 0:
+            raise ValueError(
+                f"num_experts ({cfg.num_experts}) not divisible by ep={pcfg.ep}"
+            )
+        if (cfg.expert_intermediate_size // 1) % pcfg.tp != 0:
+            raise ValueError(
+                f"expert_intermediate_size ({cfg.expert_intermediate_size}) "
+                f"not divisible by tp={pcfg.tp}"
+            )

@@ -111,10 +111,10 @@ def main() -> None:
         result = engine.step()
         step_times.append((time.perf_counter() - t_s) * 1000)
         now = time.perf_counter()
-        for rid in result:
-            if rid in rid_set and rid not in first_token_at:
+        for rid, toks in result.items():
+            if toks and rid in rid_set and rid not in first_token_at:
                 first_token_at[rid] = (now - t_start) * 1000
-        total_tokens += len(result)
+        total_tokens += sum(len(t) for t in result.values())
         peak_batch = max(peak_batch, len(engine.scheduler.running))
     elapsed = time.perf_counter() - t_start
 

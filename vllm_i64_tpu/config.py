@@ -175,6 +175,11 @@ class EngineConfig:
     # Scheduling extras
     enable_request_merging: bool = True
 
+    # Multi-step decode: run K decode iterations in one device dispatch
+    # (sampled tokens feed back on device). 1 = off. Amortizes dispatch
+    # latency; admission of new requests waits at most K steps.
+    multistep_decode: int = 8
+
     def resolve_kv_blocks(self) -> int:
         """Auto KV block count (ref: engine/config.py resolve_kv_blocks)."""
         if self.max_kv_blocks and self.max_kv_blocks > 0:

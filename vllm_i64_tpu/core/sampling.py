@@ -205,6 +205,7 @@ def sample_tokens(
     counts: Optional[jax.Array] = None,  # (B, V) i32 history counts
     eos_suppress: Optional[jax.Array] = None,  # (B,) bool
     eos_ids: Optional[jax.Array] = None,  # (B,) i32
+    min_tokens: Optional[jax.Array] = None,  # (B,) i32 (used by multistep)
 ) -> jax.Array:
     """Vectorized batch sampling. Returns (B,) i32 token ids."""
     logits = logits.astype(jnp.float32)
@@ -276,6 +277,7 @@ def make_param_arrays(params_list: List[SamplingParams], requests) -> dict:
         gen_index=np.zeros(b, np.int32),
         eos_suppress=np.zeros(b, bool),
         eos_ids=np.zeros(b, np.int32),
+        min_tokens=np.zeros(b, np.int32),
     )
     for i, (p, req) in enumerate(zip(params_list, requests)):
         out["temperature"][i] = p.temperature
@@ -292,6 +294,7 @@ def make_param_arrays(params_list: List[SamplingParams], requests) -> dict:
         out["gen_index"][i] = req.num_generated
         out["eos_suppress"][i] = p.min_tokens > 0 and req.num_generated < p.min_tokens
         out["eos_ids"][i] = req.eos_token_id
+        out["min_tokens"][i] = p.min_tokens
     return out
 
 

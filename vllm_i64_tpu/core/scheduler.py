@@ -416,6 +416,31 @@ class Scheduler:
                 # one decoded token also lives in KV next step; ensure capacity
                 self._grow_blocks(req)
 
+    def ensure_capacity(self, req: Request, extra_tokens: int) -> bool:
+        """Pre-allocate KV blocks to hold total_tokens + extra_tokens
+        (multi-step decode reserves its whole window up front)."""
+        needed = -(-(req.total_tokens + extra_tokens) // self.kv_block_size)
+        deficit = needed - len(req.kv_block_ids)
+        if deficit <= 0:
+            return True
+        new = self.blocks.allocate(deficit)
+        if new is None:
+            return False
+        req.kv_block_ids.extend(new)
+        return True
+
+    def apply_decode_tokens(self, req: Request, tokens) -> int:
+        """Append a multi-step window of sampled tokens; stop at finish.
+        Returns how many were accepted."""
+        accepted = 0
+        for tok in tokens:
+            if req.is_finished:
+                break
+            req.output_token_ids.append(int(tok))
+            accepted += 1
+        self._grow_blocks(req)
+        return accepted
+
     def _grow_blocks(self, req: Request) -> None:
         # +1: the next decode step writes K/V at position total_tokens
         needed = -(-(req.total_tokens + 1) // self.kv_block_size)

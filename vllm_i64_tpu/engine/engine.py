@@ -163,8 +163,11 @@ class Engine:
 
     # -- stepping ---------------------------------------------------------------
 
-    def step(self) -> Dict[int, int]:
-        """One engine iteration. Returns {request_id: new_token_id}."""
+    def step(self) -> Dict[int, List[int]]:
+        """One engine iteration. Returns {request_id: [new_token_ids...]}.
+
+        Single-step paths yield 1-element lists; multi-step decode yields up
+        to ``multistep_decode`` accepted tokens per request."""
         t0 = time.perf_counter()
 
         self._sweep_timeouts()
@@ -179,24 +182,108 @@ class Engine:
             return {}
 
         t1 = time.perf_counter()
-        result: Dict[int, int] = {}
+        single: Dict[int, int] = {}
+        multi: Optional[Dict[int, List[int]]] = None
         if self.runner is None:
-            result = self._step_modelless(batch)
+            single = self._step_modelless(batch)
         else:
             decode = batch.decode_seqs
             prefill = batch.prefill_seqs
-            if decode:
-                result.update(self._run_group(decode, kind="decode"))
-            if prefill:
-                result.update(self._run_group(prefill, kind="prefill"))
+            k = self._multistep_window(batch)
+            if decode and not prefill and k > 1:
+                multi = self._run_multi_decode(decode, k)
+            else:
+                if decode:
+                    single.update(self._run_group(decode, kind="decode"))
+                if prefill:
+                    single.update(self._run_group(prefill, kind="prefill"))
         self._perf["forward_ms"] += (time.perf_counter() - t1) * 1000
 
-        self.scheduler.update_after_step(batch, result)
+        result: Dict[int, List[int]] = {}
+        if multi is not None:
+            for rid, toks in multi.items():
+                req = self.scheduler.get_request(rid)
+                n = self.scheduler.apply_decode_tokens(req, toks)
+                result[rid] = toks[:n]
+                self.total_tokens_generated += n
+        else:
+            self.scheduler.update_after_step(batch, single)
+            result = {rid: [tok] for rid, tok in single.items()}
+            self.total_tokens_generated += len(single)
 
         self.total_steps += 1
-        self.total_tokens_generated += len(result)
         self._perf["total_ms"] += (time.perf_counter() - t0) * 1000
         return result
+
+    def _multistep_window(self, batch: ScheduledBatch) -> int:
+        """How many decode steps to fuse into one dispatch.
+
+        Stay responsive: fall back to single-step whenever new work is
+        waiting for admission, and never overshoot the shortest remaining
+        budget too far (row freezing bounds waste on device anyway)."""
+        k = self.engine_config.multistep_decode
+        if k <= 1:
+            return 1
+        if self.scheduler.num_pending > 0:
+            return 1
+        return k
+
+    def _run_multi_decode(self, seqs, k: int) -> Dict[int, List[int]]:
+        params_list = []
+        requests = []
+        rows = []
+        fallback_rows = []
+        for s in seqs:
+            # the whole window's KV must fit up front; rows that can't grow
+            # fall back to single-step this iteration
+            if self.scheduler.ensure_capacity(s.request, k + 1):
+                rows.append(s)
+            else:
+                fallback_rows.append(s)
+        if not rows:
+            return {
+                rid: [tok]
+                for rid, tok in self._run_group(seqs, kind="decode").items()
+            }
+
+        b = len(rows)
+        last_tokens = np.zeros(b, np.int64)
+        positions = np.zeros(b, np.int32)
+        ctx_lens = np.zeros(b, np.int32)
+        slot_ids = np.zeros(b, np.int32)
+        tokens_left = np.zeros(b, np.int32)
+        max_blocks = max(len(s.request.kv_block_ids) for s in rows)
+        block_tables = np.zeros((b, max(max_blocks, 1)), np.int32)
+        for i, s in enumerate(rows):
+            req = s.request
+            last_tokens[i] = s.token_ids[0]
+            positions[i] = s.positions[0]
+            ctx_lens[i] = int(s.positions[0]) + 1
+            slot_ids[i] = self._assign_slot(req)
+            tokens_left[i] = max(req.max_new_tokens - req.num_generated, 1)
+            block_tables[i, : len(req.kv_block_ids)] = req.kv_block_ids
+            params_list.append(
+                self._params_by_rid.get(req.request_id, SamplingParams())
+            )
+            requests.append(req)
+
+        features = SamplerFeatures.for_params(params_list)
+        sample_args = make_param_arrays(params_list, requests)
+        emitted = self.runner.execute_multi_decode(
+            last_tokens, positions, block_tables, ctx_lens, slot_ids,
+            tokens_left, sample_args, features, num_steps=k,
+        )  # (k, b)
+
+        out: Dict[int, List[int]] = {}
+        for i, s in enumerate(rows):
+            toks = [int(t) for t in emitted[:, i] if t >= 0]
+            out[s.request.request_id] = toks
+
+        if fallback_rows:
+            single = self._run_group(fallback_rows, kind="decode")
+            for rid, tok in single.items():
+                out[rid] = [tok]
+        return out
 
     def _sweep_timeouts(self) -> None:
         if not self._deadlines:

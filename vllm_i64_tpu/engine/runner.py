@@ -76,6 +76,11 @@ class ModelRunner:
             static_argnames=("features", "return_logits"),
             donate_argnames=("kv_k", "kv_v", "counts"),
         )(self._step_impl)
+        self._multi_decode_fn = functools.partial(
+            jax.jit,
+            static_argnames=("features", "num_steps"),
+            donate_argnames=("kv_k", "kv_v", "counts"),
+        )(self._multi_decode_impl)
 
     def _make_block_buckets(self):
         mx = self.ecfg.max_blocks_per_seq
@@ -125,6 +130,134 @@ class ModelRunner:
         counts = counts.at[upd_slots, tokens].add(1, mode="drop")
         out_logits = logits if return_logits else None
         return tokens, out_logits, kv_k, kv_v, counts
+
+    def _multi_decode_impl(
+        self,
+        params,
+        kv_k,
+        kv_v,
+        counts,
+        tokens0,  # (B,) i32 last token per row
+        positions0,  # (B,) i32
+        block_tables,  # (B, MB) i32 — capacity for +num_steps ensured by host
+        ctx_lens0,  # (B,) i32
+        slot_ids,  # (B,) i32
+        active0,  # (B,) bool
+        tokens_left,  # (B,) i32 — max_tokens - num_generated per row
+        key,
+        sample_args: Dict[str, jax.Array],
+        features: SamplerFeatures,
+        num_steps: int,
+    ):
+        """num_steps decode iterations in ONE device dispatch.
+
+        The sampled token feeds the next forward inside a lax.scan; rows
+        freeze (no KV write, no count update) once they emit EOS or exhaust
+        their token budget. This amortizes host<->device dispatch latency
+        over num_steps tokens — the TPU analog of CUDA-graph decode replay,
+        but covering the whole sample->embed loop, which a CUDA graph cannot.
+        """
+        eos_ids = sample_args["eos_ids"]
+        min_tokens = sample_args["min_tokens"]
+        base_gen = sample_args["gen_index"]
+
+        def body(carry, step_key):
+            tokens, positions, ctx_lens, active, left, gen_idx, kv_k, kv_v, counts = carry
+            valid = active[:, None]
+            logits, (kv_k, kv_v) = cdm.forward_step(
+                params, self.cfg, tokens[:, None], positions[:, None],
+                (kv_k, kv_v), block_tables, ctx_lens, jnp.zeros_like(positions),
+                valid,
+            )
+            row_counts = (
+                jnp.take(counts, slot_ids, axis=0) if features.penalties else None
+            )
+            args = dict(sample_args)
+            args["gen_index"] = gen_idx
+            args["eos_suppress"] = gen_idx < min_tokens
+            new_tokens = sample_tokens(
+                logits, features=features, key=step_key, counts=row_counts, **args
+            )
+            upd_slots = jnp.where(active, slot_ids, jnp.int32(2**30))
+            counts = counts.at[upd_slots, new_tokens].add(1, mode="drop")
+
+            left = left - jnp.where(active, 1, 0)
+            hit_eos = active & (new_tokens == eos_ids)
+            next_active = active & ~hit_eos & (left > 0)
+            emitted = jnp.where(active, new_tokens, -1)
+
+            next_tokens = jnp.where(active, new_tokens, tokens)
+            next_positions = positions + jnp.where(active, 1, 0)
+            next_ctx = ctx_lens + jnp.where(active, 1, 0)
+            gen_idx = gen_idx + jnp.where(active, 1, 0)
+            return (
+                next_tokens, next_positions, next_ctx, next_active, left,
+                gen_idx, kv_k, kv_v, counts,
+            ), emitted
+
+        step_keys = jax.random.split(key, num_steps)
+        carry0 = (
+            tokens0, positions0, ctx_lens0, active0, tokens_left,
+            base_gen, kv_k, kv_v, counts,
+        )
+        carry, emitted = jax.lax.scan(body, carry0, step_keys)
+        (_, _, _, _, _, _, kv_k, kv_v, counts) = carry
+        return emitted, kv_k, kv_v, counts  # emitted: (num_steps, B)
+
+    def execute_multi_decode(
+        self,
+        last_tokens: np.ndarray,  # (B,) i64
+        positions: np.ndarray,  # (B,) i32
+        block_tables: np.ndarray,  # (B, MB_actual) i32
+        ctx_lens: np.ndarray,  # (B,) i32
+        slot_ids: np.ndarray,  # (B,) i32
+        tokens_left: np.ndarray,  # (B,) i32
+        sample_args: Dict[str, np.ndarray],
+        features: SamplerFeatures,
+        num_steps: int,
+    ) -> np.ndarray:
+        """Returns (num_steps, B) emitted tokens (-1 where row was frozen)."""
+        b_actual = last_tokens.shape[0]
+        b = _bucket(b_actual, self.ecfg.decode_batch_buckets)
+        # capacity bucket must cover ctx + num_steps new tokens
+        bs = self.ecfg.kv_block_size
+        mb_needed = max(
+            int(block_tables.shape[1]),
+            -(-(int(ctx_lens.max()) + num_steps) // bs),
+            1,
+        )
+        mb = _bucket(mb_needed, self.block_buckets)
+
+        def pad1(a, fill=0):
+            out = np.full((b,), fill, dtype=a.dtype)
+            out[:b_actual] = a
+            return out
+
+        bt = np.zeros((b, mb), np.int32)
+        bt[:b_actual, : min(block_tables.shape[1], mb)] = block_tables[:, :mb]
+
+        active = np.zeros(b, bool)
+        active[:b_actual] = True
+
+        padded_args = {k: pad1(v) for k, v in sample_args.items()}
+        emitted, self.kv_k, self.kv_v, self.counts = self._multi_decode_fn(
+            self.params,
+            self.kv_k,
+            self.kv_v,
+            self.counts,
+            pad1(last_tokens.astype(np.int32)),
+            pad1(positions.astype(np.int32)),
+            bt,
+            pad1(ctx_lens.astype(np.int32)),
+            pad1(slot_ids.astype(np.int32)),
+            active,
+            pad1(np.maximum(tokens_left, 1).astype(np.int32)),
+            self._next_key(),
+            padded_args,
+            features,
+            num_steps,
+        )
+        return np.asarray(emitted)[:, :b_actual]
 
     # -- host-facing step ------------------------------------------------------
 

@@ -74,6 +74,7 @@ class SamplingParams:
             self.logprobs is not None
             or self.logit_bias is not None
             or self.output_constraints is not None
+            or self.json_mode
             or self.num_beams > 1
         )
 
@@ -396,6 +397,101 @@ def sample_host(
     if not np.isfinite(probs).all() or probs.sum() <= 0:
         return int(np.argmax(logits))
     return int(rng.choice(v, p=probs))
+
+
+# ---------------------------------------------------------------------------
+# Beam search (ref: core/sampling.py:622-757)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BeamHypothesis:
+    """Integer token sequence + float log-prob score."""
+
+    token_ids: List[int]
+    score: float
+    is_finished: bool = False
+
+
+class BeamSearcher:
+    """Beam search over per-beam logits. Deterministic i64 routing makes
+    beams cheap: routing is fixed per token, so beams differ only in token
+    choice (ref: core/sampling.py:630-757)."""
+
+    def __init__(
+        self,
+        num_beams: int = 4,
+        max_length: int = 256,
+        length_penalty: float = 1.0,
+        eos_token_id: Optional[int] = None,
+    ):
+        self.num_beams = num_beams
+        self.max_length = max_length
+        self.length_penalty = length_penalty
+        self.eos_token_id = eos_token_id
+        self.beams: List[BeamHypothesis] = []
+        self.completed: List[BeamHypothesis] = []
+
+    def init_beams(self, initial_token_ids: Optional[List[int]] = None):
+        prefix = list(initial_token_ids or [])
+        self.beams = [BeamHypothesis(list(prefix), 0.0) for _ in range(self.num_beams)]
+        self.completed = []
+
+    def step(self, logits_per_beam: np.ndarray) -> List[List[int]]:
+        """One expansion step. logits_per_beam: (num_beams, V) f32."""
+        logits = np.asarray(logits_per_beam, np.float64)
+        v = logits.shape[-1]
+        lp = logits - logits.max(axis=-1, keepdims=True)
+        lp = lp - np.log(np.exp(lp).sum(axis=-1, keepdims=True))
+
+        scores, tokens, beam_idx = [], [], []
+        for bi, beam in enumerate(self.beams):
+            if beam.is_finished:
+                continue
+            scores.append(beam.score + lp[bi])
+            tokens.append(np.arange(v, dtype=np.int64))
+            beam_idx.extend([bi] * v)
+        if not scores:
+            return [b.token_ids for b in self.beams]
+
+        all_scores = np.concatenate(scores)
+        all_tokens = np.concatenate(tokens)
+        k = min(2 * self.num_beams, all_scores.shape[0])
+        top = np.argsort(-all_scores)[:k]
+
+        new_beams: List[BeamHypothesis] = []
+        for idx in top:
+            if len(new_beams) >= self.num_beams:
+                break
+            score = float(all_scores[idx])
+            token_id = int(all_tokens[idx])
+            bi = beam_idx[int(idx)]
+            new_ids = self.beams[bi].token_ids + [token_id]
+            length_factor = ((5.0 + len(new_ids)) / 6.0) ** self.length_penalty
+            hyp = BeamHypothesis(new_ids, score / length_factor)
+            if self.eos_token_id is not None and token_id == self.eos_token_id:
+                hyp.is_finished = True
+                self.completed.append(hyp)
+                continue
+            if len(new_ids) >= self.max_length:
+                hyp.is_finished = True
+                self.completed.append(hyp)
+                continue
+            new_beams.append(hyp)
+        while len(new_beams) < self.num_beams:
+            new_beams.append(BeamHypothesis([], NEG_INF, is_finished=True))
+        self.beams = new_beams
+        return [b.token_ids for b in self.beams]
+
+    @property
+    def is_done(self) -> bool:
+        return all(b.is_finished for b in self.beams)
+
+    def get_best(self) -> BeamHypothesis:
+        candidates = self.completed + [b for b in self.beams if not b.is_finished]
+        if not candidates:
+            candidates = self.beams
+        return max(candidates, key=lambda h: h.score)
 
 
 def compute_logprobs_host(

@@ -26,7 +26,14 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config import EngineConfig, ModelConfig
+from ..core.logits_processor import (
+    NEG_INF,
+    OutputConstraints,
+    StopSequenceProcessor,
+    apply_logits_processors,
+)
 from ..core.sampling import (
+    BeamSearcher,
     SamplerFeatures,
     SamplingParams,
     TokenLogprob,
@@ -83,6 +90,7 @@ class Engine:
 
         # per-request state
         self._params_by_rid: Dict[int, SamplingParams] = {}
+        self._procs_by_rid: Dict[int, list] = {}  # logits-processor chains
         self._logprobs_by_rid: Dict[int, List[TokenLogprob]] = {}
         self._slot_by_rid: Dict[int, int] = {}
         self._free_slots = list(range(ec.max_batch_size - 1, -1, -1))
@@ -115,9 +123,6 @@ class Engine:
                 f"exceeds max_seq_len ({max_total})"
             )
         eos = self.model_config.eos_token_id
-        if params.stop_token_ids:
-            # scheduler only understands one EOS; extra stop ids are checked here
-            pass
         rid = self.scheduler.add_request(
             prompt,
             max_new_tokens=params.max_tokens,
@@ -126,6 +131,9 @@ class Engine:
             cache_namespace=cache_namespace,
         )
         self._params_by_rid[rid] = params
+        procs = self._build_processors(params, eos)
+        if procs:
+            self._procs_by_rid[rid] = procs
         timeout = timeout_s if timeout_s is not None else (
             self.engine_config.request_timeout_s or None
         )
@@ -133,10 +141,53 @@ class Engine:
             self._deadlines[rid] = time.monotonic() + timeout
         return rid
 
+    def _build_processors(self, params: SamplingParams, eos: int) -> list:
+        """Assemble the request's logits-processor chain from SamplingParams
+        (ref: OutputConstraints.build_processors, logits_processor.py:266-288,
+        engine wiring at i64_engine.py:530-545)."""
+        constraints = params.output_constraints
+        if constraints is None and (
+            params.json_mode or params.stop or params.stop_token_ids
+        ):
+            constraints = OutputConstraints(json_mode=params.json_mode)
+        if constraints is None:
+            return []
+
+        stop_seqs = list(constraints.stop_sequences or [])
+        # OpenAI `stop` strings -> token sequences via the tokenizer
+        if params.stop and self.tokenizer is not None:
+            for s in params.stop:
+                ids = list(self.tokenizer.encode(s))
+                if ids:
+                    stop_seqs.append(ids)
+        # extra single-token stops beyond EOS
+        for tid in params.stop_token_ids or []:
+            stop_seqs.append([int(tid)])
+        if stop_seqs:
+            constraints = OutputConstraints(
+                json_mode=constraints.json_mode,
+                regex_pattern=constraints.regex_pattern,
+                choices=constraints.choices,
+                stop_sequences=stop_seqs,
+                suppress_first_tokens=constraints.suppress_first_tokens,
+            )
+        return constraints.build_processors(tokenizer=self.tokenizer, eos_token_id=eos)
+
+    def _needs_host(self, params: SamplingParams, rid: int) -> bool:
+        """Host-path rows: logprobs / bias / constraints. Pure stop-sequence
+        chains stay on the device path (stops are checked post-sample)."""
+        if params.needs_host_sampling:
+            return True
+        procs = self._procs_by_rid.get(rid)
+        return bool(procs) and any(
+            not isinstance(p, StopSequenceProcessor) for p in procs
+        )
+
     def cancel_request(self, rid: int) -> bool:
         ok = self.scheduler.cancel(rid)
         if ok:
             self._release_request(rid)
+            self._procs_by_rid.pop(rid, None)
         return ok
 
     def _release_request(self, rid: int) -> None:
@@ -211,6 +262,7 @@ class Engine:
             result = {rid: [tok] for rid, tok in single.items()}
             self.total_tokens_generated += len(single)
 
+        self._check_stop_sequences(result)
         self.total_steps += 1
         self._perf["total_ms"] += (time.perf_counter() - t0) * 1000
         return result
@@ -234,9 +286,12 @@ class Engine:
         rows = []
         fallback_rows = []
         for s in seqs:
-            # the whole window's KV must fit up front; rows that can't grow
-            # fall back to single-step this iteration
-            if self.scheduler.ensure_capacity(s.request, k + 1):
+            # host-sampled rows (logprobs/constraints) can't ride the fused
+            # on-device window; the whole window's KV must also fit up front
+            p = self._params_by_rid.get(s.request.request_id, SamplingParams())
+            if self._needs_host(p, s.request.request_id):
+                fallback_rows.append(s)
+            elif self.scheduler.ensure_capacity(s.request, k + 1):
                 rows.append(s)
             else:
                 fallback_rows.append(s)
@@ -284,6 +339,25 @@ class Engine:
             for rid, tok in single.items():
                 out[rid] = [tok]
         return out
+
+    def _check_stop_sequences(self, result: Dict[int, List[int]]) -> None:
+        """After tokens are applied, finish any request whose output now ends
+        with a stop sequence (truncation happens at result assembly,
+        ref: i64_engine.py:1214-1224)."""
+        for rid in result:
+            procs = self._procs_by_rid.get(rid)
+            if not procs:
+                continue
+            req = self.scheduler.get_request(rid)
+            if req is None or req.state == RequestState.FINISHED:
+                continue
+            for proc in procs:
+                if isinstance(proc, StopSequenceProcessor) and proc.check(
+                    req.output_token_ids
+                ):
+                    req.state = RequestState.FINISHED
+                    req.finish_reason = "stop"
+                    break
 
     def _sweep_timeouts(self) -> None:
         if not self._deadlines:
@@ -334,7 +408,8 @@ class Engine:
         features = SamplerFeatures.for_params(params_list)
         need_host = [
             i for i, p in enumerate(params_list)
-            if p.needs_host_sampling and seqs[i].needs_sample
+            if seqs[i].needs_sample
+            and self._needs_host(p, seqs[i].request.request_id)
         ]
         sample_args = make_param_arrays(params_list, requests)
 
@@ -359,6 +434,27 @@ class Engine:
     def _sample_host_row(
         self, logits: np.ndarray, params: SamplingParams, req: Request
     ) -> int:
+        logits = np.asarray(logits, np.float32).copy()
+
+        # constrained-decoding chain (JSON/regex/choice/suppress)
+        procs = self._procs_by_rid.get(req.request_id)
+        if procs:
+            active = [p for p in procs if not isinstance(p, StopSequenceProcessor)]
+            if active:
+                logits = apply_logits_processors(
+                    logits, active, req.output_token_ids
+                ).astype(np.float32)
+
+        # min_tokens: suppress EOS/stop ids until the floor is reached
+        # (device path does this via eos_suppress; ref: sampling.py:393-398)
+        if params.min_tokens > 0 and req.num_generated < params.min_tokens:
+            v = logits.shape[-1]
+            if 0 <= req.eos_token_id < v:
+                logits[req.eos_token_id] = NEG_INF
+            for tid in params.stop_token_ids or []:
+                if 0 <= int(tid) < v:
+                    logits[int(tid)] = NEG_INF
+
         past = None
         if params.needs_token_history:
             past = list(req.prompt_token_ids) + req.output_token_ids
@@ -395,6 +491,59 @@ class Engine:
         rid = self.add_request(prompt_token_ids, sampling_params, priority)
         return self.wait_for(rid)
 
+    def generate_beam(
+        self,
+        prompt_token_ids,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> GenerationResult:
+        """Beam-search generation (num_beams > 1, ref: sampling.py:622-757).
+
+        Runs cache-free full forwards over the beam batch — beams are a
+        quality tool, not a throughput path, so they bypass the paged engine.
+        """
+        params = sampling_params or SamplingParams(num_beams=4)
+        prompt = [int(t) for t in prompt_token_ids]
+        eos = self.model_config.eos_token_id
+        searcher = BeamSearcher(
+            num_beams=max(2, params.num_beams),
+            max_length=len(prompt) + params.max_tokens,
+            length_penalty=params.length_penalty,
+            eos_token_id=eos,
+        )
+        searcher.init_beams(prompt)
+        t0 = time.perf_counter()
+        steps = 0
+        from ..models import complexity_deep as cdm
+
+        while not searcher.is_done and steps < params.max_tokens:
+            seqs = [b.token_ids for b in searcher.beams]
+            t = max(len(s) for s in seqs)
+            batch = np.zeros((len(seqs), t), np.int32)
+            for i, s in enumerate(seqs):
+                batch[i, : len(s)] = s
+            if self.runner is not None:
+                logits = np.asarray(
+                    cdm.forward(self.runner.params, self.model_config, batch)
+                )[:, -1, :]
+            else:
+                logits = self._host_rng.standard_normal(
+                    (len(seqs), self.model_config.vocab_size)
+                ).astype(np.float32)
+            searcher.step(logits)
+            steps += 1
+
+        best = searcher.get_best()
+        out = best.token_ids[len(prompt):]
+        finish = "stop" if (out and out[-1] == eos) else "length"
+        return GenerationResult(
+            request_id=-1,
+            prompt_tokens=prompt,
+            output_tokens=out,
+            num_steps=steps,
+            elapsed_ms=(time.perf_counter() - t0) * 1000,
+            finish_reason=finish,
+        )
+
     def wait_for(self, rid: int, max_steps: int = 100000) -> GenerationResult:
         t0 = time.perf_counter()
         steps = 0
@@ -411,9 +560,22 @@ class Engine:
     def _result_for(self, req: Request, steps: int, elapsed_ms: float) -> GenerationResult:
         rid = req.request_id
         out = list(req.output_token_ids)
-        params = self._params_by_rid.get(rid, SamplingParams())
-        # strip trailing EOS like the reference result path
-        finish = req.finish_reason or "length"
+        finish = req.finish_reason or (
+            "stop" if out and out[-1] == req.eos_token_id else "length"
+        )
+        logprobs = self._logprobs_by_rid.pop(rid, None)
+
+        # truncate stop-sequence tokens from the output
+        # (ref: i64_engine.py:1214-1224)
+        for proc in self._procs_by_rid.pop(rid, []):
+            if isinstance(proc, StopSequenceProcessor) and proc.should_stop:
+                idx = proc.stop_index
+                if 0 <= idx < len(out):
+                    out = out[:idx]
+                    if logprobs:
+                        logprobs = logprobs[:idx]
+                break
+
         return GenerationResult(
             request_id=rid,
             prompt_tokens=list(req.prompt_token_ids),
@@ -421,7 +583,7 @@ class Engine:
             num_steps=steps,
             elapsed_ms=elapsed_ms,
             finish_reason=finish,
-            logprobs=self._logprobs_by_rid.pop(rid, None),
+            logprobs=logprobs,
         )
 
     # -- stats -------------------------------------------------------------------

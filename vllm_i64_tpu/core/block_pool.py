@@ -169,8 +169,8 @@ class BlockPool:
         """Register a full, computed block under its chained hash."""
         if not self.enable_caching or block_id <= 0:
             return
-        if block_id in self._hash_of:
-            return  # already registered
+        if block_id in self._hash_of or block_hash in self._block_of:
+            return  # already registered (first writer wins on duplicates)
         self._hash_of[block_id] = block_hash
         self._block_of[block_hash] = block_id
 

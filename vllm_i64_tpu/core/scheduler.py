@@ -33,6 +33,8 @@ from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
+from .block_pool import BlockPool
+
 logger = logging.getLogger("vllm_i64_tpu.scheduler")
 
 
@@ -65,6 +67,7 @@ class Request:
 
     # per-tenant prefix-cache namespace (sha256[:16] of api key)
     cache_namespace: Optional[bytes] = field(default=None, repr=False)
+    prefix_registered: bool = field(default=False, repr=False)
 
     finish_reason: Optional[str] = None
 
@@ -184,6 +187,7 @@ class Scheduler:
         max_kv_blocks: int = 4096,
         max_prefill_tokens: int = 512,
         enable_preemption: bool = True,
+        enable_prefix_caching: bool = True,
     ):
         self.max_batch_size = max_batch_size
         self.max_seq_len = max_seq_len
@@ -191,7 +195,9 @@ class Scheduler:
         self.max_prefill_tokens = max_prefill_tokens
         self.enable_preemption = enable_preemption
 
-        self.blocks = BlockAllocator(max_kv_blocks)
+        self.blocks = BlockPool(
+            max_kv_blocks, kv_block_size, enable_caching=enable_prefix_caching
+        )
 
         self._pending: List[Tuple[int, int, int, Request]] = []
         self.running: List[Request] = []
@@ -309,6 +315,51 @@ class Scheduler:
             )
         return freed >= blocks_needed
 
+    # -- prefix caching -------------------------------------------------------
+
+    def _match_prefix(self, req: Request) -> Tuple[List[int], int]:
+        """Walk the chained block hashes of the prompt and claim every
+        consecutive cache hit. At least one prompt token is always
+        recomputed so the final chunk produces logits to sample from."""
+        if not self.blocks.enable_caching:
+            return [], 0
+        prompt = req.prompt_token_ids
+        bs = self.kv_block_size
+        max_reusable = (len(prompt) - 1) // bs
+        prev: Optional[bytes] = None
+        hits: List[int] = []
+        for b in range(max_reusable):
+            h = BlockPool.hash_block(
+                prompt[b * bs : (b + 1) * bs], prev, req.cache_namespace
+            )
+            bid = self.blocks.get_cached(h)
+            if bid is None:
+                break
+            hits.append(bid)
+            prev = h
+        if hits:
+            self.blocks.touch(hits)
+        return hits, len(hits) * bs
+
+    def _register_prefix(self, req: Request) -> None:
+        """Register the prompt's full KV blocks in the prefix cache once the
+        prompt is computed and the first token sampled
+        (ref: register_prefix_blocks, kv_cache.py:636-661)."""
+        if req.prefix_registered or not self.blocks.enable_caching:
+            return
+        if not req.prefill_complete or req.num_generated < 1:
+            return
+        req.prefix_registered = True
+        prompt = req.prompt_token_ids
+        bs = self.kv_block_size
+        prev: Optional[bytes] = None
+        for b in range(len(prompt) // bs):
+            h = BlockPool.hash_block(
+                prompt[b * bs : (b + 1) * bs], prev, req.cache_namespace
+            )
+            self.blocks.cache(req.kv_block_ids[b], h)
+            prev = h
+
     # -- main scheduling ----------------------------------------------------
 
     def schedule(self) -> Optional[ScheduledBatch]:
@@ -332,7 +383,8 @@ class Scheduler:
                 still.append(req)
         self.running = still
 
-        # admission
+        # admission (with prefix-cache reuse, ref: kv_cache.py:590-634 +
+        # prefill skip at i64_engine.py:556-570)
         while self.num_pending > 0 and len(self.running) < self.max_batch_size:
             req = self._peek_pending()
             if req is None:
@@ -340,20 +392,32 @@ class Scheduler:
             tokens_needed = req.num_prompt_tokens
             if req._saved is not None:
                 tokens_needed += len(req._saved[0])
-            nblocks = -(-tokens_needed // self.kv_block_size)
+
+            reused_blocks: List[int] = []
+            reused_tokens = 0
+            if req._saved is None and req.num_generated == 0:
+                reused_blocks, reused_tokens = self._match_prefix(req)
+
+            nblocks = -(-tokens_needed // self.kv_block_size) - len(reused_blocks)
             blocks = self.blocks.allocate(nblocks)
             if blocks is None and self._preempt_for(nblocks, req.priority):
                 blocks = self.blocks.allocate(nblocks)
             if blocks is None:
+                if reused_blocks:
+                    self.blocks.free(reused_blocks)  # undo the touch
                 break
             self._pop_pending()
-            req.kv_block_ids = blocks
+            req.kv_block_ids = reused_blocks + blocks
             req.state = RequestState.RUNNING
             if req._saved is not None:
                 saved_out, saved_prefill = req._saved
                 req.output_token_ids = saved_out
                 req.prefill_done = 0  # KV gone — must re-prefill prompt (+ saved out)
                 req._saved = None
+            else:
+                # cached prefix tokens skip chunked prefill entirely
+                req.prefill_done = reused_tokens
+                req.cached_prefix_len = reused_tokens
             self.running.append(req)
 
         if not self.running:
@@ -413,6 +477,7 @@ class Scheduler:
                 req.prefill_done += len(seq.token_ids)
             if seq.needs_sample and req.request_id in new_tokens:
                 req.output_token_ids.append(int(new_tokens[req.request_id]))
+                self._register_prefix(req)
                 # one decoded token also lives in KV next step; ensure capacity
                 self._grow_blocks(req)
 
@@ -438,6 +503,8 @@ class Scheduler:
                 break
             req.output_token_ids.append(int(tok))
             accepted += 1
+        if accepted:
+            self._register_prefix(req)
         self._grow_blocks(req)
         return accepted
 

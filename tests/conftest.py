@@ -21,10 +21,30 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import asyncio  # noqa: E402
+import inspect  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from vllm_i64_tpu.config import ModelConfig  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "asyncio: run test via asyncio.run")
+
+
+def pytest_pyfunc_call(pyfuncitem):
+    """Minimal async test support (pytest-asyncio is not in this image)."""
+    fn = pyfuncitem.obj
+    if inspect.iscoroutinefunction(fn):
+        kwargs = {
+            name: pyfuncitem.funcargs[name]
+            for name in pyfuncitem._fixtureinfo.argnames
+        }
+        asyncio.run(fn(**kwargs))
+        return True
+    return None
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,188 @@
+"""Async engine tests (ref: tests/test_async_engine.py — continuous batching
+loop, streaming, drain, backpressure, crash recovery, merging)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from vllm_i64_tpu.config import EngineConfig
+from vllm_i64_tpu.core.sampling import SamplingParams
+from vllm_i64_tpu.engine import AsyncEngine, Engine
+
+pytestmark = pytest.mark.asyncio
+
+
+def make_async(**kw):
+    merging = kw.pop("enable_request_merging", True)
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=64, max_prefill_tokens=32,
+                        enable_request_merging=merging, **kw)
+    return AsyncEngine(Engine(None, None, ecfg))
+
+
+async def test_generate_roundtrip():
+    eng = make_async()
+    await eng.start()
+    try:
+        r = await eng.generate([1, 2, 3],
+                               SamplingParams(temperature=0.0, max_tokens=5))
+        assert len(r.output_tokens) <= 5
+        assert r.finish_reason in ("stop", "length")
+    finally:
+        await eng.stop(drain_timeout=2)
+
+
+async def test_concurrent_generates_batched():
+    eng = make_async(enable_request_merging=False)
+    await eng.start()
+    try:
+        results = await asyncio.gather(*[
+            eng.generate([1, 2, 3 + i],
+                         SamplingParams(temperature=0.0, max_tokens=5))
+            for i in range(6)
+        ])
+        assert len(results) == 6
+        assert all(r.finish_reason in ("stop", "length") for r in results)
+        assert eng.peak_batch_size >= 2
+    finally:
+        await eng.stop(drain_timeout=2)
+
+
+async def test_generate_stream_yields_tokens():
+    eng = make_async()
+    await eng.start()
+    try:
+        tokens = []
+        finish = None
+        async for item in eng.generate_stream(
+            [5, 6, 7], SamplingParams(temperature=0.0, max_tokens=4)
+        ):
+            if isinstance(item, tuple):
+                finish = item[1]
+            else:
+                tokens.append(item)
+        assert 1 <= len(tokens) <= 4
+        assert finish in ("stop", "length")
+    finally:
+        await eng.stop(drain_timeout=2)
+
+
+async def test_drain_rejects_new_requests():
+    eng = make_async()
+    await eng.start()
+    stop_task = asyncio.create_task(eng.stop(drain_timeout=1))
+    await asyncio.sleep(0.05)
+    with pytest.raises(RuntimeError, match="shutting down"):
+        await eng.generate([1, 2], SamplingParams(max_tokens=2))
+    await stop_task
+
+
+async def test_backpressure_queue_full():
+    eng = make_async()
+    eng.max_queue_depth = 1
+    await eng.start()
+    try:
+        t1 = asyncio.ensure_future(
+            eng.generate([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=8)))
+        await asyncio.sleep(0)
+        with pytest.raises(RuntimeError, match="queue full"):
+            await eng.generate([9, 9, 9, 1],
+                               SamplingParams(temperature=0.5, max_tokens=2))
+        await t1
+    finally:
+        await eng.stop(drain_timeout=2)
+
+
+async def test_crash_recovery_fails_futures():
+    eng = make_async()
+
+    def boom(batch):
+        raise RuntimeError("injected failure")
+
+    # fail inside the forward so the request is RUNNING when the step dies
+    eng.engine._step_modelless = boom
+    await eng.start()
+    try:
+        with pytest.raises(RuntimeError):
+            await asyncio.wait_for(
+                eng.generate([1, 2, 3], SamplingParams(max_tokens=4)), timeout=5)
+    finally:
+        await eng.stop(drain_timeout=0.2)
+
+
+async def test_request_merging_dedups_greedy():
+    eng = make_async()
+    await eng.start()
+    try:
+        prompt = [3, 1, 4, 1, 5]
+        params = SamplingParams(temperature=0.0, max_tokens=6)
+        r1, r2, r3 = await asyncio.gather(
+            eng.generate(prompt, params),
+            eng.generate(prompt, params),
+            eng.generate(prompt, params),
+        )
+        assert r1.output_tokens == r2.output_tokens == r3.output_tokens
+        # only one real scheduler request did compute
+        assert eng.engine.scheduler.get_stats()["finished"] <= 2
+    finally:
+        await eng.stop(drain_timeout=2)
+
+
+async def test_merged_secondary_streams():
+    eng = make_async()
+    await eng.start()
+    try:
+        prompt = [2, 7, 1, 8]
+        params = SamplingParams(temperature=0.0, max_tokens=5)
+        primary = asyncio.ensure_future(eng.generate(prompt, params))
+        await asyncio.sleep(0)
+        toks = []
+        async for item in eng.generate_stream(prompt, params):
+            if not isinstance(item, tuple):
+                toks.append(item)
+        p = await primary
+        assert toks == p.output_tokens
+    finally:
+        await eng.stop(drain_timeout=2)
+
+
+async def test_adaptive_batch_sizer_bounds():
+    from vllm_i64_tpu.engine import AdaptiveBatchSizer
+
+    s = AdaptiveBatchSizer(initial=4, min_size=1, max_size=8, window=5)
+    for _ in range(10):
+        s.record(100, 10.0)
+    for _ in range(5):
+        s.record(200, 10.0)  # improving -> grow
+        s.adjust()
+    assert s.current >= 4
+    for _ in range(20):
+        s.record(10, 10.0)  # collapsing -> shrink
+        s.adjust()
+    assert 1 <= s.current <= 8
+
+
+async def test_model_async_end_to_end(tiny_config):
+    import jax
+
+    from vllm_i64_tpu.models import complexity_deep as cdm
+
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=32, max_prefill_tokens=32,
+                        dtype="float32", kv_cache_dtype="float32",
+                        decode_batch_buckets=(1, 2), prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(8, 16))
+    eng = AsyncEngine(Engine(params, tiny_config, ecfg))
+    await eng.start()
+    try:
+        r1, r2 = await asyncio.gather(
+            eng.generate([5, 17, 42], SamplingParams(temperature=0.0, max_tokens=4)),
+            eng.generate([7, 8], SamplingParams(temperature=0.7, seed=3, max_tokens=4)),
+        )
+        assert all(0 <= t < tiny_config.vocab_size for t in r1.output_tokens)
+        assert all(0 <= t < tiny_config.vocab_size for t in r2.output_tokens)
+        assert eng.ttft_observations and eng.itl_observations
+    finally:
+        await eng.stop(drain_timeout=5)

@@ -1,4 +1,11 @@
-from .engine import Engine, GenerationResult
+from .async_engine import AsyncEngine
+from .engine import AdaptiveBatchSizer, Engine, GenerationResult
 from .runner import ModelRunner
 
-__all__ = ["Engine", "GenerationResult", "ModelRunner"]
+__all__ = [
+    "AdaptiveBatchSizer",
+    "AsyncEngine",
+    "Engine",
+    "GenerationResult",
+    "ModelRunner",
+]

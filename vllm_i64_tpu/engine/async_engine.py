@@ -1,0 +1,297 @@
+"""Async engine: asyncio continuous batching over the sync Engine.
+
+Capability parity with the reference async wrapper
+(ref: vllm_i64/engine/i64_engine.py:1273-1638):
+- futures for generate(), asyncio.Queue token streams for generate_stream()
+- event-driven wakeup on new requests
+- step() runs in a thread executor so the event loop never blocks on the
+  device dispatch (ref: AsyncCPUEngine, cpu/engine.py:172-349 — here it is
+  unconditional: XLA dispatch + host sync can take ms-to-seconds)
+- crash recovery: a step exception fails all running requests' futures,
+  frees their engine state, and the loop stops after 10 consecutive errors
+  (ref: :1496-1523)
+- graceful drain on stop() with timeout-then-cancel (ref: :1346-1377)
+- TTFT / ITL observation hooks (ref: :1494-1495, 1527-1532)
+- queue-depth backpressure (ref: :1318-1319, 1400-1402)
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from typing import AsyncIterator, Dict, List, Optional, Set, Union
+
+from ..core.sampling import SamplingParams
+from ..core.scheduler import RequestState
+from .engine import Engine, GenerationResult
+
+logger = logging.getLogger("vllm_i64_tpu.async_engine")
+
+_MAX_CONSECUTIVE_ERRORS = 10
+
+DONE = "__done__"
+
+
+class AsyncEngine:
+    """Continuous-batching asyncio wrapper around a sync Engine."""
+
+    def __init__(self, engine: Engine, max_queue_depth: Optional[int] = None):
+        self.engine = engine
+        self._targets: Dict[int, Union[asyncio.Future, asyncio.Queue]] = {}
+        self._t0: Dict[int, float] = {}
+        self._first_token_sent: Set[int] = set()
+        self._task: Optional[asyncio.Task] = None
+        self._running = False
+        self._draining = False
+        self._new_request_event: Optional[asyncio.Event] = None
+
+        self.active_requests = 0
+        self.peak_batch_size = 0
+        self.max_queue_depth = (
+            max_queue_depth
+            if max_queue_depth is not None
+            else engine.engine_config.max_batch_size * 8
+        )
+
+        # latency observations (consumed by /v1/metrics + Prometheus)
+        self.ttft_observations: List[float] = []
+        self.itl_observations: List[float] = []
+        self.on_ttft = None  # optional callables (metrics hooks)
+        self.on_itl = None
+
+    # -- lifecycle -------------------------------------------------------------
+
+    async def start(self) -> None:
+        self._running = True
+        self._new_request_event = asyncio.Event()
+        self._task = asyncio.create_task(self._engine_loop())
+
+    async def stop(self, drain_timeout: float = 30.0) -> None:
+        """Drain in-flight requests, then stop the loop (ref: :1346-1377)."""
+        logger.info("engine drain requested (%d active)", self.active_requests)
+        self._draining = True
+        deadline = time.perf_counter() + drain_timeout
+        while self.active_requests > 0 and time.perf_counter() < deadline:
+            await asyncio.sleep(0.05)
+        if self.active_requests > 0:
+            logger.warning("drain timeout: cancelling %d requests",
+                           self.active_requests)
+            for rid, target in list(self._targets.items()):
+                if isinstance(target, asyncio.Future):
+                    if not target.done():
+                        target.cancel()
+                else:
+                    await target.put((DONE, "cancelled"))
+        self._running = False
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+        logger.info("engine stopped")
+
+    async def cancel_request(self, rid: int) -> None:
+        self.engine.cancel_request(rid)
+
+    # -- submission --------------------------------------------------------------
+
+    def _admit(
+        self,
+        prompt_token_ids,
+        sampling_params: Optional[SamplingParams],
+        priority: int,
+        timeout_s: Optional[float],
+        cache_namespace: Optional[bytes],
+    ) -> int:
+        if self._draining:
+            raise RuntimeError("engine is shutting down, not accepting requests")
+        if self.active_requests >= self.max_queue_depth:
+            raise RuntimeError(
+                f"queue full ({self.active_requests}/{self.max_queue_depth})"
+            )
+        rid = self.engine.add_request(
+            prompt_token_ids,
+            sampling_params,
+            priority=priority,
+            timeout_s=timeout_s,
+            cache_namespace=cache_namespace,
+        )
+        self._t0[rid] = time.perf_counter()
+        self.active_requests += 1
+        if self._new_request_event is not None:
+            self._new_request_event.set()
+        return rid
+
+    async def generate(
+        self,
+        prompt_token_ids,
+        sampling_params: Optional[SamplingParams] = None,
+        priority: int = 0,
+        timeout_s: Optional[float] = None,
+        cache_namespace: Optional[bytes] = None,
+    ) -> GenerationResult:
+        loop = asyncio.get_running_loop()
+        rid = self._admit(prompt_token_ids, sampling_params, priority,
+                          timeout_s, cache_namespace)
+        future: asyncio.Future = loop.create_future()
+        self._targets[rid] = future
+        return await future
+
+    async def generate_stream(
+        self,
+        prompt_token_ids,
+        sampling_params: Optional[SamplingParams] = None,
+        priority: int = 0,
+        timeout_s: Optional[float] = None,
+        cache_namespace: Optional[bytes] = None,
+    ) -> AsyncIterator:
+        """Yields int token ids, then a final ("__done__", finish_reason)."""
+        rid = self._admit(prompt_token_ids, sampling_params, priority,
+                          timeout_s, cache_namespace)
+        queue: asyncio.Queue = asyncio.Queue()
+        self._targets[rid] = queue
+        try:
+            while True:
+                item = await queue.get()
+                if item is None:
+                    break
+                yield item
+                if isinstance(item, tuple) and item[0] == DONE:
+                    break
+        finally:
+            if rid in self._targets:  # client disconnected mid-stream
+                self._targets.pop(rid, None)
+                self.engine.cancel_request(rid)
+            self.active_requests -= 1
+            self._t0.pop(rid, None)
+            self._first_token_sent.discard(rid)
+
+    # -- the loop -----------------------------------------------------------------
+
+    async def _engine_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        consecutive_errors = 0
+        while self._running:
+            sched = self.engine.scheduler
+            if sched.has_work or self.engine._merged_secondaries:
+                self.peak_batch_size = max(self.peak_batch_size, len(sched.running))
+                step_start = time.perf_counter()
+                try:
+                    result = await loop.run_in_executor(None, self.engine.step)
+                    consecutive_errors = 0
+                except Exception as exc:  # crash recovery (ref: :1496-1523)
+                    consecutive_errors += 1
+                    logger.error("engine step failed (%d/%d): %s",
+                                 consecutive_errors, _MAX_CONSECUTIVE_ERRORS, exc)
+                    await self._fail_running(exc)
+                    if consecutive_errors >= _MAX_CONSECUTIVE_ERRORS:
+                        logger.error("too many consecutive errors; loop stopping")
+                        break
+                    await asyncio.sleep(0.1)
+                    continue
+
+                step_s = time.perf_counter() - step_start
+                if result:
+                    self.itl_observations.append(step_s)
+                    if self.on_itl:
+                        self.on_itl(step_s)
+                await self._deliver(result)
+                await asyncio.sleep(0)
+            else:
+                self._new_request_event.clear()
+                try:
+                    await asyncio.wait_for(self._new_request_event.wait(),
+                                           timeout=0.01)
+                except asyncio.TimeoutError:
+                    pass
+
+    async def _deliver(self, result: Dict[int, List[int]]) -> None:
+        # stream tokens + TTFT
+        for rid, toks in result.items():
+            if toks and rid not in self._first_token_sent:
+                self._first_token_sent.add(rid)
+                t0 = self._t0.get(rid)
+                if t0 is not None:
+                    ttft = time.perf_counter() - t0
+                    self.ttft_observations.append(ttft)
+                    if self.on_ttft:
+                        self.on_ttft(ttft)
+            target = self._targets.get(rid)
+            if isinstance(target, asyncio.Queue):
+                for tok in toks:
+                    await target.put(int(tok))
+
+        # resolve finished scheduler requests
+        finished_ids = set()
+        for req in self.engine.scheduler.finished:
+            rid = req.request_id
+            finished_ids.add(rid)
+            target = self._targets.pop(rid, None)
+            if target is None:
+                self._t0.pop(rid, None)
+                continue
+            elapsed = (time.perf_counter() - self._t0.pop(rid, time.perf_counter())) * 1000
+            gen = self.engine._result_for(req, req.num_generated, elapsed)
+            if isinstance(target, asyncio.Future):
+                if not target.done():
+                    target.set_result(gen)
+                self.active_requests -= 1
+            else:
+                await target.put((DONE, gen.finish_reason))
+
+        for rid in finished_ids:
+            self._first_token_sent.discard(rid)
+            self.engine._release_request(rid)
+        self.engine.scheduler.finished = [
+            r for r in self.engine.scheduler.finished
+            if r.request_id not in finished_ids
+        ]
+
+        # resolve merged secondaries
+        for rid, gen in list(self.engine.merged_finished.items()):
+            target = self._targets.pop(rid, None)
+            if target is None:
+                continue
+            del self.engine.merged_finished[rid]
+            self._t0.pop(rid, None)
+            if isinstance(target, asyncio.Future):
+                if not target.done():
+                    target.set_result(gen)
+                self.active_requests -= 1
+            else:
+                await target.put((DONE, gen.finish_reason))
+
+    async def _fail_running(self, exc: Exception) -> None:
+        """Fail all running requests so clients see an error, free engine
+        state, clear the running set (ref: :1502-1517)."""
+        sched = self.engine.scheduler
+        for req in list(sched.running):
+            rid = req.request_id
+            target = self._targets.pop(rid, None)
+            if isinstance(target, asyncio.Future):
+                if not target.done():
+                    target.set_exception(
+                        RuntimeError("engine step failed — check server logs"))
+                self.active_requests -= 1
+            elif isinstance(target, asyncio.Queue):
+                await target.put((DONE, "error"))
+            sched.blocks.free(req.kv_block_ids)
+            req.kv_block_ids = []
+            req.state = RequestState.FINISHED
+            req.finish_reason = "error"
+            self.engine._release_request(rid)
+            self._t0.pop(rid, None)
+        sched.running.clear()
+
+    # -- stats ------------------------------------------------------------------
+
+    def get_stats(self) -> dict:
+        stats = self.engine.get_stats()
+        stats["active_requests"] = self.active_requests
+        stats["peak_batch_size"] = self.peak_batch_size
+        if self.ttft_observations:
+            obs = sorted(self.ttft_observations[-1000:])
+            stats["ttft_p50_ms"] = obs[len(obs) // 2] * 1000
+        return stats

@@ -18,10 +18,12 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import time
+from collections import deque
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -57,6 +59,35 @@ class GenerationResult:
     finish_reason: str = "length"
     logprobs: Optional[List[TokenLogprob]] = None
     text: Optional[str] = None
+
+
+class AdaptiveBatchSizer:
+    """Throughput-window batch-size tuner (ref: i64_engine.py:46-72):
+    keep a rolling window of step throughputs; grow max_batch_size by 1 when
+    recent throughput beats the window average, shrink when it falls."""
+
+    def __init__(self, initial: int, min_size: int = 1, max_size: int = 128,
+                 window: int = 20):
+        self.current = initial
+        self.min_size = min_size
+        self.max_size = max_size
+        self.window = window
+        self._throughputs: deque = deque(maxlen=window)
+
+    def record(self, tokens: int, elapsed_ms: float) -> None:
+        if elapsed_ms > 0:
+            self._throughputs.append(tokens / (elapsed_ms / 1000.0))
+
+    def adjust(self) -> int:
+        if len(self._throughputs) < self.window:
+            return self.current
+        avg = sum(self._throughputs) / len(self._throughputs)
+        recent = sum(list(self._throughputs)[-5:]) / 5
+        if recent > avg * 1.05:
+            self.current = min(self.current + 1, self.max_size)
+        elif recent < avg * 0.9:
+            self.current = max(self.current - 1, self.min_size)
+        return self.current
 
 
 class Engine:
@@ -97,6 +128,20 @@ class Engine:
         self._deadlines: Dict[int, float] = {}
         self._host_rng = np.random.default_rng(0)
 
+        # request merging: md5-keyed dedup of identical greedy prompts —
+        # secondaries piggyback on the primary's tokens with zero compute/KV
+        # (ref: i64_engine.py:499-521, 969-1005)
+        self._merge_enabled = ec.enable_request_merging
+        # prompt_hash -> (primary_rid, prompt_tuple, [secondary_rids])
+        self._merge_primaries: Dict[bytes, Tuple[int, tuple, List[int]]] = {}
+        self._merged_secondaries: Dict[int, dict] = {}
+        self.merged_finished: Dict[int, GenerationResult] = {}
+
+        # adaptive batch sizing (ref: i64_engine.py:46-72, 1024-1031)
+        self.batch_sizer = AdaptiveBatchSizer(
+            ec.max_batch_size, min_size=1, max_size=ec.max_batch_size
+        )
+
         # perf counters (ref: i64_engine.py:160-165)
         self.total_steps = 0
         self.total_tokens_generated = 0
@@ -123,6 +168,31 @@ class Engine:
                 f"exceeds max_seq_len ({max_total})"
             )
         eos = self.model_config.eos_token_id
+
+        # merge path: identical greedy prompt already running -> piggyback
+        if self._merge_enabled and params.is_greedy and not params.needs_host_sampling:
+            phash = hashlib.md5(prompt.tobytes()).digest()
+            group = self._merge_primaries.get(phash)
+            if group is not None:
+                primary_rid, primary_prompt, sec_list = group
+                preq = self.scheduler.get_request(primary_rid)
+                if (
+                    tuple(int(t) for t in prompt) == primary_prompt
+                    and preq is not None
+                    and preq.state != RequestState.FINISHED
+                ):
+                    sec_rid = self.scheduler._next_id
+                    self.scheduler._next_id += 1
+                    self._merged_secondaries[sec_rid] = {
+                        "prompt": [int(t) for t in prompt],
+                        "output": [],
+                        "max_new_tokens": params.max_tokens,
+                        "t0": time.perf_counter(),
+                    }
+                    sec_list.append(sec_rid)
+                    self._params_by_rid[sec_rid] = params
+                    return sec_rid
+
         rid = self.scheduler.add_request(
             prompt,
             max_new_tokens=params.max_tokens,
@@ -130,6 +200,12 @@ class Engine:
             eos_token_id=eos,
             cache_namespace=cache_namespace,
         )
+        if self._merge_enabled and params.is_greedy and not params.needs_host_sampling:
+            phash = hashlib.md5(prompt.tobytes()).digest()
+            if phash not in self._merge_primaries:
+                self._merge_primaries[phash] = (
+                    rid, tuple(int(t) for t in prompt), []
+                )
         self._params_by_rid[rid] = params
         procs = self._build_processors(params, eos)
         if procs:
@@ -230,6 +306,12 @@ class Engine:
             if req.request_id in self._slot_by_rid:
                 self._release_request(req.request_id)
         if batch is None:
+            # merged secondaries whose primary already finished still need
+            # resolution even when nothing is scheduled
+            if self._merge_enabled and self._merge_primaries:
+                leftover: Dict[int, List[int]] = {}
+                self._propagate_merged(leftover)
+                return leftover
             return {}
 
         t1 = time.perf_counter()
@@ -263,9 +345,67 @@ class Engine:
             self.total_tokens_generated += len(single)
 
         self._check_stop_sequences(result)
+        if self._merge_enabled and self._merge_primaries:
+            self._propagate_merged(result)
+
         self.total_steps += 1
-        self._perf["total_ms"] += (time.perf_counter() - t0) * 1000
+        step_ms = (time.perf_counter() - t0) * 1000
+        self._perf["total_ms"] += step_ms
+
+        # adaptive batch sizing (ref: i64_engine.py:1024-1031)
+        emitted = sum(len(v) for v in result.values())
+        self.batch_sizer.record(emitted, step_ms)
+        self.scheduler.max_batch_size = self.batch_sizer.adjust()
         return result
+
+    def _propagate_merged(self, result: Dict[int, List[int]]) -> None:
+        """Copy the primary's new tokens to merged secondaries — zero compute
+        and zero KV for duplicates (ref: i64_engine.py:969-1005). Secondaries
+        finish on their own token budget, on EOS, or when the primary ends."""
+        eos = self.model_config.eos_token_id
+        for phash, (primary_rid, _, sec_rids) in list(self._merge_primaries.items()):
+            preq = self.scheduler.get_request(primary_rid)
+            primary_done = preq is None or preq.state == RequestState.FINISHED
+            new_toks = result.get(primary_rid, [])
+            done_secs = []
+            for sec_rid in sec_rids:
+                sec = self._merged_secondaries.get(sec_rid)
+                if sec is None:
+                    done_secs.append(sec_rid)
+                    continue
+                emitted = []
+                finished_reason = None
+                for tok in new_toks:
+                    sec["output"].append(tok)
+                    emitted.append(tok)
+                    if tok == eos:
+                        finished_reason = "stop"
+                        break
+                    if len(sec["output"]) >= sec["max_new_tokens"]:
+                        finished_reason = "length"
+                        break
+                if emitted:
+                    result[sec_rid] = emitted
+                if finished_reason is None and primary_done:
+                    finished_reason = preq.finish_reason if preq else "stop"
+                if finished_reason is not None:
+                    self.merged_finished[sec_rid] = GenerationResult(
+                        request_id=sec_rid,
+                        prompt_tokens=sec["prompt"],
+                        output_tokens=sec["output"],
+                        num_steps=len(sec["output"]),
+                        elapsed_ms=(time.perf_counter() - sec["t0"]) * 1000,
+                        finish_reason=finished_reason or "stop",
+                    )
+                    del self._merged_secondaries[sec_rid]
+                    done_secs.append(sec_rid)
+            for s in done_secs:
+                if s in sec_rids:
+                    sec_rids.remove(s)
+            if primary_done:
+                if sec_rids:
+                    continue  # wait until all secondaries resolved
+                del self._merge_primaries[phash]
 
     def _multistep_window(self, batch: ScheduledBatch) -> int:
         """How many decode steps to fuse into one dispatch.
@@ -548,13 +688,21 @@ class Engine:
         t0 = time.perf_counter()
         steps = 0
         req = self.scheduler.get_request(rid)
-        while req.state != RequestState.FINISHED and steps < max_steps:
+        while steps < max_steps:
+            if req is not None and req.state == RequestState.FINISHED:
+                break
+            if req is None and rid in self.merged_finished:
+                return self.merged_finished.pop(rid)
             self.step()
             steps += 1
             # also release finished requests' slots
             for f in self.scheduler.finished:
                 if f.request_id in self._slot_by_rid:
                     self._release_request(f.request_id)
+        if req is None:
+            if rid in self.merged_finished:
+                return self.merged_finished.pop(rid)
+            raise KeyError(f"unknown request {rid}")
         return self._result_for(req, steps, (time.perf_counter() - t0) * 1000)
 
     def _result_for(self, req: Request, steps: int, elapsed_ms: float) -> GenerationResult:

@@ -1,0 +1,313 @@
+"""API server tests: in-process aiohttp client against a real Server wrapping
+a model-less engine (ref: tests/test_api_server.py:16-48 — the central
+fixture trick: model=None emits random logits, real scheduler/batching)."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from vllm_i64_tpu.api import Server
+from vllm_i64_tpu.config import EngineConfig
+from vllm_i64_tpu.core.tokenizer import ByteTokenizer
+from vllm_i64_tpu.engine import Engine
+
+pytestmark = pytest.mark.asyncio
+
+
+def make_server(**kw):
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=128, kv_block_size=4,
+                        max_kv_blocks=128, max_prefill_tokens=64)
+    eng = Engine(None, None, ecfg, tokenizer=ByteTokenizer())
+    return Server(eng, tokenizer=ByteTokenizer(), model_name="test-model", **kw)
+
+
+async def make_client(server) -> TestClient:
+    app = server.build_app()
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    return client
+
+
+async def test_health_and_root():
+    client = await make_client(make_server())
+    try:
+        r = await client.get("/health")
+        assert r.status == 200
+        body = await r.json()
+        assert body["status"] == "ok" and body["model"] == "test-model"
+        r = await client.get("/")
+        assert r.status == 200
+        assert "/v1/completions" in (await r.json())["endpoints"]
+    finally:
+        await client.close()
+
+
+async def test_completions_non_stream():
+    client = await make_client(make_server())
+    try:
+        r = await client.post("/v1/completions", json={
+            "prompt": "hello world", "max_tokens": 5, "temperature": 0.0})
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "text_completion"
+        assert body["choices"][0]["finish_reason"] in ("stop", "length")
+        assert body["usage"]["prompt_tokens"] == len("hello world")
+        assert body["usage"]["completion_tokens"] <= 5
+    finally:
+        await client.close()
+
+
+async def test_completions_validation_errors():
+    client = await make_client(make_server())
+    try:
+        r = await client.post("/v1/completions", json={"max_tokens": 5})
+        assert r.status == 400
+        r = await client.post("/v1/completions", json={
+            "prompt": "x", "max_tokens": 0})
+        assert r.status == 400
+        r = await client.post("/v1/completions", json={
+            "prompt": "x" * 200, "max_tokens": 100})  # 200 + 100 > 128
+        assert r.status == 400
+        r = await client.post("/v1/completions", data=b"not json")
+        assert r.status == 400
+    finally:
+        await client.close()
+
+
+async def test_completions_streaming_sse():
+    client = await make_client(make_server())
+    try:
+        r = await client.post("/v1/completions", json={
+            "prompt": "abc", "max_tokens": 4, "temperature": 0.0,
+            "stream": True})
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = (await r.read()).decode()
+        events = [ln[6:] for ln in raw.splitlines() if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        final = json.loads(events[-2])
+        assert final["choices"][0]["finish_reason"] in ("stop", "length")
+    finally:
+        await client.close()
+
+
+async def test_chat_completions():
+    client = await make_client(make_server())
+    try:
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 5, "temperature": 0.0})
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "chat.completion"
+        msg = body["choices"][0]["message"]
+        assert msg["role"] == "assistant"
+        assert "context_metrics" in body
+    finally:
+        await client.close()
+
+
+async def test_chat_stream_first_chunk_has_context_metrics():
+    client = await make_client(make_server())
+    try:
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3, "temperature": 0.0, "stream": True})
+        raw = (await r.read()).decode()
+        first = json.loads([ln[6:] for ln in raw.splitlines()
+                            if ln.startswith("data: ")][0])
+        assert first["object"] == "chat.completion.chunk"
+        assert first["choices"][0]["delta"]["role"] == "assistant"
+        assert "context_metrics" in first
+    finally:
+        await client.close()
+
+
+async def test_auth_middleware():
+    client = await make_client(make_server(api_key="secret-key"))
+    try:
+        r = await client.post("/v1/completions", json={
+            "prompt": "x", "max_tokens": 2})
+        assert r.status == 401
+        r = await client.post(
+            "/v1/completions", json={"prompt": "x", "max_tokens": 2,
+                                     "temperature": 0.0},
+            headers={"Authorization": "Bearer wrong"})
+        assert r.status == 401
+        r = await client.post(
+            "/v1/completions", json={"prompt": "x", "max_tokens": 2,
+                                     "temperature": 0.0},
+            headers={"Authorization": "Bearer secret-key"})
+        assert r.status == 200
+        # /health is exempt from auth
+        r = await client.get("/health")
+        assert r.status == 200
+    finally:
+        await client.close()
+
+
+async def test_rate_limit_middleware():
+    client = await make_client(make_server(rate_limit=2))
+    try:
+        codes = []
+        for _ in range(4):
+            r = await client.post("/v1/tokenize", json={"text": "x"})
+            codes.append(r.status)
+        assert 429 in codes
+        # GETs are not rate-charged
+        r = await client.get("/health")
+        assert r.status == 200
+    finally:
+        await client.close()
+
+
+async def test_tokenize_and_embeddings():
+    client = await make_client(make_server())
+    try:
+        r = await client.post("/v1/tokenize", json={"text": "abc"})
+        assert (await r.json())["count"] == 3
+        r = await client.post("/v1/embeddings", json={"input": ["a", "b"]})
+        body = await r.json()
+        assert len(body["data"]) == 2
+        assert len(body["data"][0]["embedding"]) > 0
+    finally:
+        await client.close()
+
+
+async def test_batch_endpoint():
+    client = await make_client(make_server())
+    try:
+        r = await client.post("/v1/batch", json={
+            "prompts": ["aa", "bb", "cc"], "max_tokens": 3,
+            "temperature": 0.0})
+        body = await r.json()
+        assert len(body["results"]) == 3
+        assert all("choices" in x or "error" in x for x in body["results"])
+    finally:
+        await client.close()
+
+
+async def test_usage_metrics_logs_monitor():
+    client = await make_client(make_server())
+    try:
+        await client.post("/v1/completions", json={
+            "prompt": "hello", "max_tokens": 3, "temperature": 0.0})
+        r = await client.get("/v1/usage")
+        assert (await r.json())["total"]["requests"] >= 1
+        r = await client.get("/v1/metrics")
+        body = await r.json()
+        assert body["usage"]["requests"] >= 1
+        assert "latency" in body and "context" in body
+        r = await client.get("/v1/logs")
+        assert len((await r.json())["logs"]) >= 1
+        r = await client.get("/v1/monitor")
+        body = await r.json()
+        assert "scheduler" in body and "kv_cache" in body
+    finally:
+        await client.close()
+
+
+async def test_response_cache_hit():
+    client = await make_client(make_server())
+    try:
+        r1 = await client.post("/v1/completions", json={
+            "prompt": "cache me", "max_tokens": 4, "temperature": 0.0})
+        b1 = await r1.json()
+        r2 = await client.post("/v1/completions", json={
+            "prompt": "cache me", "max_tokens": 4, "temperature": 0.0})
+        b2 = await r2.json()
+        assert b1["id"] == b2["id"]  # identical cached response
+        r = await client.post("/v1/cache/purge")
+        assert (await r.json())["purged_entries"] >= 1
+    finally:
+        await client.close()
+
+
+async def test_models_and_docs():
+    client = await make_client(make_server())
+    try:
+        r = await client.get("/v1/models")
+        body = await r.json()
+        ids = [m["id"] for m in body["data"]]
+        assert "test-model" in ids and "tr-hash-moe-500m" in ids
+        r = await client.get("/v1/models/test-model")
+        assert (await r.json())["id"] == "test-model"
+        r = await client.get("/docs")
+        assert "/v1/completions" in (await r.json())["paths"]
+    finally:
+        await client.close()
+
+
+async def test_priority_and_cancel():
+    client = await make_client(make_server())
+    try:
+        r = await client.post("/v1/priority", json={
+            "api_key": "k1", "priority": 5})
+        assert (await r.json())["priorities"]["k1"] == 5
+        r = await client.post("/v1/cancel/99999")
+        assert (await r.json())["cancelled"] is False
+    finally:
+        await client.close()
+
+
+async def test_ws_completions():
+    client = await make_client(make_server())
+    try:
+        ws = await client.ws_connect("/v1/ws/completions")
+        await ws.send_json({"prompt": "abc", "max_tokens": 3,
+                            "temperature": 0.0})
+        tokens, done = [], None
+        async for msg in ws:
+            data = json.loads(msg.data)
+            if data.get("done"):
+                done = data
+                break
+            if "token" in data:
+                tokens.append(data["token"])
+        assert done is not None and done["finish_reason"] in ("stop", "length")
+        await ws.close()
+    finally:
+        await client.close()
+
+
+async def test_expert_stats_modelless():
+    client = await make_client(make_server())
+    try:
+        r = await client.get("/v1/experts")
+        body = await r.json()
+        # model-less engine still reports the configured expert count
+        assert body["num_experts"] == 4
+        assert len(body["distribution"]) == 4
+    finally:
+        await client.close()
+
+
+async def test_agent_history_and_rag_disabled():
+    client = await make_client(make_server())
+    try:
+        r = await client.get("/v1/agent/history")
+        assert (await r.json())["events"] == []
+        r = await client.post("/v1/rag/search", json={"query": "x"})
+        assert r.status == 400
+        r = await client.get("/v1/rag/stats")
+        assert (await r.json())["enabled"] is False
+        r = await client.post("/v1/execute", json={"code": "print(1)"})
+        assert r.status == 400
+    finally:
+        await client.close()
+
+
+async def test_load_shed_middleware():
+    server = make_server(max_pending=0)
+    # max_pending=0 disables; use 1 and saturate
+    server.max_pending = 1
+    client = await make_client(server)
+    try:
+        server.async_engine.active_requests = 5  # simulate saturation
+        r = await client.post("/v1/tokenize", json={"text": "x"})
+        assert r.status == 503
+    finally:
+        server.async_engine.active_requests = 0
+        await client.close()

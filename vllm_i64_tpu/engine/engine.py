@@ -119,6 +119,10 @@ class Engine:
         if params is not None:
             self.runner = ModelRunner(params, self.model_config, ec, mesh=mesh)
 
+        # hot-swap LoRA adapters (enabled via enable_lora(); ref:
+        # i64_engine.py:402-454)
+        self.lora_manager = None
+
         # per-request state
         self._params_by_rid: Dict[int, SamplingParams] = {}
         self._procs_by_rid: Dict[int, list] = {}  # logits-processor chains
@@ -733,6 +737,31 @@ class Engine:
             finish_reason=finish,
             logprobs=logprobs,
         )
+
+    def embed(self, prompt_token_ids) -> np.ndarray:
+        """Mean-pooled, L2-normalized final hidden states
+        (ref: i64_engine.py:456-479). Model-less engines return a
+        deterministic hash-seeded vector so API tests run without weights."""
+        ids = np.asarray(prompt_token_ids, dtype=np.int64)
+        if self.runner is None:
+            seed = int(hashlib.md5(ids.tobytes()).hexdigest()[:8], 16)
+            vec = np.random.default_rng(seed).standard_normal(
+                self.model_config.hidden_size)
+        else:
+            import jax.numpy as jnp
+
+            from ..models import complexity_deep as cdm
+
+            tokens = jnp.asarray(ids[None, :], jnp.int32)
+            t = tokens.shape[1]
+            positions = jnp.arange(t, dtype=jnp.int32)[None, :]
+            hidden, _ = cdm.forward_hidden(
+                self.runner.params, self.model_config, tokens, positions,
+                seq_lens=jnp.full((1,), t, jnp.int32),
+            )
+            vec = np.asarray(hidden[0], np.float64).mean(axis=0)
+        norm = np.linalg.norm(vec)
+        return (vec / norm if norm > 0 else vec).astype(np.float32)
 
     # -- stats -------------------------------------------------------------------
 

@@ -1,0 +1,215 @@
+"""Speculative decoding + LoRA adapter tests
+(ref: vllm_i64/core/speculative.py, layers/lora.py)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_i64_tpu.config import EngineConfig
+from vllm_i64_tpu.core.sampling import SamplingParams
+from vllm_i64_tpu.core.speculative import SpeculativeDecoder
+from vllm_i64_tpu.engine import Engine
+from vllm_i64_tpu.models import complexity_deep as cdm
+
+
+def make_engine(tiny_config, speculative=None, **kw):
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=128, kv_block_size=4,
+                        max_kv_blocks=96, max_prefill_tokens=64,
+                        dtype="float32", kv_cache_dtype="float32",
+                        decode_batch_buckets=(1, 2), prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16, 32, 64),
+                        multistep_decode=1, **kw)
+    return Engine(params, tiny_config, ecfg, speculative=speculative)
+
+
+# ---------------------------------------------------------------------------
+# speculative
+# ---------------------------------------------------------------------------
+
+
+def test_draft_is_greedy_continuation(tiny_config):
+    """The draft must equal the model's own greedy continuation."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    spec = SpeculativeDecoder(params, tiny_config, num_speculative=3)
+    context = [5, 17, 42, 7]
+    draft = spec.draft(np.asarray(context))
+    # reference greedy continuation by explicit full forwards
+    cur = list(context)
+    expected = []
+    for _ in range(3):
+        logits = cdm.forward(params, tiny_config,
+                             jnp.asarray([cur], jnp.int32))
+        tok = int(jnp.argmax(logits[0, -1]))
+        expected.append(tok)
+        cur.append(tok)
+    assert list(draft) == expected
+
+
+def test_accept_greedy_prefix_and_correction():
+    spec = SpeculativeDecoder(None, None, num_speculative=3)
+    draft = np.array([4, 7, 9])
+    v = 12
+    logits = np.full((4, v), -10.0, np.float32)
+    logits[0, 4] = 5.0   # matches draft[0]
+    logits[1, 2] = 5.0   # mismatch -> correction 2
+    logits[2, 9] = 5.0
+    logits[3, 1] = 5.0
+    accepted, k = spec.accept(draft, logits, params=None)
+    assert accepted == [4, 2]
+    assert k == 3
+
+
+def test_accept_all_gets_bonus():
+    spec = SpeculativeDecoder(None, None, num_speculative=2)
+    draft = np.array([3, 5])
+    logits = np.full((3, 8), -10.0, np.float32)
+    logits[0, 3] = 5.0
+    logits[1, 5] = 5.0
+    logits[2, 6] = 5.0  # bonus
+    accepted, _ = spec.accept(draft, logits, params=None)
+    assert accepted == [3, 5, 6]
+    assert spec.acceptance_rate == 1.0
+
+
+def test_speculative_engine_matches_plain_greedy(tiny_config):
+    """Self-speculation (draft == target) must reproduce plain greedy decode
+    exactly — the strongest correctness check for the verify-KV path."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    plain = make_engine(tiny_config)
+    sp = SamplingParams(temperature=0.0, max_tokens=10)
+    prompt = [5, 17, 42, 7, 11]
+    expected = plain.generate(list(prompt), sp).output_tokens
+
+    spec = SpeculativeDecoder(params, tiny_config, num_speculative=4)
+    eng = make_engine(tiny_config, speculative=spec)
+    got = eng.generate(list(prompt), sp).output_tokens
+    assert got == expected
+    assert spec.acceptance_rate == 1.0  # draft == target -> all accepted
+
+
+def test_speculative_uses_fewer_steps(tiny_config):
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    spec = SpeculativeDecoder(params, tiny_config, num_speculative=4)
+    eng = make_engine(tiny_config, speculative=spec)
+    r = eng.generate([5, 17, 42], SamplingParams(temperature=0.0,
+                                                 max_tokens=12))
+    assert len(r.output_tokens) >= 10
+    # 12 tokens in ~ prefill + ceil(12/5) spec steps << 12 decode steps
+    assert r.num_steps <= 8
+
+
+# ---------------------------------------------------------------------------
+# LoRA
+# ---------------------------------------------------------------------------
+
+
+def make_adapter_dir(tmp_path, cfg, rank=4, scale_targets=("q_proj",)):
+    """Write a synthetic HF-style LoRA adapter."""
+    from safetensors.numpy import save_file
+
+    rng = np.random.default_rng(0)
+    d = cfg.head_dim
+    hq = cfg.num_attention_heads * d
+    tensors = {}
+    for i in range(cfg.num_hidden_layers):
+        for tgt in scale_targets:
+            # torch layout: lora_A (r, in), lora_B (out, r)
+            tensors[f"base_model.model.layers.{i}.self_attn.{tgt}.lora_A.weight"] = (
+                rng.standard_normal((rank, cfg.hidden_size)).astype(np.float32) * 0.1)
+            tensors[f"base_model.model.layers.{i}.self_attn.{tgt}.lora_B.weight"] = (
+                rng.standard_normal((hq, rank)).astype(np.float32) * 0.1)
+    adir = tmp_path / "adapter"
+    adir.mkdir()
+    save_file(tensors, str(adir / "adapter_model.safetensors"))
+    (adir / "adapter_config.json").write_text(
+        json.dumps({"r": rank, "lora_alpha": rank * 2}))
+    return str(adir)
+
+
+def test_lora_load_activate_deactivate(tiny_config, tmp_path):
+    eng = make_engine(tiny_config)
+    adir = make_adapter_dir(tmp_path, tiny_config)
+
+    base_q = np.asarray(eng.runner.params["layers"]["q"])
+    aid = eng.load_lora_adapter("test", adir)
+    assert aid == 0
+    adapters = eng.lora_manager.list_adapters()
+    assert adapters[0]["name"] == "test" and adapters[0]["rank"] == 4
+    assert adapters[0]["scaling"] == 2.0
+
+    eng.set_active_lora("test")
+    merged_q = np.asarray(eng.runner.params["layers"]["q"])
+    assert not np.allclose(base_q, merged_q)
+    # delta = scaling * A @ B for layer 0
+    from safetensors.numpy import load_file
+
+    t = load_file(str(tmp_path / "adapter" / "adapter_model.safetensors"))
+    a0 = t["base_model.model.layers.0.self_attn.q_proj.lora_A.weight"].T
+    b0 = t["base_model.model.layers.0.self_attn.q_proj.lora_B.weight"].T
+    np.testing.assert_allclose(merged_q[0] - base_q[0], 2.0 * (a0 @ b0),
+                               rtol=1e-4, atol=1e-5)
+
+    eng.set_active_lora(None)
+    np.testing.assert_allclose(
+        np.asarray(eng.runner.params["layers"]["q"]), base_q)
+
+
+def test_lora_changes_generation(tiny_config, tmp_path):
+    eng = make_engine(tiny_config)
+    adir = make_adapter_dir(tmp_path, tiny_config)
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+    prompt = jnp.asarray([[5, 17, 42]], jnp.int32)
+    base_logits = np.asarray(
+        cdm.forward(eng.runner.params, tiny_config, prompt))
+    base_out = eng.generate([5, 17, 42], sp).output_tokens
+    eng.load_lora_adapter("a", adir)
+    eng.set_active_lora("a")
+    lora_logits = np.asarray(
+        cdm.forward(eng.runner.params, tiny_config, prompt))
+    assert not np.allclose(base_logits, lora_logits)  # delta moved the logits
+    lora_out = eng.generate([5, 17, 42], sp).output_tokens
+    assert len(lora_out) == len(base_out)
+    eng.set_active_lora(None)
+    restored = eng.generate([5, 17, 42], sp).output_tokens
+    assert restored == base_out
+
+
+def test_lora_unload_active_restores_base(tiny_config, tmp_path):
+    eng = make_engine(tiny_config)
+    adir = make_adapter_dir(tmp_path, tiny_config)
+    base_q = np.asarray(eng.runner.params["layers"]["q"])
+    eng.load_lora_adapter("a", adir)
+    eng.set_active_lora("a")
+    assert eng.lora_manager.unload_adapter("a")
+    assert eng.lora_manager.active is None
+    np.testing.assert_allclose(
+        np.asarray(eng.runner.params["layers"]["q"]), base_q)
+    assert not eng.lora_manager.unload_adapter("a")
+
+
+def test_lora_on_int8_weights(tiny_config, tmp_path):
+    from vllm_i64_tpu.core.quantize_model import quantize_params
+    from vllm_i64_tpu.ops.quant import QTensor
+
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    qparams = quantize_params(params, tiny_config, "int8")
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=128, kv_block_size=4,
+                        max_kv_blocks=96, dtype="float32",
+                        kv_cache_dtype="float32", quantization="int8",
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16, 32))
+    eng = Engine(qparams, tiny_config, ecfg)
+    if not isinstance(eng.runner.params["layers"]["q"], QTensor):
+        pytest.skip("int8 pass does not quantize attention projections")
+    adir = make_adapter_dir(tmp_path, tiny_config)
+    eng.load_lora_adapter("a", adir)
+    eng.set_active_lora("a")
+    assert isinstance(eng.runner.params["layers"]["q"], QTensor)
+    r = eng.generate([5, 6, 7], SamplingParams(temperature=0.0, max_tokens=3))
+    assert len(r.output_tokens) >= 1

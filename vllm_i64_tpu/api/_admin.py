@@ -249,8 +249,9 @@ class AdminMixin:
     # -- LoRA (wired to the engine's adapter manager) --------------------------
 
     async def handle_lora_load(self, request: web.Request) -> web.Response:
-        if self.engine is None or self.engine.lora_manager is None:
-            return _error("LoRA not enabled", "invalid_request_error", 400)
+        if self.engine is None or self.engine.runner is None:
+            return _error("LoRA requires a loaded model",
+                          "invalid_request_error", 400)
         try:
             body = await request.json()
         except Exception:
@@ -259,7 +260,9 @@ class AdminMixin:
         if not name or not path:
             return _error("Missing 'name' or 'path'")
         try:
-            adapter_id = self.engine.lora_manager.load_adapter(name, path)
+            adapter_id = self.engine.load_lora_adapter(name, path)
+            if body.get("activate"):
+                self.engine.set_active_lora(name)
         except Exception as exc:
             return _error(f"load failed: {exc}", "server_error", 500)
         return web.json_response({"ok": True, "name": name,

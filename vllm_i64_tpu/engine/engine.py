@@ -100,8 +100,13 @@ class Engine:
         engine_config: Optional[EngineConfig] = None,
         tokenizer=None,
         mesh=None,
+        speculative=None,
     ):
         self.model_config = model_config or ModelConfig()
+        # draft-model speculative decoding for small decode-only batches
+        # (ref: i64_engine.py:809-818, _speculative_step :660-693)
+        self.speculative = speculative
+        self.spec_max_batch = 8
         self.engine_config = engine_config or EngineConfig()
         self.tokenizer = tokenizer
 
@@ -327,7 +332,13 @@ class Engine:
             decode = batch.decode_seqs
             prefill = batch.prefill_seqs
             k = self._multistep_window(batch)
-            if decode and not prefill and k > 1:
+            if (
+                decode and not prefill
+                and self.speculative is not None
+                and len(decode) <= self.spec_max_batch
+            ):
+                multi = self._speculative_step(decode)
+            elif decode and not prefill and k > 1:
                 multi = self._run_multi_decode(decode, k)
             else:
                 if decode:
@@ -481,6 +492,55 @@ class Engine:
         if fallback_rows:
             single = self._run_group(fallback_rows, kind="decode")
             for rid, tok in single.items():
+                out[rid] = [tok]
+        return out
+
+    def _speculative_step(self, seqs) -> Dict[int, List[int]]:
+        """Draft K tokens per sequence, verify in one paged target pass,
+        accept the matching prefix (ref: i64_engine.py:660-693).
+
+        The verify pass writes candidate K/V through the paged cache; the
+        accepted prefix's rows are exact and the first rejected slot is
+        overwritten by the next ordinary decode step."""
+        spec = self.speculative
+        out: Dict[int, List[int]] = {}
+        fallback = []
+        for s in seqs:
+            req = s.request
+            params = self._params_by_rid.get(req.request_id, SamplingParams())
+            # host-sampled / history-dependent rows use the normal path
+            if (
+                self._needs_host(params, req.request_id)
+                or params.needs_token_history
+                or not self.scheduler.ensure_capacity(req, spec.K + 2)
+            ):
+                fallback.append(s)
+                continue
+            context = np.concatenate([
+                np.asarray(req.prompt_token_ids, np.int64),
+                np.asarray(req.output_token_ids, np.int64),
+            ])
+            draft = spec.draft(context)
+            n = req.total_tokens
+            verify_tokens = np.concatenate(
+                [[context[-1]], draft]).astype(np.int64)[None, :]
+            t = verify_tokens.shape[1]
+            positions = np.arange(n - 1, n - 1 + t, dtype=np.int32)[None, :]
+            bt = np.asarray(req.kv_block_ids, np.int32)[None, :]
+            logits = self.runner.execute_verify(
+                verify_tokens, positions, bt,
+                np.array([n + spec.K], np.int32),
+                np.ones((1, t), bool),
+            )
+            accepted, _ = spec.accept(
+                draft, logits, params=params,
+                past_tokens=list(context) if params.needs_token_history else None,
+            )
+            # clip to the request's remaining budget
+            remaining = req.max_new_tokens - req.num_generated
+            out[req.request_id] = accepted[:max(1, remaining)]
+        if fallback:
+            for rid, tok in self._run_group(fallback, kind="decode").items():
                 out[rid] = [tok]
         return out
 
@@ -737,6 +797,23 @@ class Engine:
             finish_reason=finish,
             logprobs=logprobs,
         )
+
+    # -- LoRA (ref: i64_engine.py:402-454) ---------------------------------------
+
+    def enable_lora(self, max_adapters: int = 8):
+        if self.runner is None:
+            raise RuntimeError("LoRA requires a loaded model")
+        if self.lora_manager is None:
+            from ..core.lora import LoRAManager
+
+            self.lora_manager = LoRAManager(self, max_adapters=max_adapters)
+        return self.lora_manager
+
+    def load_lora_adapter(self, name: str, path: str) -> int:
+        return self.enable_lora().load_adapter(name, path)
+
+    def set_active_lora(self, name: Optional[str]) -> None:
+        self.enable_lora().set_active(name)
 
     def embed(self, prompt_token_ids) -> np.ndarray:
         """Mean-pooled, L2-normalized final hidden states

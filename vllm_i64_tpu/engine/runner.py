@@ -327,6 +327,41 @@ class ModelRunner:
         logits_np = np.asarray(logits)[:b_actual] if logits is not None else None
         return tokens_np, logits_np
 
+    def _verify_impl(self, params, kv_k, kv_v, token_ids, positions,
+                     block_tables, ctx_lens, valid):
+        """Speculative verify: paged forward writing candidate K/V, returning
+        fp32 logits at EVERY position (B, T, V)."""
+        hidden, (kv_k, kv_v) = cdm.forward_hidden(
+            params, self.cfg, token_ids, positions,
+            kv=(kv_k, kv_v), block_tables=block_tables, ctx_lens=ctx_lens,
+            valid=valid,
+        )
+        logits = cdm.lm_logits(params, self.cfg, hidden)
+        return logits, kv_k, kv_v
+
+    def execute_verify(
+        self,
+        token_ids: np.ndarray,  # (1, T)
+        positions: np.ndarray,  # (1, T)
+        block_tables: np.ndarray,  # (1, MB)
+        ctx_lens: np.ndarray,  # (1,)
+        valid: np.ndarray,  # (1, T)
+    ) -> np.ndarray:
+        """Run the verify program for one sequence; returns (T, V) logits."""
+        if not hasattr(self, "_verify_fn"):
+            self._verify_fn = jax.jit(
+                self._verify_impl, donate_argnames=("kv_k", "kv_v"))
+        t_actual = token_ids.shape[1]
+        mb = _bucket(max(int(block_tables.shape[1]), 1), self.block_buckets)
+        bt = np.zeros((1, mb), np.int32)
+        bt[:, : block_tables.shape[1]] = block_tables
+        logits, self.kv_k, self.kv_v = self._verify_fn(
+            self.params, self.kv_k, self.kv_v,
+            token_ids.astype(np.int32), positions.astype(np.int32), bt,
+            ctx_lens.astype(np.int32), valid,
+        )
+        return np.asarray(logits[0], np.float32)[:t_actual]
+
     def _next_key(self):
         self._base_key, sub = jax.random.split(self._base_key)
         return sub

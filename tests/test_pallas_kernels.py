@@ -1,0 +1,138 @@
+"""Pallas kernel tests (interpreter mode on CPU) vs XLA references
+(ref analogs: csrc/I64_rmsnorm.cu, I64_gemm.cu, layers/attention.py:469-514).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_i64_tpu.ops.attention import paged_attention, write_kv
+from vllm_i64_tpu.ops.fused_norm import rmsnorm_pallas, rmsnorm_quant_pallas
+from vllm_i64_tpu.ops.fused_swiglu import _xla_fallback, fused_swiglu
+from vllm_i64_tpu.ops.norms import rms_norm
+from vllm_i64_tpu.ops.paged_attention_pallas import paged_decode_attention_pallas
+from vllm_i64_tpu.ops.quant import quantize_int8
+
+
+@pytest.fixture()
+def key():
+    return jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# fused rmsnorm
+# ---------------------------------------------------------------------------
+
+
+def test_rmsnorm_pallas_matches_xla(key):
+    x = jax.random.normal(key, (64, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (256,)) * 0.1 + 1.0
+    got = rmsnorm_pallas(x, w, interpret=True)
+    want = rms_norm(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rmsnorm_quant_pallas(key):
+    x = jax.random.normal(key, (32, 128), jnp.float32) * 3.0
+    w = jnp.ones((128,))
+    q, s = rmsnorm_quant_pallas(x, w, interpret=True)
+    assert q.dtype == jnp.int8 and s.shape == (32, 1)
+    deq = q.astype(jnp.float32) * s
+    want = np.asarray(rms_norm(x, w))
+    # int8 quantization error bound: scale/2 per element
+    np.testing.assert_allclose(np.asarray(deq), want,
+                               atol=float(s.max()) * 0.51 + 1e-6)
+    # every row uses the full int8 range
+    assert np.abs(np.asarray(q)).max(axis=1).min() == 127
+
+
+# ---------------------------------------------------------------------------
+# fused swiglu dequant
+# ---------------------------------------------------------------------------
+
+
+def test_fused_swiglu_pallas_matches_xla(key):
+    m, h, i = 16, 256, 256
+    x = jax.random.normal(key, (m, h), jnp.float32)
+    gw = jax.random.normal(jax.random.fold_in(key, 1), (h, i)) * 0.05
+    uw = jax.random.normal(jax.random.fold_in(key, 2), (h, i)) * 0.05
+    gq, uq = quantize_int8(gw), quantize_int8(uw)
+    got = fused_swiglu(x, gq, uq, force_pallas=True, interpret=True)
+    want = _xla_fallback(x, gq, uq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_swiglu_float_fallback(key):
+    x = jax.random.normal(key, (4, 64), jnp.float32)
+    gw = jax.random.normal(jax.random.fold_in(key, 1), (64, 96)) * 0.1
+    uw = jax.random.normal(jax.random.fold_in(key, 2), (64, 96)) * 0.1
+    got = fused_swiglu(x, gw, uw)
+    want = jax.nn.silu(x @ gw) * (x @ uw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# paged decode attention
+# ---------------------------------------------------------------------------
+
+
+def make_paged_case(key, b=3, hq=8, hkv=2, d=32, bs=16, nb=64, mb=8,
+                    dtype=jnp.float32):
+    """Random paged KV state with per-seq context lengths."""
+    keys = jax.random.split(key, 8)
+    k_cache = jax.random.normal(keys[0], (nb, bs, hkv, d), dtype)
+    v_cache = jax.random.normal(keys[1], (nb, bs, hkv, d), dtype)
+    q = jax.random.normal(keys[2], (b, hq, d), dtype)
+    # unique random physical blocks per sequence
+    perm = np.random.default_rng(0).permutation(nb - 1)[: b * mb] + 1
+    block_tables = jnp.asarray(perm.reshape(b, mb).astype(np.int32))
+    ctx_lens = jnp.asarray([5, bs * 3, bs * mb], jnp.int32)[:b]
+    return q, k_cache, v_cache, block_tables, ctx_lens
+
+
+def test_paged_decode_pallas_matches_xla(key):
+    q, kc, vc, bt, ctx = make_paged_case(key)
+    got = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=2, interpret=True)
+    positions = (ctx - 1)[:, None]
+    want = paged_attention(q[:, None], kc, vc, bt, positions, ctx)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_pallas_single_chunk(key):
+    q, kc, vc, bt, ctx = make_paged_case(key, b=2, mb=4)
+    got = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=8, interpret=True)
+    positions = (ctx - 1)[:, None]
+    want = paged_attention(q[:, None], kc, vc, bt, positions, ctx)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_pallas_after_write(key):
+    """End-to-end: write_kv then attend — mirrors the engine's decode step."""
+    b, hq, hkv, d, bs = 2, 4, 2, 16, 4
+    nb, mb = 32, 4
+    kc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    vc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    # prefill 7 tokens for each row
+    t = 7
+    keys = jax.random.split(key, 4)
+    k_new = jax.random.normal(keys[0], (b, t, hkv, d))
+    v_new = jax.random.normal(keys[1], (b, t, hkv, d))
+    pos = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (b, 1))
+    kc, vc = write_kv(kc, vc, k_new, v_new, bt, pos)
+    q = jax.random.normal(keys[2], (b, hq, d))
+    ctx = jnp.full((b,), t, jnp.int32)
+    got = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=bs, chunk_blocks=2, interpret=True)
+    want = paged_attention(q[:, None], kc, vc, bt,
+                           jnp.full((b, 1), t - 1, jnp.int32), ctx)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

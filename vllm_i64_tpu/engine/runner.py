@@ -52,6 +52,12 @@ class ModelRunner:
         self.cfg = model_cfg
         self.ecfg = engine_cfg
         self.mesh = mesh
+        if mesh is not None:
+            # Pallas decode attention is a single-device program; under a
+            # GSPMD mesh the XLA gather path partitions cleanly instead.
+            from ..ops import attention as _attn
+
+            _attn._PALLAS_DECODE = False
 
         dtype = jnp.dtype(engine_cfg.kv_cache_dtype)
         num_blocks = engine_cfg.resolve_kv_blocks()

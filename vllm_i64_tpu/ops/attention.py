@@ -23,6 +23,19 @@ import jax.numpy as jnp
 
 NEG_INF = float("-inf")
 
+_PALLAS_DECODE = True
+
+
+def _use_pallas_decode() -> bool:
+    if not _PALLAS_DECODE:
+        return False
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
 
 def kv_cache_slots(
     block_tables: jax.Array,  # (B, MB) int32 physical block ids
@@ -96,6 +109,17 @@ def paged_attention(
     contain the current tokens — write_kv runs first, matching ref
     model.py:203-236 write-then-read ordering). Returns (B, T, Hq, d)."""
     b, t, hq, d = q.shape
+
+    # decode fast path: stream pages HBM->VMEM in the Pallas kernel instead
+    # of materializing the dense gathered context
+    if t == 1 and sliding_window is None and _use_pallas_decode():
+        from .paged_attention_pallas import paged_decode_attention_pallas
+
+        out = paged_decode_attention_pallas(
+            q[:, 0], k_cache, v_cache, block_tables, ctx_lens,
+            block_size=k_cache.shape[1], scale=scale,
+        )
+        return out[:, None]
     _, _, hkv, _ = k_cache.shape
     g = hq // hkv
     if scale is None:

@@ -138,12 +138,9 @@ def token_routed_mlp(
     if shared_gate is None:
         return routed_output_scale * routed
 
-    sg = linear(x, shared_gate)
-    su = linear(x, shared_up)
-    shared = linear(
-        (jax.nn.silu(sg.astype(acc_t)) * su.astype(acc_t)).astype(x.dtype),
-        shared_down,
-    )
+    from .fused_swiglu import fused_swiglu
+
+    shared = linear(fused_swiglu(x, shared_gate, shared_up), shared_down)
     if shared_output_gate is not None and routed_output_gate is not None:
         # Learnable scalar gates (ref :174-178)
         return (
@@ -154,11 +151,9 @@ def token_routed_mlp(
 
 
 def dense_swiglu_mlp(x: jax.Array, gate_w, up_w, down_w) -> jax.Array:
-    """Dense SwiGLU (ref: complexity_deep/model.py:243-255)."""
+    """Dense SwiGLU (ref: complexity_deep/model.py:243-255). The gate+up
+    GEMMs and SiLU·mul run in one fused Pallas kernel on TPU int8."""
+    from .fused_swiglu import fused_swiglu
     from .linear import linear
 
-    gate = linear(x, gate_w)
-    up = linear(x, up_w)
-    acc_t = _acc_dtype(x.dtype)
-    inter = (jax.nn.silu(gate.astype(acc_t)) * up.astype(acc_t)).astype(x.dtype)
-    return linear(inter, down_w)
+    return linear(fused_swiglu(x, gate_w, up_w), down_w)

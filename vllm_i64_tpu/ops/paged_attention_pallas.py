@@ -1,0 +1,212 @@
+"""Pallas paged-attention decode kernel (flash-style, block-table aware).
+
+The XLA path in ops/attention.py gathers the paged context into a dense
+(B, S, Hkv, d) array — that materialization costs an extra HBM round-trip
+of the whole context every layer. This kernel streams K/V pages HBM->VMEM
+with double-buffered DMA directly off the block table and keeps the online
+softmax state in VMEM, so each context byte is read exactly once.
+
+Reference analog: the "fully vectorized tensor paged decode" backend
+(ref: vllm_i64/layers/attention.py:469-514) — same math, TPU dataflow.
+
+Shape/layout notes:
+- grid = (B,); one program owns one sequence's full context.
+- pages are fetched in chunks of C consecutive logical blocks
+  (C*block_size rows, typically 128) so the score matmuls hit the MXU at
+  lane width; partially-filled chunks are masked by position.
+- online-softmax running stats (m, l, acc) live in VMEM f32 scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _decode_kernel(
+    bt_ref,  # (B, MB) int32 — scalar prefetch
+    ctx_ref,  # (B,) int32 — scalar prefetch
+    q_ref,  # (1, Hq, d) VMEM
+    k_hbm,  # (NB, bs, Hkv, d) ANY/HBM
+    v_hbm,
+    o_ref,  # (1, Hq, d) VMEM
+    k_buf,  # (2, C*bs, Hkv, d) VMEM scratch
+    v_buf,
+    m_ref,  # (Hkv, G) f32 scratch
+    l_ref,  # (Hkv, G) f32 scratch
+    acc_ref,  # (Hkv, G, d) f32 scratch
+    k_sems,  # DMA sems (2, C)
+    v_sems,
+    *,
+    block_size: int,
+    chunk_blocks: int,
+    scale: float,
+    num_kv_heads: int,
+    group: int,
+    max_blocks: int,
+):
+    b = pl.program_id(0)
+    ctx = ctx_ref[b]
+    n_blocks = pl.cdiv(ctx, jnp.int32(block_size))
+    n_chunks = pl.cdiv(n_blocks, jnp.int32(chunk_blocks))
+    c_rows = chunk_blocks * block_size
+
+    def dma_pair(chunk, c, slot):
+        bid = bt_ref[b, chunk * chunk_blocks + c]
+        kd = pltpu.make_async_copy(
+            k_hbm.at[bid],
+            k_buf.at[slot, pl.ds(c * block_size, block_size)],
+            k_sems.at[slot, c],
+        )
+        vd = pltpu.make_async_copy(
+            v_hbm.at[bid],
+            v_buf.at[slot, pl.ds(c * block_size, block_size)],
+            v_sems.at[slot, c],
+        )
+        return kd, vd
+
+    def start_chunk(chunk, slot):
+        for c in range(chunk_blocks):
+            @pl.when((chunk < n_chunks)
+                     & (chunk * chunk_blocks + c < n_blocks))
+            def _():
+                kd, vd = dma_pair(chunk, c, slot)
+                kd.start()
+                vd.start()
+
+    def wait_chunk(chunk, slot):
+        for c in range(chunk_blocks):
+            @pl.when((chunk < n_chunks)
+                     & (chunk * chunk_blocks + c < n_blocks))
+            def _():
+                kd, vd = dma_pair(chunk, c, slot)
+                kd.wait()
+                vd.wait()
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    start_chunk(0, 0)
+
+    qg = q_ref[0].reshape(num_kv_heads, group, -1).astype(jnp.float32)
+
+    def body(chunk, _):
+        slot = chunk % 2
+
+        @pl.when(chunk + 1 < n_chunks)
+        def _():
+            start_chunk(chunk + 1, (chunk + 1) % 2)
+
+        wait_chunk(chunk, slot)
+
+        # zero un-DMA'd rows: 0 * garbage (possibly NaN) would poison the
+        # p @ V accumulation even though p is 0 there
+        row_pos = (chunk * c_rows
+                   + jax.lax.broadcasted_iota(jnp.int32, (c_rows, 1, 1), 0))
+        row_ok = row_pos < ctx
+        k = jnp.where(row_ok, k_buf[slot].astype(jnp.float32), 0.0)
+        v = jnp.where(row_ok, v_buf[slot].astype(jnp.float32), 0.0)
+        # scores (Hkv, G, C*bs)
+        scores = jax.lax.dot_general(
+            qg, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        pos = (chunk * c_rows
+               + jax.lax.broadcasted_iota(jnp.int32, (1, 1, c_rows), 2))
+        scores = jnp.where(pos < ctx, scores, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+        corr = jnp.exp(m_prev - m_new)  # exp(-inf - -inf)=exp(nan)? m_new>=m_prev>-inf after first real block
+        corr = jnp.where(jnp.isfinite(m_prev), corr, 0.0)
+        p = jnp.exp(scores - m_new[:, :, None])
+        p = jnp.where(pos < ctx, p, 0.0)
+
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1)
+        # p @ v over the row axis: (Hkv, G, S) x (S, Hkv, d) -> (Hkv, G, d)
+        pv = jax.lax.dot_general(
+            p, v,
+            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * corr[:, :, None] + pv
+        m_ref[:] = m_new
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    denom = jnp.maximum(l_ref[:], 1e-30)[:, :, None]
+    out = (acc_ref[:] / denom).reshape(1, num_kv_heads * group, -1)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "chunk_blocks", "scale", "interpret"))
+def paged_decode_attention_pallas(
+    q: jax.Array,  # (B, Hq, d)
+    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # (B, MB) int32
+    ctx_lens: jax.Array,  # (B,) int32
+    *,
+    block_size: int,
+    chunk_blocks: int = 8,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    b, hq, d = q.shape
+    _, bs, hkv, _ = k_cache.shape
+    assert bs == block_size
+    g = hq // hkv
+    mb = block_tables.shape[1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    c = min(chunk_blocks, mb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda i, bt, cl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, bt, cl: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, c * bs, hkv, d), k_cache.dtype),
+            pltpu.VMEM((2, c * bs, hkv, d), v_cache.dtype),
+            pltpu.VMEM((hkv, g), jnp.float32),
+            pltpu.VMEM((hkv, g), jnp.float32),
+            pltpu.VMEM((hkv, g, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, c)),
+            pltpu.SemaphoreType.DMA((2, c)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel,
+        block_size=bs,
+        chunk_blocks=c,
+        scale=float(scale),
+        num_kv_heads=hkv,
+        group=g,
+        max_blocks=mb,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(block_tables, ctx_lens, q, k_cache, v_cache)

@@ -163,8 +163,11 @@ class EngineConfig:
 
     # Numerics
     dtype: str = "bfloat16"          # activations/weights compute dtype
-    kv_cache_dtype: str = "bfloat16"
+    kv_cache_dtype: str = "bfloat16"  # also: float8_e4m3fn | float8_e5m2
     quantization: str = "none"        # none | int8 | int4 | fp8
+    # auto-upgrade the KV cache to fp8 when block usage crosses 70%
+    # (ref: kv_cache.py maybe_enable_fp8 :819-831)
+    kv_fp8_auto: bool = False
 
     # Compilation buckets (static shapes replace CUDA graphs;
     # ref analog: core/cuda_graph.py batch-size buckets {1..64})

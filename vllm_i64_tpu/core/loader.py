@@ -444,6 +444,17 @@ def load_model(
                 f"config.json not found next to checkpoint {path}")
         config = ModelConfig.from_json(str(cfg_path))
     sd = load_state_dict(str(path))
+
+    # AWQ/GPTQ pre-quantized checkpoints: unpack + dequantize to float
+    # (ref: awq_gptq.py load_awq/gptq_checkpoint); serving re-quantization
+    # happens in core/quantize_model.py
+    from .awq_gptq import convert_quantized_state_dict, detect_quant_config
+
+    detection = detect_quant_config(str(path))
+    if detection is not None:
+        _, qcfg = detection
+        sd = convert_quantized_state_dict(sd, qcfg)
+
     params, stats = build_params(config, sd, dtype=dtype)
     if stats["unloaded_params"]:
         msg = (f"{stats['unloaded_params']} model params had no checkpoint "

@@ -30,24 +30,38 @@ _MLP_MATMUL_KEYS: Set[str] = {
 def quantize_params(params, cfg: ModelConfig, method: str = "int8"):
     """Return a new params pytree with matmul weights quantized.
 
-    method: "int8" (per-out-channel symmetric). The embedding (and tied
-    lm head) remain float — logits are computed in fp32 regardless
-    (ref model.py:436-439).
+    method: "int8" (per-out-channel symmetric, ref quantization.py:80-91),
+    "int4" (per-group-128 asymmetric packed, ref :307-421), or "fp8"
+    (scaled e4m3, ref core/fp8.py). The embedding (and tied lm head) remain
+    float — logits are computed in fp32 regardless (ref model.py:436-439).
     """
     if method in ("none", None, ""):
         return params
-    if method != "int8":
+    if method == "int8":
+        quant = quantize_int8
+    elif method == "int4":
+        from ..ops.quant import quantize_int4
+
+        def quant(w):
+            if w.shape[-2] % 128:
+                return quantize_int8(w)  # ungrouped dims fall back to int8
+            return quantize_int4(w)
+    elif method == "fp8":
+        from ..ops.quant import quantize_fp8
+
+        quant = quantize_fp8
+    else:
         raise ValueError(f"unsupported quantization method: {method}")
 
     out = dict(params)
     layers = dict(params["layers"])
     for key in list(layers.keys()):
         if key in _LAYER_MATMUL_KEYS:
-            layers[key] = quantize_int8(layers[key])
+            layers[key] = quant(layers[key])
     mlp = dict(layers["mlp"])
     for key in list(mlp.keys()):
         if key in _MLP_MATMUL_KEYS:
-            mlp[key] = quantize_int8(mlp[key])
+            mlp[key] = quant(mlp[key])
     layers["mlp"] = mlp
     out["layers"] = layers
     if "lm_head" in out:

@@ -387,3 +387,36 @@ class ModelRunner:
 
     def kv_cache_memory_bytes(self) -> int:
         return int(self.kv_k.size + self.kv_v.size) * self.kv_k.dtype.itemsize
+
+    def convert_kv_dtype(self, dtype) -> None:
+        """In-flight KV cache dtype conversion (fp8 auto-upgrade,
+        ref: kv_cache.py:819-831). Existing entries are cast; compiled step
+        programs re-specialize on the new dtype automatically."""
+        dtype = jnp.dtype(dtype)
+        if self.kv_k.dtype == dtype:
+            return
+        self.kv_k = self.kv_k.astype(dtype)
+        self.kv_v = self.kv_v.astype(dtype)
+
+    # -- KV swap to host (ref: kv_cache.py enable_swap/swap_out/swap_in
+    # :711-813 — pinned-memory mirror; here: host numpy arrays) -------------
+
+    def swap_out_blocks(self, block_ids) -> dict:
+        """Copy the given physical blocks (all layers) to host memory.
+        Returns {block_id: (k_np, v_np)} with arrays (L, bs, Hkv, d)."""
+        ids = np.asarray(block_ids, np.int32)
+        k = np.asarray(self.kv_k[:, ids])  # (L, n, bs, Hkv, d)
+        v = np.asarray(self.kv_v[:, ids])
+        return {int(b): (k[:, i], v[:, i]) for i, b in enumerate(ids)}
+
+    def swap_in_blocks(self, saved: dict, target_block_ids) -> None:
+        """Write host-saved block contents into (possibly different)
+        physical blocks, in the order given."""
+        src = list(saved.values())
+        ids = np.asarray(target_block_ids, np.int32)
+        k = jnp.asarray(np.stack([s[0] for s in src], axis=1),
+                        self.kv_k.dtype)  # (L, n, bs, Hkv, d)
+        v = jnp.asarray(np.stack([s[1] for s in src], axis=1),
+                        self.kv_v.dtype)
+        self.kv_k = self.kv_k.at[:, ids].set(k)
+        self.kv_v = self.kv_v.at[:, ids].set(v)

@@ -102,6 +102,7 @@ def dequant_matmul(x: jax.Array, w: QTensor) -> jax.Array:
         _PALLAS_ENABLED
         and _on_tpu()
         and w.q.ndim == 2
+        and w.q.dtype == jnp.int8
         and m % 8 == 0
         and k % 128 == 0
         and n % 128 == 0

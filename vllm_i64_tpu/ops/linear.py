@@ -23,6 +23,13 @@ def linear(x: jax.Array, w, *, precision=None) -> jax.Array:
         from .dequant_matmul import dequant_matmul
 
         return dequant_matmul(x, w)
+    from .quant import Q4Tensor
+
+    if isinstance(w, Q4Tensor):
+        from .quant import dequantize_int4
+
+        return jnp.dot(x, dequantize_int4(w, dtype=x.dtype),
+                       preferred_element_type=x.dtype)
     return jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype)
 
 

@@ -37,9 +37,18 @@ def _acc_dtype(dtype):
     return jnp.promote_types(dtype, jnp.float32)
 
 
+def _maybe_dequant_q4(w, dtype):
+    from .quant import Q4Tensor, dequantize_int4
+
+    if isinstance(w, Q4Tensor):
+        return dequantize_int4(w, dtype=dtype)
+    return w
+
+
 def _expert_einsum_in(x: jax.Array, w) -> jax.Array:
     """x: (N, H), w: (E, H, I) -> (N, E, I) with per-(e,i) dequant."""
     acc_t = _acc_dtype(x.dtype)
+    w = _maybe_dequant_q4(w, x.dtype)
     if isinstance(w, QTensor):
         acc = jnp.einsum(
             "nh,ehi->nei", x, w.q.astype(x.dtype), preferred_element_type=acc_t
@@ -55,6 +64,7 @@ def _expert_einsum_out(inter: jax.Array, w) -> jax.Array:
     so the e-axis reduction is deferred to after the scale multiply.
     """
     acc_t = _acc_dtype(inter.dtype)
+    w = _maybe_dequant_q4(w, inter.dtype)
     if isinstance(w, QTensor):
         acc = jnp.einsum(
             "nei,eih->neh",

@@ -79,6 +79,87 @@ def dequantize(qt: QTensor, dtype=jnp.float32, axis: int = -2) -> jax.Array:
     return (qt.q.astype(jnp.float32) * s).astype(dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+class Q4Tensor:
+    """Per-group asymmetric INT4, packed two nibbles per uint8.
+
+    Logical weight shape (in, out); groups run over the *input* axis
+    (ref: core/quantization.py:307-421 — group_size=128, scale=(max-min)/15,
+    zero=round(-min/scale)).
+
+    packed: (in // 2, out) uint8 — rows i stores nibbles for input rows
+            2i (high) and 2i+1 (low)
+    scales: (num_groups, out) f32
+    zeros:  (num_groups, out) f32 (stored dequant-ready)
+    """
+
+    __slots__ = ("packed", "scales", "zeros", "group_size")
+
+    def __init__(self, packed, scales, zeros, group_size=128):
+        self.packed = packed
+        self.scales = scales
+        self.zeros = zeros
+        self.group_size = group_size
+
+    @property
+    def shape(self):
+        *lead, half, out = self.packed.shape
+        return (*lead, half * 2, out)
+
+    def tree_flatten(self):
+        return (self.packed, self.scales, self.zeros), self.group_size
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, group_size=aux)
+
+    def __repr__(self):
+        return (f"Q4Tensor(packed={self.packed.shape}, "
+                f"groups={self.scales.shape[0]}, gs={self.group_size})")
+
+
+def quantize_int4(w: jax.Array, group_size: int = 128) -> Q4Tensor:
+    """Per-group asymmetric 4-bit quantization of a (..., in, out) weight."""
+    w = w.astype(jnp.float32)
+    *lead, n_in, n_out = w.shape
+    if n_in % group_size:
+        raise ValueError(f"in dim {n_in} not divisible by group {group_size}")
+    g = n_in // group_size
+    wg = w.reshape(*lead, g, group_size, n_out)
+    w_min = jnp.min(wg, axis=-2)
+    w_max = jnp.max(wg, axis=-2)
+    scale = jnp.maximum((w_max - w_min) / 15.0, 1e-8)  # (..., g, out)
+    zero = jnp.clip(jnp.round(-w_min / scale), 0, 15)
+    q = jnp.clip(jnp.round(wg / scale[..., None, :] + zero[..., None, :]),
+                 0, 15)
+    q = q.astype(jnp.uint8).reshape(*lead, n_in, n_out)
+    packed = (q[..., 0::2, :] << 4) | q[..., 1::2, :]
+    return Q4Tensor(packed=packed, scales=scale, zeros=zero,
+                    group_size=group_size)
+
+
+def dequantize_int4(qt: Q4Tensor, dtype=jnp.float32) -> jax.Array:
+    *lead, half, n_out = qt.packed.shape
+    n_in = half * 2
+    high = (qt.packed >> 4) & 0xF
+    low = qt.packed & 0xF
+    q = jnp.stack([high, low], axis=-2).reshape(*lead, n_in, n_out)
+    g = qt.scales.shape[-2]
+    qg = q.astype(jnp.float32).reshape(*lead, g, qt.group_size, n_out)
+    w = (qg - qt.zeros[..., None, :]) * qt.scales[..., None, :]
+    return w.reshape(*lead, n_in, n_out).astype(dtype)
+
+
+def quantize_fp8(w: jax.Array, axis: int = -2) -> QTensor:
+    """Per-out-channel scaled float8_e4m3 weights (ref: core/fp8.py).
+    Same QTensor container; the payload dtype distinguishes the path."""
+    w = w.astype(jnp.float32)
+    abs_max = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(abs_max / 448.0, 1e-8)  # e4m3 max normal = 448
+    q = (w / scale).astype(jnp.float8_e4m3fn)
+    return QTensor(q=q, s=jnp.squeeze(scale, axis=axis))
+
+
 def quantize_activations_int8(x: jax.Array):
     """Dynamic per-token (per-row) INT8 activation quantization.
 

@@ -233,6 +233,46 @@ class Scheduler:
         heapq.heappush(self._pending, (req.priority, req.arrival_step, rid, req))
         return rid
 
+    def add_prefilled_request(
+        self,
+        prompt_token_ids: np.ndarray,
+        first_token: int,
+        max_new_tokens: int = 256,
+        priority: int = 0,
+        eos_token_id: int = 0,
+        request_id: Optional[int] = None,
+    ) -> Optional[int]:
+        """Admit a request whose prompt KV was computed elsewhere
+        (disaggregated prefill, ref: disaggregated.py:571-610): enters
+        RUNNING with prefill complete and the first sampled token applied.
+        The caller must then populate the allocated KV blocks.
+        Returns the request id, or None if no KV blocks are available."""
+        prompt = np.asarray(prompt_token_ids, dtype=np.int64)
+        total = len(prompt) + 1  # + first decode token's KV next step
+        nblocks = -(-total // self.kv_block_size)
+        blocks = self.blocks.allocate(nblocks)
+        if blocks is None and self._preempt_for(nblocks, priority):
+            blocks = self.blocks.allocate(nblocks)
+        if blocks is None:
+            return None
+        rid = self._next_id if request_id is None else request_id
+        self._next_id = max(self._next_id, rid) + 1
+        req = Request(
+            request_id=rid,
+            prompt_token_ids=prompt,
+            max_new_tokens=int(max_new_tokens),
+            state=RequestState.RUNNING,
+            priority=int(priority),
+            arrival_step=self.step_counter,
+            eos_token_id=int(eos_token_id),
+        )
+        req.kv_block_ids = blocks
+        req.prefill_done = len(prompt)
+        req.output_token_ids = [int(first_token)]
+        self._requests[rid] = req
+        self.running.append(req)
+        return rid
+
     def get_request(self, rid: int) -> Optional[Request]:
         return self._requests.get(rid)
 

@@ -265,6 +265,56 @@ def _layer_fn(
 # ---------------------------------------------------------------------------
 
 
+def forward_layers(
+    layer_params: Params,  # stacked (L_stage, ...) slice of params["layers"]
+    cfg: ModelConfig,
+    hidden: jax.Array,  # (B, T, H)
+    mu_prev: Optional[jax.Array],
+    token_ids: jax.Array,  # (B, T) int32 (clipped) — drives MoE routing
+    positions: jax.Array,
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    block_tables: Optional[jax.Array] = None,
+    ctx_lens: Optional[jax.Array] = None,
+    seq_lens: Optional[jax.Array] = None,
+    valid: Optional[jax.Array] = None,
+):
+    """Run a contiguous range of decoder layers under lax.scan.
+
+    The pipeline-parallel unit: a stage's hidden (+ mu) state is exactly
+    what crosses stage boundaries (the reference's IntermediateTensors
+    {hidden_states, mu_prev}, parallel/pp_utils.py).
+    Returns (hidden, mu, new_kv_for_these_layers)."""
+    carry = (hidden, mu_prev)
+
+    def body(carry, layer_in):
+        return _layer_fn(
+            cfg, carry, layer_in, token_ids, positions, block_tables,
+            ctx_lens, seq_lens, valid,
+        )
+
+    if kv is not None:
+        xs = (layer_params, kv[0], kv[1])
+        (hidden, mu), new_caches = jax.lax.scan(body, carry, xs)
+        new_kv = (new_caches[0], new_caches[1])
+    else:
+        xs = (layer_params,)
+        (hidden, mu), _ = jax.lax.scan(body, carry, xs)
+        new_kv = None
+    return hidden, mu, new_kv
+
+
+def embed_tokens(params: Params, cfg: ModelConfig, token_ids: jax.Array):
+    """Embedding lookup + initial mu. Returns (hidden, mu_prev, clipped_ids)."""
+    ids = jnp.clip(token_ids, 0, cfg.vocab_size - 1).astype(jnp.int32)
+    hidden = jnp.take(params["embed"], ids, axis=0)
+    mu_prev = None
+    if cfg.mu_enabled:
+        mu_prev = jnp.broadcast_to(
+            params["mu_init"][None, None, :], hidden.shape
+        ).astype(hidden.dtype)
+    return hidden, mu_prev, ids
+
+
 def forward_hidden(
     params: Params,
     cfg: ModelConfig,
@@ -277,33 +327,12 @@ def forward_hidden(
     valid: Optional[jax.Array] = None,  # (B, T) bool
 ):
     """Run embedding + all decoder layers. Returns (hidden(B,T,H), new_kv)."""
-    ids = jnp.clip(token_ids, 0, cfg.vocab_size - 1).astype(jnp.int32)
-    hidden = jnp.take(params["embed"], ids, axis=0)
-    b, t, _ = hidden.shape
-
-    mu_prev = None
-    if cfg.mu_enabled:
-        mu_prev = jnp.broadcast_to(
-            params["mu_init"][None, None, :], hidden.shape
-        ).astype(hidden.dtype)
-
-    carry = (hidden, mu_prev)
-
-    def body(carry, layer_in):
-        return _layer_fn(
-            cfg, carry, layer_in, ids, positions, block_tables, ctx_lens,
-            seq_lens, valid,
-        )
-
-    if kv is not None:
-        xs = (params["layers"], kv[0], kv[1])
-        (hidden, _), new_caches = jax.lax.scan(body, carry, xs)
-        new_kv = (new_caches[0], new_caches[1])
-    else:
-        xs = (params["layers"],)
-        (hidden, _), _ = jax.lax.scan(body, carry, xs)
-        new_kv = None
-
+    hidden, mu_prev, ids = embed_tokens(params, cfg, token_ids)
+    hidden, _, new_kv = forward_layers(
+        params["layers"], cfg, hidden, mu_prev, ids, positions,
+        kv=kv, block_tables=block_tables, ctx_lens=ctx_lens,
+        seq_lens=seq_lens, valid=valid,
+    )
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_kv
 

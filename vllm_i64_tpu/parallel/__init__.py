@@ -1,3 +1,11 @@
+from .disaggregated import (
+    DecodeWorker,
+    DisaggregatedCoordinator,
+    KVTransfer,
+    PrefillWorker,
+    setup_disaggregated,
+)
+from .launcher import init_distributed, is_serving_host
 from .mesh import (
     ParallelConfig,
     kv_cache_spec,
@@ -6,6 +14,7 @@ from .mesh import (
     shard_params,
     validate_divisibility,
 )
+from .pipeline import PipelinedModel, get_pp_indices, slice_stage_params
 
 __all__ = [
     "ParallelConfig",
@@ -14,4 +23,14 @@ __all__ = [
     "param_specs",
     "shard_params",
     "validate_divisibility",
+    "PipelinedModel",
+    "get_pp_indices",
+    "slice_stage_params",
+    "PrefillWorker",
+    "DecodeWorker",
+    "DisaggregatedCoordinator",
+    "KVTransfer",
+    "setup_disaggregated",
+    "init_distributed",
+    "is_serving_host",
 ]

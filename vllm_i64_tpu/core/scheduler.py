@@ -195,7 +195,10 @@ class Scheduler:
         self.max_prefill_tokens = max_prefill_tokens
         self.enable_preemption = enable_preemption
 
-        self.blocks = BlockPool(
+        from .native import make_block_pool
+
+        # C++ pool when the toolchain allows; Python BlockPool otherwise
+        self.blocks = make_block_pool(
             max_kv_blocks, kv_block_size, enable_caching=enable_prefix_caching
         )
 

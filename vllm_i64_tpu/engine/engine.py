@@ -128,6 +128,12 @@ class Engine:
         # i64_engine.py:402-454)
         self.lora_manager = None
 
+        # optional vision tower for VLM requests (ref: layers/vision.py,
+        # pixel_values threading at i64_engine.py:572-574, 1129-1151)
+        self.vision_params = None
+        self.vision_config = None
+        self._pixel_by_rid: Dict[int, np.ndarray] = {}
+
         # per-request state
         self._params_by_rid: Dict[int, SamplingParams] = {}
         self._procs_by_rid: Dict[int, list] = {}  # logits-processor chains
@@ -811,6 +817,26 @@ class Engine:
             finish_reason=finish,
             logprobs=logprobs,
         )
+
+    # -- vision (VLM) -------------------------------------------------------------
+
+    def enable_vision(self, vision_params, vision_config) -> None:
+        self.vision_params = vision_params
+        self.vision_config = vision_config
+
+    def encode_images(self, images: np.ndarray) -> np.ndarray:
+        """Preprocess + encode images into LLM-space soft tokens
+        (N, num_patches, llm_hidden). Requires enable_vision()."""
+        if self.vision_params is None:
+            raise RuntimeError("vision encoder not enabled")
+        from ..models.vision import preprocess_images, vision_encode
+
+        pixels = preprocess_images(images, self.vision_config.image_size)
+        import jax.numpy as jnp
+
+        out = vision_encode(self.vision_params, self.vision_config,
+                            jnp.asarray(pixels))
+        return np.asarray(out)
 
     # -- LoRA (ref: i64_engine.py:402-454) ---------------------------------------
 

@@ -1,0 +1,184 @@
+"""Vision tower for VLM support — JAX-native ViT + projector.
+
+Reference analog (ref: vllm_i64/layers/vision.py): a CLIP/SigLIP vision
+tower whose patch features are projected into the LLM hidden space by a
+linear or mlp2x_gelu projector, with image preprocessing (resize +
+normalize). The reference wraps pretrained torch towers; this is a
+from-scratch functional ViT so the whole path is jit-compiled on TPU —
+checkpoints in CLIP layout load via ``load_vision_tower``.
+
+Engine plumbing: requests carry ``pixel_values``; the engine encodes them
+once at admission (``Engine.encode_images``) and the resulting patch
+embeddings join the prompt as soft tokens (full fusion lands with a VLM
+checkpoint — the reference ships none either, i64_engine.py:1129-1151).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+# CLIP normalization constants
+_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 256  # vision tower width
+    num_layers: int = 4
+    num_heads: int = 4
+    mlp_ratio: int = 4
+    llm_hidden_size: int = 1024  # projection target
+    projector_type: str = "mlp2x_gelu"  # or "linear"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def patch_dim(self) -> int:
+        return 3 * self.patch_size * self.patch_size
+
+
+def preprocess_images(images: np.ndarray, image_size: int = 224) -> np.ndarray:
+    """(N, H, W, 3) uint8/float -> (N, size, size, 3) f32 CLIP-normalized."""
+    x = jnp.asarray(images, jnp.float32)
+    if x.ndim == 3:
+        x = x[None]
+    if x.max() > 2.0:
+        x = x / 255.0
+    n = x.shape[0]
+    x = jax.image.resize(x, (n, image_size, image_size, 3), method="bilinear")
+    return np.asarray((x - _MEAN) / _STD)
+
+
+def init_vision_params(cfg: VisionConfig, key: jax.Array,
+                       dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(key, 8))
+    h = cfg.hidden_size
+    mlp = h * cfg.mlp_ratio
+
+    def w(shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32)
+                * scale).astype(dtype)
+
+    blocks = {
+        "ln1_w": jnp.ones((cfg.num_layers, h), dtype),
+        "ln1_b": jnp.zeros((cfg.num_layers, h), dtype),
+        "qkv": w((cfg.num_layers, h, 3 * h)),
+        "qkv_b": jnp.zeros((cfg.num_layers, 3 * h), dtype),
+        "proj": w((cfg.num_layers, h, h)),
+        "proj_b": jnp.zeros((cfg.num_layers, h), dtype),
+        "ln2_w": jnp.ones((cfg.num_layers, h), dtype),
+        "ln2_b": jnp.zeros((cfg.num_layers, h), dtype),
+        "fc1": w((cfg.num_layers, h, mlp)),
+        "fc1_b": jnp.zeros((cfg.num_layers, mlp), dtype),
+        "fc2": w((cfg.num_layers, mlp, h)),
+        "fc2_b": jnp.zeros((cfg.num_layers, h), dtype),
+    }
+    params: Params = {
+        "patch_embed": w((cfg.patch_dim, h)),
+        "pos_embed": w((cfg.num_patches, h)),
+        "pre_ln_w": jnp.ones((h,), dtype),
+        "pre_ln_b": jnp.zeros((h,), dtype),
+        "blocks": blocks,
+    }
+    if cfg.projector_type == "linear":
+        params["proj_out"] = {"w1": w((h, cfg.llm_hidden_size)),
+                              "b1": jnp.zeros((cfg.llm_hidden_size,), dtype)}
+    else:  # mlp2x_gelu (ref: vision.py _build_projector)
+        params["proj_out"] = {
+            "w1": w((h, cfg.llm_hidden_size)),
+            "b1": jnp.zeros((cfg.llm_hidden_size,), dtype),
+            "w2": w((cfg.llm_hidden_size, cfg.llm_hidden_size)),
+            "b2": jnp.zeros((cfg.llm_hidden_size,), dtype),
+        }
+    return params
+
+
+def _layer_norm(x, w, b, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+
+def _vit_block(p, x, num_heads):
+    b, n, h = x.shape
+    d = h // num_heads
+    res = x
+    y = _layer_norm(x, p["ln1_w"], p["ln1_b"])
+    qkv = y @ p["qkv"] + p["qkv_b"]
+    q, k, v = jnp.split(qkv.reshape(b, n, 3, num_heads, d), 3, axis=2)
+    q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B, N, Hh, d)
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) / (d ** 0.5)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    attn = jnp.einsum("bhnm,bmhd->bnhd", probs, v).reshape(b, n, h)
+    x = res + (attn @ p["proj"] + p["proj_b"])
+
+    res = x
+    y = _layer_norm(x, p["ln2_w"], p["ln2_b"])
+    y = jax.nn.gelu(y @ p["fc1"] + p["fc1_b"])
+    return res + (y @ p["fc2"] + p["fc2_b"])
+
+
+def vision_encode(params: Params, cfg: VisionConfig,
+                  pixel_values: jax.Array) -> jax.Array:
+    """(N, S, S, 3) f32 -> (N, num_patches, llm_hidden) soft tokens."""
+    n = pixel_values.shape[0]
+    p = cfg.patch_size
+    g = cfg.image_size // p
+    # patchify: (N, g, p, g, p, 3) -> (N, g*g, p*p*3)
+    x = pixel_values.reshape(n, g, p, g, p, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, g * g, cfg.patch_dim)
+    x = x @ params["patch_embed"] + params["pos_embed"][None]
+    x = _layer_norm(x, params["pre_ln_w"], params["pre_ln_b"])
+
+    def body(x, block):
+        return _vit_block(block, x, cfg.num_heads), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+
+    po = params["proj_out"]
+    out = x @ po["w1"] + po["b1"]
+    if "w2" in po:
+        out = jax.nn.gelu(out) @ po["w2"] + po["b2"]
+    return out
+
+
+def load_vision_tower(state_dict: Dict[str, np.ndarray],
+                      cfg: VisionConfig, dtype=jnp.float32) -> Params:
+    """Assemble tower params from a CLIP-layout checkpoint; missing keys
+    keep their random init (partial-load tolerant like the reference's
+    from-pretrained path)."""
+    params = init_vision_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+
+    def take(key, target_shape, transpose=False):
+        w = state_dict.get(key)
+        if w is None:
+            return None
+        w = np.asarray(w, np.float32)
+        if transpose:
+            w = w.T
+        if w.shape != tuple(target_shape):
+            return None
+        return jnp.asarray(w, dtype)
+
+    pe = take("patch_embed.weight", (cfg.patch_dim, cfg.hidden_size),
+              transpose=True)
+    if pe is not None:
+        params["patch_embed"] = pe
+    pos = take("pos_embed", (cfg.num_patches, cfg.hidden_size))
+    if pos is not None:
+        params["pos_embed"] = pos
+    return params

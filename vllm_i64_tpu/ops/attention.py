@@ -111,8 +111,17 @@ def paged_attention(
     b, t, hq, d = q.shape
 
     # decode fast path: stream pages HBM->VMEM in the Pallas kernel instead
-    # of materializing the dense gathered context
-    if t == 1 and sliding_window is None and _use_pallas_decode():
+    # of materializing the dense gathered context. Requires a lane-aligned
+    # flat page row (Hkv*d % 128 == 0, true for the production models'
+    # 4 kv-heads x 64 d) — Mosaic cannot DMA-slice misaligned minor dims.
+    hkv_d = k_cache.shape[2] * k_cache.shape[3]
+    if (
+        t == 1
+        and sliding_window is None
+        and hkv_d % 128 == 0
+        and k_cache.shape[1] % 8 == 0
+        and _use_pallas_decode()
+    ):
         from .paged_attention_pallas import paged_decode_attention_pallas
 
         out = paged_decode_attention_pallas(

@@ -9,12 +9,18 @@ softmax state in VMEM, so each context byte is read exactly once.
 Reference analog: the "fully vectorized tensor paged decode" backend
 (ref: vllm_i64/layers/attention.py:469-514) — same math, TPU dataflow.
 
-Shape/layout notes:
-- grid = (B,); one program owns one sequence's full context.
-- pages are fetched in chunks of C consecutive logical blocks
-  (C*block_size rows, typically 128) so the score matmuls hit the MXU at
-  lane width; partially-filled chunks are masked by position.
-- online-softmax running stats (m, l, acc) live in VMEM f32 scratch.
+Mosaic-friendly layout decisions (found the hard way on real v5e):
+- K/V pages are viewed as (NB, bs, Hkv*d): the minor dim is lane-aligned
+  (Hkv*d is a multiple of 128 for these models), so per-block DMA slices
+  and all matmuls are clean 2D ops. (bs, Hkv, d) slices with d=64 trip
+  Mosaic's tiled-memref slicing.
+- GQA is handled by zero-expanding q to (Hq, Hkv*d): each query head's
+  segment holds its own kv-head's d columns, zeros elsewhere. Scores and
+  p@V become single 2D matmuls; the d-column segment of the output is
+  selected by a VPU mask at the end. The extra MACs are negligible at
+  decode batch sizes (the MXU is latency- not throughput-bound here).
+- grid = (B,); one program owns one sequence. Pages are fetched in chunks
+  of C consecutive logical blocks with two rotating buffers.
 """
 
 from __future__ import annotations
@@ -33,14 +39,14 @@ def _decode_kernel(
     bt_ref,  # (B, MB) int32 — scalar prefetch
     ctx_ref,  # (B,) int32 — scalar prefetch
     q_ref,  # (1, Hq, d) VMEM
-    k_hbm,  # (NB, bs, Hkv, d) ANY/HBM
+    k_hbm,  # (NB, bs, Hkv*d) ANY/HBM
     v_hbm,
     o_ref,  # (1, Hq, d) VMEM
-    k_buf,  # (2, C*bs, Hkv, d) VMEM scratch
+    k_buf,  # (2, C*bs, Hkv*d) VMEM scratch
     v_buf,
-    m_ref,  # (Hkv, G) f32 scratch
-    l_ref,  # (Hkv, G) f32 scratch
-    acc_ref,  # (Hkv, G, d) f32 scratch
+    m_ref,  # (Hq, 1) f32 scratch
+    l_ref,  # (Hq, 1) f32 scratch
+    acc_ref,  # (Hq, Hkv*d) f32 scratch
     k_sems,  # DMA sems (2, C)
     v_sems,
     *,
@@ -49,13 +55,15 @@ def _decode_kernel(
     scale: float,
     num_kv_heads: int,
     group: int,
-    max_blocks: int,
+    head_dim: int,
 ):
     b = pl.program_id(0)
     ctx = ctx_ref[b]
     n_blocks = pl.cdiv(ctx, jnp.int32(block_size))
     n_chunks = pl.cdiv(n_blocks, jnp.int32(chunk_blocks))
     c_rows = chunk_blocks * block_size
+    hq = num_kv_heads * group
+    hd = num_kv_heads * head_dim
 
     def dma_pair(chunk, c, slot):
         bid = bt_ref[b, chunk * chunk_blocks + c]
@@ -95,7 +103,14 @@ def _decode_kernel(
 
     start_chunk(0, 0)
 
-    qg = q_ref[0].reshape(num_kv_heads, group, -1).astype(jnp.float32)
+    # zero-expanded GQA query: (Hq, Hkv*d); column c belongs to kv head c//d,
+    # query head h reads only its own kv head's segment (h//g)
+    q = q_ref[0].astype(jnp.float32)  # (Hq, d)
+    q_tiled = jnp.concatenate([q] * num_kv_heads, axis=1)  # (Hq, Hkv*d)
+    col_kv = jax.lax.broadcasted_iota(jnp.int32, (hq, hd), 1) // head_dim
+    row_kv = jax.lax.broadcasted_iota(jnp.int32, (hq, hd), 0) // group
+    seg_mask = col_kv == row_kv
+    q_exp = jnp.where(seg_mask, q_tiled, 0.0)
 
     def body(chunk, _):
         slot = chunk % 2
@@ -109,44 +124,50 @@ def _decode_kernel(
         # zero un-DMA'd rows: 0 * garbage (possibly NaN) would poison the
         # p @ V accumulation even though p is 0 there
         row_pos = (chunk * c_rows
-                   + jax.lax.broadcasted_iota(jnp.int32, (c_rows, 1, 1), 0))
+                   + jax.lax.broadcasted_iota(jnp.int32, (c_rows, 1), 0))
         row_ok = row_pos < ctx
         k = jnp.where(row_ok, k_buf[slot].astype(jnp.float32), 0.0)
         v = jnp.where(row_ok, v_buf[slot].astype(jnp.float32), 0.0)
-        # scores (Hkv, G, C*bs)
+
+        # scores (Hq, C*bs): contraction over the expanded Hkv*d axis picks
+        # out each query head's own kv head automatically
         scores = jax.lax.dot_general(
-            qg, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            q_exp, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        scores = jnp.where(row_pos.reshape(1, c_rows) < ctx, scores, NEG_INF)
 
-        pos = (chunk * c_rows
-               + jax.lax.broadcasted_iota(jnp.int32, (1, 1, c_rows), 2))
-        scores = jnp.where(pos < ctx, scores, NEG_INF)
-
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
-        corr = jnp.exp(m_prev - m_new)  # exp(-inf - -inf)=exp(nan)? m_new>=m_prev>-inf after first real block
+        m_prev = m_ref[:]  # (Hq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
         corr = jnp.where(jnp.isfinite(m_prev), corr, 0.0)
-        p = jnp.exp(scores - m_new[:, :, None])
-        p = jnp.where(pos < ctx, p, 0.0)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(row_pos.reshape(1, c_rows) < ctx, p, 0.0)
 
-        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1)
-        # p @ v over the row axis: (Hkv, G, S) x (S, Hkv, d) -> (Hkv, G, d)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        # (Hq, C*bs) @ (C*bs, Hkv*d) -> (Hq, Hkv*d); only the own-kv segment
+        # is consumed at the end
         pv = jax.lax.dot_general(
             p, v,
-            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_ref[:] = acc_ref[:] * corr[:, :, None] + pv
+        acc_ref[:] = acc_ref[:] * corr + pv
         m_ref[:] = m_new
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
-    denom = jnp.maximum(l_ref[:], 1e-30)[:, :, None]
-    out = (acc_ref[:] / denom).reshape(1, num_kv_heads * group, -1)
-    o_ref[:] = out.astype(o_ref.dtype)
+    denom = jnp.maximum(l_ref[:], 1e-30)  # (Hq, 1)
+    full = acc_ref[:] / denom  # (Hq, Hkv*d)
+    # select each query head's own kv segment: VPU mask, then sum the
+    # static d-column segments (a 3D reshape of a 2D vector trips Mosaic)
+    picked = jnp.where(seg_mask, full, 0.0)
+    out = picked[:, 0:head_dim]
+    for kv in range(1, num_kv_heads):
+        out = out + picked[:, kv * head_dim:(kv + 1) * head_dim]
+    o_ref[:] = out[None].astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -165,13 +186,18 @@ def paged_decode_attention_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     b, hq, d = q.shape
-    _, bs, hkv, _ = k_cache.shape
+    nb, bs, hkv, _ = k_cache.shape
     assert bs == block_size
     g = hq // hkv
+    hd = hkv * d
     mb = block_tables.shape[1]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     c = min(chunk_blocks, mb)
+
+    # lane-aligned flat view (free reshape: same memory layout)
+    k_flat = k_cache.reshape(nb, bs, hd)
+    v_flat = v_cache.reshape(nb, bs, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -185,11 +211,11 @@ def paged_decode_attention_pallas(
         out_specs=pl.BlockSpec((1, hq, d), lambda i, bt, cl: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, c * bs, hkv, d), k_cache.dtype),
-            pltpu.VMEM((2, c * bs, hkv, d), v_cache.dtype),
-            pltpu.VMEM((hkv, g), jnp.float32),
-            pltpu.VMEM((hkv, g), jnp.float32),
-            pltpu.VMEM((hkv, g, d), jnp.float32),
+            pltpu.VMEM((2, c * bs, hd), k_cache.dtype),
+            pltpu.VMEM((2, c * bs, hd), v_cache.dtype),
+            pltpu.VMEM((hq, 1), jnp.float32),
+            pltpu.VMEM((hq, 1), jnp.float32),
+            pltpu.VMEM((hq, hd), jnp.float32),
             pltpu.SemaphoreType.DMA((2, c)),
             pltpu.SemaphoreType.DMA((2, c)),
         ],
@@ -201,7 +227,7 @@ def paged_decode_attention_pallas(
         scale=float(scale),
         num_kv_heads=hkv,
         group=g,
-        max_blocks=mb,
+        head_dim=d,
     )
     return pl.pallas_call(
         kernel,
@@ -209,4 +235,4 @@ def paged_decode_attention_pallas(
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(block_tables, ctx_lens, q, k_cache, v_cache)
+    )(block_tables, ctx_lens, q, k_flat, v_flat)

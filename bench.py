@@ -31,6 +31,8 @@ def main() -> None:
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--gen-tokens", type=int, default=64)
     p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--multistep", type=int, default=16,
+                   help="decode iterations fused per device dispatch")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     args = p.parse_args()
@@ -76,11 +78,13 @@ def main() -> None:
         max_batch_size=args.max_batch,
         max_seq_len=min(2048, cfg.max_position_embeddings),
         kv_block_size=16,
-        max_prefill_tokens=args.prompt_len,
+        # batched chunked prefill: several prompts per prefill dispatch
+        max_prefill_tokens=max(args.prompt_len, 512),
         quantization=args.quantization,
         decode_batch_buckets=(args.max_batch,),
         prefill_batch_buckets=(1, 2, 4),
-        prefill_token_buckets=(args.prompt_len,),
+        prefill_token_buckets=(max(args.prompt_len, 512),),
+        multistep_decode=args.multistep,
     )
     engine = Engine(params, cfg, ecfg)
 
@@ -91,11 +95,20 @@ def main() -> None:
     ]
     sp = SamplingParams(temperature=0.0, max_tokens=args.gen_tokens)
 
-    # Warmup: compile decode+prefill programs
-    log("[bench] warmup (compiling step programs)...")
+    # Warmup: one UNTIMED pass with the exact request pattern of the timed
+    # run, so every program variant (prefill batch buckets, multistep decode,
+    # block-table growth buckets) is compiled before measurement.
+    log("[bench] warmup (full untimed pass, compiling all step programs)...")
     t0 = time.perf_counter()
-    wid = engine.add_request(prompts[0][: args.prompt_len], sp)
-    engine.wait_for(wid, max_steps=args.gen_tokens + 8)
+    warm_prompts = [
+        rng.integers(3, cfg.vocab_size, size=args.prompt_len).tolist()
+        for _ in range(args.requests)
+    ]
+    warm_ids = [engine.add_request(pr, sp) for pr in warm_prompts]
+    guard = 0
+    while engine.scheduler.has_work and guard < 10000:
+        engine.step()
+        guard += 1
     log(f"[bench] warmup done in {time.perf_counter()-t0:.1f}s")
 
     # Timed run: continuous batching over all requests

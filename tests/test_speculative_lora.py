@@ -15,14 +15,14 @@ from vllm_i64_tpu.engine import Engine
 from vllm_i64_tpu.models import complexity_deep as cdm
 
 
-def make_engine(tiny_config, speculative=None, **kw):
+def make_engine(tiny_config, speculative=None, fuse_qkv=False, **kw):
     params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
     ecfg = EngineConfig(max_batch_size=2, max_seq_len=128, kv_block_size=4,
                         max_kv_blocks=96, max_prefill_tokens=64,
                         dtype="float32", kv_cache_dtype="float32",
                         decode_batch_buckets=(1, 2), prefill_batch_buckets=(1, 2),
                         prefill_token_buckets=(16, 32, 64),
-                        multistep_decode=1, **kw)
+                        multistep_decode=1, fuse_qkv=fuse_qkv, **kw)
     return Engine(params, tiny_config, ecfg, speculative=speculative)
 
 
@@ -192,6 +192,35 @@ def test_lora_unload_active_restores_base(tiny_config, tmp_path):
     assert not eng.lora_manager.unload_adapter("a")
 
 
+def test_fused_qkv_engine_matches_unfused(tiny_config):
+    """fuse_qkv=True must not change greedy outputs."""
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+    plain = make_engine(tiny_config, fuse_qkv=False).generate([5, 17, 42], sp)
+    fused_eng = make_engine(tiny_config, fuse_qkv=True)
+    assert "qkv" in fused_eng.runner.params["layers"]
+    assert "q" not in fused_eng.runner.params["layers"]
+    fused = fused_eng.generate([5, 17, 42], sp)
+    assert fused.output_tokens == plain.output_tokens
+
+
+def test_lora_merge_into_fused_qkv(tiny_config, tmp_path):
+    """q_proj adapters land in the right column slice of the fused weight."""
+    eng = make_engine(tiny_config, fuse_qkv=True)
+    adir = make_adapter_dir(tmp_path, tiny_config)
+    base = np.asarray(eng.runner.params["layers"]["qkv"])
+    eng.load_lora_adapter("a", adir)
+    eng.set_active_lora("a")
+    merged = np.asarray(eng.runner.params["layers"]["qkv"])
+    d = tiny_config.head_dim
+    hq = tiny_config.num_attention_heads * d
+    # only the q columns changed
+    assert not np.allclose(base[:, :, :hq], merged[:, :, :hq])
+    np.testing.assert_allclose(base[:, :, hq:], merged[:, :, hq:])
+    eng.set_active_lora(None)
+    np.testing.assert_allclose(
+        np.asarray(eng.runner.params["layers"]["qkv"]), base)
+
+
 def test_lora_on_int8_weights(tiny_config, tmp_path):
     from vllm_i64_tpu.core.quantize_model import quantize_params
     from vllm_i64_tpu.ops.quant import QTensor
@@ -203,7 +232,7 @@ def test_lora_on_int8_weights(tiny_config, tmp_path):
                         kv_cache_dtype="float32", quantization="int8",
                         decode_batch_buckets=(1, 2),
                         prefill_batch_buckets=(1, 2),
-                        prefill_token_buckets=(16, 32))
+                        prefill_token_buckets=(16, 32), fuse_qkv=False)
     eng = Engine(qparams, tiny_config, ecfg)
     if not isinstance(eng.runner.params["layers"]["q"], QTensor):
         pytest.skip("int8 pass does not quantize attention projections")

@@ -183,6 +183,10 @@ class EngineConfig:
     # latency; admission of new requests waits at most K steps.
     multistep_decode: int = 8
 
+    # Fuse q/k/v projections into one GEMM per layer (ref: model.py
+    # fuse_qkv :114-145). Decode at small batch is launch-latency-bound.
+    fuse_qkv: bool = True
+
     def resolve_kv_blocks(self) -> int:
         """Auto KV block count (ref: engine/config.py resolve_kv_blocks)."""
         if self.max_kv_blocks and self.max_kv_blocks > 0:

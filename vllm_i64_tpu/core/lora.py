@@ -176,21 +176,40 @@ class LoRAManager:
                     f"incomplete LoRA pair at layer {layer} {target}")
             by_target.setdefault(target, {})[layer] = ab
 
+        cfg = self.engine.model_config
+        d = cfg.head_dim
+        qkv_offsets = {
+            "q_proj": (0, cfg.num_attention_heads * d),
+            "k_proj": (cfg.num_attention_heads * d,
+                       (cfg.num_attention_heads + cfg.num_key_value_heads) * d),
+            "v_proj": ((cfg.num_attention_heads + cfg.num_key_value_heads) * d,
+                       (cfg.num_attention_heads
+                        + 2 * cfg.num_key_value_heads) * d),
+        }
+
         for target, layers in by_target.items():
             path = _TARGET_MAP[target]
             node = params
             for part in path[:-1]:
                 node = node[part]
             leaf = node.get(path[-1])
+            col_range = None
+            if leaf is None and target in qkv_offsets and "qkv" in node:
+                # engine fused q/k/v into one projection: merge the delta
+                # into this target's column slice of the fused weight
+                leaf = node["qkv"]
+                path = path[:-1] + ("qkv",)
+                col_range = qkv_offsets[target]
             if leaf is None:
                 logger.warning("model has no %s — skipping", ".".join(path))
                 continue
-            node[path[-1]] = self._merged_leaf(leaf, layers, adapter.scaling)
+            node[path[-1]] = self._merged_leaf(
+                leaf, layers, adapter.scaling, col_range=col_range)
         return params
 
     @staticmethod
     def _merged_leaf(leaf, layers: Dict[int, Dict[str, np.ndarray]],
-                     scaling: float):
+                     scaling: float, col_range=None):
         from ..ops.quant import QTensor, dequantize, quantize_int8
 
         is_q = isinstance(leaf, QTensor)
@@ -199,7 +218,11 @@ class LoRAManager:
         for layer, ab in layers.items():
             delta = (jnp.asarray(ab["A"], jnp.float32)
                      @ jnp.asarray(ab["B"], jnp.float32)) * scaling
-            out = out.at[layer].add(delta.astype(out.dtype))
+            if col_range is not None:
+                out = out.at[layer, :, col_range[0]:col_range[1]].add(
+                    delta.astype(out.dtype))
+            else:
+                out = out.at[layer].add(delta.astype(out.dtype))
         if is_q:
             return quantize_int8(out)
         return out

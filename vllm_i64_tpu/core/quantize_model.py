@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Set
 
 import jax
+import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.quant import QTensor, quantize_int8
@@ -59,15 +60,67 @@ def quantize_params(params, cfg: ModelConfig, method: str = "int8"):
         if key in _LAYER_MATMUL_KEYS:
             layers[key] = quant(layers[key])
     mlp = dict(layers["mlp"])
+    routed = cfg.use_token_routed_mlp and cfg.num_experts > 1
     for key in list(mlp.keys()):
-        if key in _MLP_MATMUL_KEYS:
-            mlp[key] = quant(mlp[key])
+        if key not in _MLP_MATMUL_KEYS:
+            continue
+        w = mlp[key]
+        if routed and key in ("gate", "up") and w.ndim == 4:
+            # flat-expert layout (L, H, E*I): every MoE matmul becomes one
+            # 2D dequant GEMM — the Pallas kernels read int8 straight from
+            # HBM instead of XLA materializing a dequantized (E, H, I) copy
+            # each step. Per-(e,i) scales are unchanged (contraction is H).
+            l, e, h, i = w.shape
+            w = jnp.transpose(w, (0, 2, 1, 3)).reshape(l, h, e * i)
+        elif routed and key == "down" and w.ndim == 4:
+            # (L, E*I, H): the expert sum folds into the contraction; scale
+            # granularity moves from per-(e,h) to per-h (validated against
+            # the reference fp32 envelope in test_reference_parity)
+            l, e, i, h = w.shape
+            w = w.reshape(l, e * i, h)
+        mlp[key] = quant(w)
     layers["mlp"] = mlp
     out["layers"] = layers
     if "lm_head" in out:
         # lm head stays float: fp32 logits parity (tied embeddings are
         # never quantized in the reference either)
         pass
+    return out
+
+
+def fuse_qkv_params(params):
+    """Concatenate q/k/v projections into one (.., H, Hq+2*Hkv) weight —
+    one GEMM per layer instead of three (ref: model.py fuse_qkv :114-145).
+    Works on float arrays and QTensors (scales concatenate per-out-channel).
+    Apply AFTER quantize_params; mu-guided attention keeps separate
+    projections (the mu biases add to q/k/v pre-concat order anyway)."""
+    from ..ops.quant import Q4Tensor, QTensor
+
+    layers = params.get("layers", {})
+    if not all(k in layers for k in ("q", "k", "v")) or "qkv" in layers:
+        return params
+    q, k, v = layers["q"], layers["k"], layers["v"]
+    out = dict(params)
+    new_layers = dict(layers)
+    if isinstance(q, QTensor):
+        fused = QTensor(
+            jnp.concatenate([q.q, k.q, v.q], axis=-1),
+            jnp.concatenate([q.s, k.s, v.s], axis=-1),
+        )
+    elif isinstance(q, Q4Tensor):
+        # int4: packed/scales/zeros all concatenate on the out-channel axis
+        fused = Q4Tensor(
+            jnp.concatenate([q.packed, k.packed, v.packed], axis=-1),
+            jnp.concatenate([q.scales, k.scales, v.scales], axis=-1),
+            jnp.concatenate([q.zeros, k.zeros, v.zeros], axis=-1),
+            group_size=q.group_size,
+        )
+    else:
+        fused = jnp.concatenate([q, k, v], axis=-1)
+    new_layers["qkv"] = fused
+    for key in ("q", "k", "v"):
+        del new_layers[key]
+    out["layers"] = new_layers
     return out
 
 

@@ -122,6 +122,10 @@ class Engine:
 
         self.runner: Optional[ModelRunner] = None
         if params is not None:
+            if ec.fuse_qkv and mesh is None:
+                from ..core.quantize_model import fuse_qkv_params
+
+                params = fuse_qkv_params(params)
             self.runner = ModelRunner(params, self.model_config, ec, mesh=mesh)
 
         # hot-swap LoRA adapters (enabled via enable_lora(); ref:

@@ -147,9 +147,18 @@ def _attention_block(
     hq = cfg.num_attention_heads
     hkv = cfg.num_key_value_heads
 
-    q = linear(hidden, p["q"])
-    k = linear(hidden, p["k"])
-    v = linear(hidden, p["v"])
+    if "qkv" in p:
+        # fused projection: one GEMM instead of three (ref: model.py
+        # fuse_qkv :114-145 — the CPU inference fusion, equally valuable on
+        # TPU where small decode GEMMs are launch-latency-bound)
+        qkv = linear(hidden, p["qkv"])
+        q = qkv[..., : hq * d]
+        k = qkv[..., hq * d : hq * d + hkv * d]
+        v = qkv[..., hq * d + hkv * d :]
+    else:
+        q = linear(hidden, p["q"])
+        k = linear(hidden, p["k"])
+        v = linear(hidden, p["v"])
     if cfg.mu_enabled and mu_prev is not None:
         q = q + linear(mu_prev, p["mu_to_q"])
         k = k + linear(mu_prev, p["mu_to_k"])

@@ -45,6 +45,17 @@ def _maybe_dequant_q4(w, dtype):
     return w
 
 
+def _is_flat_expert(w) -> bool:
+    """Quantized flat layout: payload is 2D (H, E*I) after layer slicing."""
+    from .quant import Q4Tensor, QTensor
+
+    if isinstance(w, QTensor):
+        return w.q.ndim == 2
+    if isinstance(w, Q4Tensor):
+        return w.packed.ndim == 2
+    return False
+
+
 def _expert_einsum_in(x: jax.Array, w) -> jax.Array:
     """x: (N, H), w: (E, H, I) -> (N, E, I) with per-(e,i) dequant."""
     acc_t = _acc_dtype(x.dtype)
@@ -139,11 +150,25 @@ def token_routed_mlp(
     routes = compute_routes(topk_table, token_ids, vocab_size)
     mask = route_mask(routes, num_experts, primary_weight, dtype=acc_t)  # (N, E)
 
-    gate = _expert_einsum_in(x, gate_w)  # (N, E, I)
-    up = _expert_einsum_in(x, up_w)
-    inter = jax.nn.silu(gate.astype(acc_t)) * up.astype(acc_t)
-    inter = (inter * mask[:, :, None]).astype(x.dtype)
-    routed = _expert_einsum_out(inter, down_w)  # (N, H)
+    if _is_flat_expert(gate_w):
+        # quantized flat-expert layout (H, E*I): one fused Pallas SwiGLU
+        # dequant GEMM computes ALL experts' intermediates, the routing
+        # mask expands per expert segment, and down is one dequant GEMM
+        # whose contraction performs the expert sum
+        from .fused_swiglu import fused_swiglu
+        from .linear import linear
+
+        inter = fused_swiglu(x, gate_w, up_w)  # (N, E*I)
+        i_size = inter.shape[-1] // num_experts
+        mask_flat = jnp.repeat(mask, i_size, axis=1).astype(acc_t)
+        inter = (inter.astype(acc_t) * mask_flat).astype(x.dtype)
+        routed = linear(inter, down_w)  # (N, H)
+    else:
+        gate = _expert_einsum_in(x, gate_w)  # (N, E, I)
+        up = _expert_einsum_in(x, up_w)
+        inter = jax.nn.silu(gate.astype(acc_t)) * up.astype(acc_t)
+        inter = (inter * mask[:, :, None]).astype(x.dtype)
+        routed = _expert_einsum_out(inter, down_w)  # (N, H)
 
     if shared_gate is None:
         return routed_output_scale * routed

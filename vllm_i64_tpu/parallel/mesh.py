@@ -71,6 +71,7 @@ def _layer_specs(cfg: ModelConfig) -> dict:
         "q": P(None, None, "tp"),
         "k": P(None, None, "tp"),
         "v": P(None, None, "tp"),
+        "qkv": P(None, None, "tp"),  # fused projection (column-parallel)
         "o": P(None, "tp", None),
         "post_ln": P(),
     }
@@ -146,6 +147,13 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
     def place(path, leaf):
         spec = _spec_for_leaf_path(specs, path)
         if isinstance(leaf, QTensor):
+            if leaf.q.ndim == len(spec) - 1:
+                # flat-expert quantized layout: the (E, I)->(E*I) collapse
+                # merges the two trailing expert axes; their mesh axes merge
+                # too (gate/up (L,E,H,I)->(L,H,E*I): ("ep",)+("tp",) ->
+                # ("ep","tp") on the flat axis; down analogous). Any column
+                # partition of the flat axis is mathematically valid.
+                spec = _flatten_expert_spec(spec, path)
             q_sh = NamedSharding(mesh, spec)
             # scale shape = weight shape minus the contraction axis (-2)
             s_spec = P(*[a for i, a in enumerate(spec) if i != len(spec) - 2])
@@ -158,6 +166,22 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(
         place, params, is_leaf=lambda x: isinstance(x, QTensor)
     )
+
+
+def _flatten_expert_spec(spec: P, path) -> P:
+    """Map a stacked (L, E, H, I)/(L, E, I, H) spec onto the flat quantized
+    layout (L, H, E*I)/(L, E*I, H)."""
+    key = getattr(path[-1], "key", None) or getattr(path[-1], "name", "")
+    def merge(*axes):
+        flat = tuple(a for a in axes if a is not None)
+        return flat if len(flat) > 1 else (flat[0] if flat else None)
+    if key in ("gate", "up"):
+        # (L, E[ep], H, I[tp]) -> (L, H, E*I[ep,tp])
+        return P(spec[0], spec[2], merge(spec[1], spec[3]))
+    if key == "down":
+        # (L, E[ep], I[tp], H) -> (L, E*I[ep,tp], H)
+        return P(spec[0], merge(spec[1], spec[2]), spec[3])
+    return spec
 
 
 def validate_divisibility(cfg: ModelConfig, pcfg: ParallelConfig) -> None:

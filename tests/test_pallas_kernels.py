@@ -136,3 +136,62 @@ def test_paged_decode_pallas_after_write(key):
                            jnp.full((b, 1), t - 1, jnp.int32), ctx)[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# paged prefill attention
+# ---------------------------------------------------------------------------
+
+
+def test_paged_prefill_pallas_matches_xla(key):
+    from vllm_i64_tpu.ops.prefill_attention_pallas import (
+        paged_prefill_attention_pallas,
+    )
+
+    b, t, hq, hkv, d, bs, nb, mb = 2, 16, 8, 2, 32, 4, 64, 16
+    keys = jax.random.split(key, 6)
+    kc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    vc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    perm = np.random.default_rng(1).permutation(nb - 1)[: b * mb] + 1
+    bt = jnp.asarray(perm.reshape(b, mb).astype(np.int32))
+    # row 0: fresh prefill of 16 tokens; row 1: chunk starting at pos 32
+    starts = jnp.asarray([0, 32], jnp.int32)
+    positions = starts[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    ctx = starts + t
+    k_new = jax.random.normal(keys[0], (b, 48, hkv, d))
+    v_new = jax.random.normal(keys[1], (b, 48, hkv, d))
+    all_pos = jnp.tile(jnp.arange(48, dtype=jnp.int32)[None], (b, 1))
+    valid = all_pos < ctx[:, None]
+    kc, vc = write_kv(kc, vc, k_new, v_new, bt, all_pos, valid)
+    q = jax.random.normal(keys[2], (b, t, hq, d))
+
+    got = paged_prefill_attention_pallas(
+        q, kc, vc, bt, positions, ctx, block_size=bs, chunk_blocks=2,
+        t_tile=8, interpret=True)
+    want = paged_attention(q, kc, vc, bt, positions, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_prefill_pallas_single_tile(key):
+    from vllm_i64_tpu.ops.prefill_attention_pallas import (
+        paged_prefill_attention_pallas,
+    )
+
+    b, t, hq, hkv, d, bs = 1, 8, 4, 2, 16, 4
+    nb, mb = 16, 4
+    kc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    vc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    bt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    positions = jnp.arange(t, dtype=jnp.int32)[None]
+    ctx = jnp.asarray([t], jnp.int32)
+    k_new = jax.random.normal(key, (b, t, hkv, d))
+    v_new = jax.random.normal(jax.random.fold_in(key, 1), (b, t, hkv, d))
+    kc, vc = write_kv(kc, vc, k_new, v_new, bt, positions)
+    q = jax.random.normal(jax.random.fold_in(key, 2), (b, t, hq, d))
+    got = paged_prefill_attention_pallas(
+        q, kc, vc, bt, positions, ctx, block_size=bs, chunk_blocks=2,
+        t_tile=8, interpret=True)
+    want = paged_attention(q, kc, vc, bt, positions, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -83,7 +83,9 @@ def main() -> None:
         quantization=args.quantization,
         decode_batch_buckets=(args.max_batch,),
         prefill_batch_buckets=(1, 2, 4),
-        prefill_token_buckets=(max(args.prompt_len, 512),),
+        # rows pad to the CHUNK length, not the whole budget — a 128-token
+        # prompt must not burn a 512-wide prefill row
+        prefill_token_buckets=(args.prompt_len, max(args.prompt_len, 512)),
         multistep_decode=args.multistep,
     )
     engine = Engine(params, cfg, ecfg)

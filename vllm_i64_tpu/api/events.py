@@ -1,4 +1,9 @@
-"""In-process event bus -> SSE /v1/agent/events (ref: vllm_i64/api/events.py)."""
+"""In-process pub/sub feeding the /v1/agent/events SSE stream.
+
+Capability analog of the reference's agent event bus (ref:
+vllm_i64/api/events.py): typed events with session ids, bounded history,
+fan-out to any number of SSE subscribers, non-blocking emit.
+"""
 
 from __future__ import annotations
 
@@ -6,15 +11,18 @@ import asyncio
 import logging
 import time
 import uuid
+from collections import deque
 from dataclasses import asdict, dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 logger = logging.getLogger("vllm_i64_tpu.events")
+
+EVENT_KINDS = ("sandbox", "rag_search", "rag_index", "completion", "error")
 
 
 @dataclass
 class AgentEvent:
-    type: str  # "sandbox" | "rag_search" | "rag_index" | "completion" | "error"
+    type: str
     session_id: str
     timestamp: float = field(default_factory=time.time)
     event_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
@@ -24,38 +32,49 @@ class AgentEvent:
         return asdict(self)
 
 
+class _Subscriber:
+    __slots__ = ("sub_id", "queue")
+
+    def __init__(self, maxsize: int = 500):
+        self.sub_id = uuid.uuid4().hex[:8]
+        self.queue: asyncio.Queue = asyncio.Queue(maxsize=maxsize)
+
+
 class EventBus:
-    """Fan-out bus: every subscriber queue receives every event."""
+    """Bounded-history fan-out bus; slow subscribers drop, never block."""
 
     def __init__(self, history_limit: int = 200):
-        self._subs: Dict[str, asyncio.Queue] = {}
-        self._history: List[AgentEvent] = []
-        self._history_limit = history_limit
+        self._history: deque = deque(maxlen=history_limit)
+        self._subs: Dict[str, _Subscriber] = {}
+        self.dropped = 0
 
     def emit(self, event: AgentEvent) -> None:
         self._history.append(event)
-        if len(self._history) > self._history_limit:
-            self._history = self._history[-self._history_limit:]
-        for sub_id, queue in list(self._subs.items()):
+        for sub in list(self._subs.values()):
             try:
-                queue.put_nowait(event)
+                sub.queue.put_nowait(event)
             except asyncio.QueueFull:
-                logger.warning("subscriber %s queue full; dropping event", sub_id)
+                self.dropped += 1
+                logger.warning("subscriber %s full; event dropped",
+                               sub.sub_id)
 
     def subscribe(self) -> Tuple[str, asyncio.Queue]:
-        sub_id = uuid.uuid4().hex[:8]
-        self._subs[sub_id] = asyncio.Queue(maxsize=500)
-        return sub_id, self._subs[sub_id]
+        sub = _Subscriber()
+        self._subs[sub.sub_id] = sub
+        return sub.sub_id, sub.queue
 
     def unsubscribe(self, sub_id: str) -> None:
         self._subs.pop(sub_id, None)
 
+    def _iter_history(self, session_id: Optional[str]) -> Iterator[AgentEvent]:
+        for ev in self._history:
+            if session_id is None or ev.session_id == session_id:
+                yield ev
+
     def get_history(self, session_id: Optional[str] = None,
                     limit: int = 50) -> List[dict]:
-        events = self._history
-        if session_id:
-            events = [e for e in events if e.session_id == session_id]
-        return [e.to_dict() for e in events[-limit:]]
+        rows = [ev.to_dict() for ev in self._iter_history(session_id)]
+        return rows[-limit:]
 
     @property
     def subscriber_count(self) -> int:

@@ -108,9 +108,15 @@ def main() -> None:
     ]
     warm_ids = [engine.add_request(pr, sp) for pr in warm_prompts]
     guard = 0
+    warmup_budget_s = 480.0
     while engine.scheduler.has_work and guard < 10000:
         engine.step()
         guard += 1
+        if time.perf_counter() - t0 > warmup_budget_s:
+            log("[bench] warmup budget reached — cancelling leftovers")
+            for wid in warm_ids:
+                engine.cancel_request(wid)
+            break
     log(f"[bench] warmup done in {time.perf_counter()-t0:.1f}s")
 
     # Timed run: continuous batching over all requests

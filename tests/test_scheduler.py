@@ -247,3 +247,140 @@ class TestCancel:
         rid = s.add_request(prompt(4), eos_token_id=-1)
         assert s.cancel(rid)
         assert s.schedule() is None
+
+
+class TestSchedulerEdgeCases:
+    """Deeper edge coverage (ref: tests/test_scheduler.py — 42 cases)."""
+
+    def make(self, **kw):
+        from vllm_i64_tpu.core.scheduler import Scheduler
+
+        kw.setdefault("max_batch_size", 4)
+        kw.setdefault("max_seq_len", 64)
+        kw.setdefault("kv_block_size", 4)
+        kw.setdefault("max_kv_blocks", 16)
+        kw.setdefault("max_prefill_tokens", 8)
+        return Scheduler(**kw)
+
+    def drive(self, sched, tok=7, steps=1):
+        for _ in range(steps):
+            batch = sched.schedule()
+            if batch is None:
+                return None
+            sched.update_after_step(
+                batch,
+                {s.request.request_id: tok for s in batch.seqs
+                 if s.needs_sample})
+        return batch
+
+    def test_admission_blocked_until_blocks_free(self):
+        sched = self.make(max_kv_blocks=5)  # 4 usable blocks
+        r1 = sched.add_request(np.arange(12, dtype=np.int64),
+                               max_new_tokens=2)  # needs 3 blocks
+        sched.schedule()
+        r2 = sched.add_request(np.arange(12, dtype=np.int64) + 50,
+                               max_new_tokens=2)  # needs 3 more — no room
+        sched.schedule()
+        assert sched.get_request(r2).state.name == "PENDING"
+        # finish r1 -> its blocks free -> r2 admits
+        req1 = sched.get_request(r1)
+        req1.output_token_ids = [req1.eos_token_id] * 2
+        sched.schedule()  # sweep r1
+        sched.schedule()
+        assert sched.get_request(r2).state.name == "RUNNING"
+
+    def test_arrival_order_within_same_priority(self):
+        sched = self.make(max_batch_size=1)
+        a = sched.add_request(np.arange(4, dtype=np.int64), max_new_tokens=1)
+        b = sched.add_request(np.arange(4, dtype=np.int64) + 9,
+                              max_new_tokens=1)
+        sched.schedule()
+        assert sched.get_request(a).state.name == "RUNNING"
+        assert sched.get_request(b).state.name == "PENDING"
+
+    def test_priority_overrides_arrival(self):
+        sched = self.make(max_batch_size=1)
+        a = sched.add_request(np.arange(4, dtype=np.int64),
+                              max_new_tokens=1, priority=5)
+        b = sched.add_request(np.arange(4, dtype=np.int64) + 9,
+                              max_new_tokens=1, priority=-5)
+        sched.schedule()
+        assert sched.get_request(b).state.name == "RUNNING"
+        assert sched.get_request(a).state.name == "PENDING"
+
+    def test_chunked_prefill_positions_are_contiguous(self):
+        sched = self.make(max_prefill_tokens=8)
+        rid = sched.add_request(np.arange(20, dtype=np.int64),
+                                max_new_tokens=1)
+        seen = []
+        for _ in range(4):
+            batch = sched.schedule()
+            if batch is None:
+                break
+            for s in batch.seqs:
+                if s.is_prefill:
+                    seen.extend(s.positions.tolist())
+            sched.update_after_step(
+                batch, {s.request.request_id: 3 for s in batch.seqs
+                        if s.needs_sample})
+        assert seen == list(range(20))
+
+    def test_mid_prefill_chunks_do_not_sample(self):
+        sched = self.make(max_prefill_tokens=8)
+        sched.add_request(np.arange(20, dtype=np.int64), max_new_tokens=1)
+        batch = sched.schedule()
+        assert all(not s.needs_sample for s in batch.seqs)  # 8 of 20 done
+
+    def test_restored_request_reprefills_output_tokens(self):
+        sched = self.make(max_kv_blocks=8, max_prefill_tokens=64)
+        victim = sched.add_request(np.arange(8, dtype=np.int64),
+                                   max_new_tokens=8, priority=5)
+        self.drive(sched, steps=3)
+        assert sched.get_request(victim).num_generated >= 1
+        n_gen = sched.get_request(victim).num_generated
+        # high-priority arrival forces preemption
+        hp = sched.add_request(np.arange(20, dtype=np.int64) + 100,
+                               max_new_tokens=1, priority=-5)
+        sched.schedule()
+        vreq = sched.get_request(victim)
+        assert vreq.state.name in ("PENDING", "PREEMPTED")
+        # finish the high-priority request, restore the victim
+        hreq = sched.get_request(hp)
+        hreq.output_token_ids = [hreq.eos_token_id]
+        batch = None
+        for _ in range(6):
+            batch = sched.schedule()
+            if batch and any(s.request.request_id == victim
+                             for s in batch.seqs):
+                break
+        # victim re-prefills prompt + saved output tokens
+        pre = [s for s in batch.seqs
+               if s.request.request_id == victim and s.is_prefill]
+        assert pre
+        assert vreq.output_token_ids[:n_gen] == [7] * n_gen  # restored
+
+    def test_cancel_frees_blocks_immediately(self):
+        sched = self.make()
+        rid = sched.add_request(np.arange(12, dtype=np.int64),
+                                max_new_tokens=4)
+        sched.schedule()
+        free_before = sched.blocks.num_free
+        assert sched.cancel(rid)
+        assert sched.blocks.num_free > free_before
+
+    def test_add_prefilled_request_decodes_immediately(self):
+        sched = self.make()
+        rid = sched.add_prefilled_request(
+            np.arange(8, dtype=np.int64), first_token=42, max_new_tokens=4)
+        batch = sched.schedule()
+        seqs = [s for s in batch.seqs if s.request.request_id == rid]
+        assert seqs and not seqs[0].is_prefill  # straight to decode
+        assert seqs[0].token_ids.tolist() == [42]
+
+    def test_max_new_tokens_zero_like_budget(self):
+        sched = self.make()
+        rid = sched.add_request(np.arange(4, dtype=np.int64),
+                                max_new_tokens=1)
+        self.drive(sched, steps=2)
+        req = sched.get_request(rid)
+        assert req.is_finished and req.num_generated == 1

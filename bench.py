@@ -149,12 +149,21 @@ def main() -> None:
     def pct(a, q):
         return a[min(len(a) - 1, int(q * len(a)))] if a else 0.0
 
-    # vs_baseline: ratio against a published reference number if present
+    # vs_baseline: published reference number if any; else the in-environment
+    # measured reference CPU engine (MEASURED_BASELINE.json / BASELINE.md —
+    # its sequential single-request path; its batched path crashes)
     vs_baseline = 1.0
+    import os as _os
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
     try:
-        with open("BASELINE.json") as f:
+        with open(_os.path.join(here, "BASELINE.json")) as f:
             published = json.load(f).get("published", {})
         base = published.get("tokens_per_sec_per_chip")
+        if not base:
+            with open(_os.path.join(here, "MEASURED_BASELINE.json")) as f:
+                base = json.load(f).get(
+                    "reference_cpu_int8_sequential_tok_s")
         if base:
             vs_baseline = throughput / float(base)
     except Exception:

@@ -255,3 +255,62 @@ def test_top_k_zero_means_disabled(logits):
     rng = np.random.default_rng(0)
     seen = {sample_host(logits, p, rng=rng) for _ in range(300)}
     assert len(seen) > 10  # full support reachable
+
+
+# ---------------------------------------------------------------------------
+# engine-level seed reproducibility (regression: rotating base key broke it)
+# ---------------------------------------------------------------------------
+
+
+def make_seed_engine(tiny_config, multistep):
+    import jax
+
+    from vllm_i64_tpu.config import EngineConfig
+    from vllm_i64_tpu.engine import Engine
+    from vllm_i64_tpu.models import complexity_deep as cdm
+
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=64, max_prefill_tokens=32,
+                        dtype="float32", kv_cache_dtype="float32",
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,),
+                        multistep_decode=multistep,
+                        enable_request_merging=False)
+    return Engine(params, tiny_config, ecfg)
+
+
+def test_engine_seeded_sampling_reproducible_single_step(tiny_config):
+    eng = make_seed_engine(tiny_config, multistep=1)
+    sp = SamplingParams(temperature=0.9, top_k=50, top_p=0.95, seed=77,
+                        max_tokens=5)
+    a = eng.generate([5, 17, 42], sp).output_tokens
+    b = eng.generate([5, 17, 42], sp).output_tokens
+    assert a == b
+
+
+def test_engine_seeded_sampling_reproducible_multistep(tiny_config):
+    eng = make_seed_engine(tiny_config, multistep=4)
+    sp = SamplingParams(temperature=0.9, top_k=50, seed=123, max_tokens=6)
+    a = eng.generate([9, 8, 7], sp).output_tokens
+    b = eng.generate([9, 8, 7], sp).output_tokens
+    assert a == b
+
+
+def test_engine_seeded_stream_same_across_step_modes(tiny_config):
+    """Multistep must sample the identical seeded stream as single-step."""
+    sp = SamplingParams(temperature=0.9, top_k=50, seed=5, max_tokens=6)
+    single = make_seed_engine(tiny_config, multistep=1).generate(
+        [3, 1, 4], sp).output_tokens
+    multi = make_seed_engine(tiny_config, multistep=4).generate(
+        [3, 1, 4], sp).output_tokens
+    assert single == multi
+
+
+def test_engine_unseeded_sampling_varies(tiny_config):
+    eng = make_seed_engine(tiny_config, multistep=1)
+    sp = SamplingParams(temperature=1.0, top_k=0, top_p=1.0, max_tokens=8)
+    outs = {tuple(eng.generate([5, 17, 42], sp).output_tokens)
+            for _ in range(4)}
+    assert len(outs) > 1  # unseeded runs must differ

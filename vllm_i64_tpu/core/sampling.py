@@ -258,6 +258,14 @@ def update_token_counts(
     return counts.at[slot_ids, tokens].add(1, mode="drop")
 
 
+# fresh entropy for unseeded rows — drawn per dispatch so unseeded sampling
+# is non-deterministic while the device-side base key stays FIXED (explicit
+# seeds must reproduce regardless of batch composition or dispatch count,
+# matching the reference's per-request torch.Generator semantics,
+# ref: sampling.py:393-398)
+_UNSEEDED_RNG = np.random.default_rng()
+
+
 def make_param_arrays(params_list: List[SamplingParams], requests) -> dict:
     """Host-side: pack per-row parameter vectors for sample_tokens.
 
@@ -290,7 +298,8 @@ def make_param_arrays(params_list: List[SamplingParams], requests) -> dict:
         out["freq_pen"][i] = p.frequency_penalty
         out["pres_pen"][i] = p.presence_penalty
         out["seeds"][i] = (
-            p.seed if p.seed is not None else (req.request_id & 0x7FFFFFFF)
+            p.seed if p.seed is not None
+            else int(_UNSEEDED_RNG.integers(0, 2**31 - 1))
         )
         out["gen_index"][i] = req.num_generated
         out["eos_suppress"][i] = p.min_tokens > 0 and req.num_generated < p.min_tokens

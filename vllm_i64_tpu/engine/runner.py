@@ -74,6 +74,11 @@ class ModelRunner:
         self.counts = jnp.zeros(
             (engine_cfg.max_batch_size, model_cfg.vocab_size), jnp.int32
         )
+        # FIXED base key: the sampler's per-row keys are
+        # fold_in(fold_in(base, seed), gen_index). Explicit request seeds
+        # must reproduce across dispatches/batches, so the base never
+        # rotates; unseeded rows get fresh host-drawn seeds per dispatch
+        # (core/sampling.make_param_arrays).
         self._base_key = jax.random.PRNGKey(0)
 
         self.block_buckets = self._make_block_buckets()
@@ -201,7 +206,11 @@ class ModelRunner:
                 gen_idx, kv_k, kv_v, counts,
             ), emitted
 
-        step_keys = jax.random.split(key, num_steps)
+        # the SAME base key every iteration: per-token variation comes from
+        # gen_index inside the per-row fold, so a seeded request samples the
+        # identical stream regardless of how dispatch windows are aligned
+        # (and identically to the single-step path)
+        step_keys = jnp.broadcast_to(key, (num_steps, *key.shape))
         carry0 = (
             tokens0, positions0, ctx_lens0, active0, tokens_left,
             base_gen, kv_k, kv_v, counts,
@@ -258,7 +267,7 @@ class ModelRunner:
             pad1(slot_ids.astype(np.int32)),
             active,
             pad1(np.maximum(tokens_left, 1).astype(np.int32)),
-            self._next_key(),
+            self._base_key,
             padded_args,
             features,
             num_steps,
@@ -324,7 +333,7 @@ class ModelRunner:
             pad2(valid, fill=False),
             pad1(slot_ids.astype(np.int32)),
             pad1(sample_mask, fill=False),
-            self._next_key(),
+            self._base_key,
             padded_args,
             features,
             return_logits,
@@ -368,9 +377,6 @@ class ModelRunner:
         )
         return np.asarray(logits[0], np.float32)[:t_actual]
 
-    def _next_key(self):
-        self._base_key, sub = jax.random.split(self._base_key)
-        return sub
 
     # -- slot/count management -------------------------------------------------
 

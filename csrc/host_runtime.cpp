@@ -137,7 +137,7 @@ void pool_free(void* h, const int32_t* ids, int32_t n) {
   released.reserve(n);
   for (int32_t i = 0; i < n; i++) {
     int32_t bid = ids[i];
-    if (bid <= 0) continue;
+    if (bid <= 0 || p->ref[bid] <= 0) continue;  // double-free guard
     if (--p->ref[bid] == 0) released.push_back(bid);
   }
   for (auto it = released.rbegin(); it != released.rend(); ++it)

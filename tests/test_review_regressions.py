@@ -1,0 +1,163 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import jax
+import numpy as np
+import pytest
+
+from vllm_i64_tpu.config import EngineConfig
+from vllm_i64_tpu.core.sampling import SamplingParams
+from vllm_i64_tpu.core.scheduler import Scheduler
+from vllm_i64_tpu.engine import Engine
+from vllm_i64_tpu.models import complexity_deep as cdm
+
+
+def test_restored_prefill_covers_saved_outputs_across_chunk_boundary():
+    """Finding 1: a restore whose re-prefill chunk ends between the prompt
+    and the saved outputs must NOT switch to decode early."""
+    sched = Scheduler(max_batch_size=2, max_seq_len=64, kv_block_size=4,
+                      max_kv_blocks=64, max_prefill_tokens=8)
+    rid = sched.add_request(np.arange(6, dtype=np.int64), max_new_tokens=10)
+    req = sched.get_request(rid)
+    # simulate a preempt/restore with 4 saved output tokens
+    req._saved = ([7, 7, 7, 7], 0)
+    req.state = sched.get_request(rid).state.__class__.PENDING
+    batch = sched.schedule()  # admits + first chunk (8 of 10 tokens)
+    seqs = [s for s in batch.seqs if s.request.request_id == rid]
+    assert seqs[0].is_prefill and len(seqs[0].token_ids) == 8
+    assert not seqs[0].needs_sample
+    sched.update_after_step(batch, {})
+    # old bug: prefill_done=8 >= prompt(6) looked "complete" and dropped
+    # the KV of restored tokens at positions 6..9
+    assert not req.prefill_complete
+    batch = sched.schedule()
+    seqs = [s for s in batch.seqs if s.request.request_id == rid]
+    assert seqs[0].is_prefill
+    assert seqs[0].positions.tolist() == [8, 9]
+    assert seqs[0].needs_sample  # final chunk samples
+    # restored content is re-fed, not skipped
+    assert seqs[0].token_ids.tolist() == [7, 7]
+
+
+def test_prefill_groups_split_to_bucket_cap(tiny_config):
+    """Finding 2: more concurrent prefills than the largest prefill batch
+    bucket must split, not crash."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=6, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=128, max_prefill_tokens=64,
+                        dtype="float32", kv_cache_dtype="float32",
+                        decode_batch_buckets=(2, 6),
+                        prefill_batch_buckets=(1, 2),  # cap 2 < 6 prefills
+                        prefill_token_buckets=(8,), multistep_decode=1)
+    eng = Engine(params, tiny_config, ecfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=2)
+    rids = [eng.add_request([3 + i, 7, 11], sp) for i in range(6)]
+    results = [eng.wait_for(r) for r in rids]
+    assert all(len(r.output_tokens) >= 1 for r in results)
+
+
+def test_slot_pool_survives_preemption(tiny_config):
+    """Finding 3: preempted requests must release sampler slots so later
+    admissions don't exhaust the pool."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=9,  # tight: forces preemption
+                        max_prefill_tokens=32, dtype="float32",
+                        kv_cache_dtype="float32",
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,), multistep_decode=1,
+                        enable_request_merging=False)
+    eng = Engine(params, tiny_config, ecfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    low = eng.add_request(list(range(3, 15)), sp, priority=5)
+    for _ in range(4):
+        eng.step()
+    hi1 = eng.add_request(list(range(20, 32)), sp, priority=-5)
+    hi2 = eng.add_request(list(range(40, 52)), sp, priority=-5)
+    # drive everything to completion — previously IndexError on slot pop
+    for rid in (hi1, hi2, low):
+        r = eng.wait_for(rid, max_steps=300)
+        assert r.finish_reason in ("stop", "length", "kv_oom")
+    assert len(eng._free_slots) == 2  # all slots returned
+
+
+def test_merge_backfills_late_joiner(tiny_config):
+    """Finding 5: a secondary merging after the primary generated tokens
+    receives the full completion, not a suffix."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=64, max_prefill_tokens=32,
+                        dtype="float32", kv_cache_dtype="float32",
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,), multistep_decode=1)
+    eng = Engine(params, tiny_config, ecfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    prompt = [5, 17, 42]
+    primary = eng.add_request(list(prompt), sp)
+    for _ in range(5):
+        eng.step()
+    n_done = eng.scheduler.get_request(primary).num_generated
+    assert n_done >= 2
+    secondary = eng.add_request(list(prompt), sp)
+    assert secondary != primary
+    p_res = eng.wait_for(primary)
+    s_res = eng.wait_for(secondary)
+    assert s_res.output_tokens == p_res.output_tokens  # full, not suffix
+
+
+def test_merge_rejected_for_stop_and_min_tokens(tiny_config):
+    """Finding 7: requests with their own stop/min_tokens must not merge."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=64, max_prefill_tokens=32,
+                        dtype="float32", kv_cache_dtype="float32",
+                        decode_batch_buckets=(1, 2, 4),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,), multistep_decode=1)
+    eng = Engine(params, tiny_config, ecfg)
+    prompt = [5, 17, 42]
+    a = eng.add_request(list(prompt), SamplingParams(temperature=0.0,
+                                                     max_tokens=6))
+    b = eng.add_request(list(prompt), SamplingParams(temperature=0.0,
+                                                     max_tokens=6,
+                                                     stop_token_ids=[1]))
+    c = eng.add_request(list(prompt), SamplingParams(temperature=0.0,
+                                                     max_tokens=6,
+                                                     min_tokens=3))
+    # b and c must be REAL scheduler requests, not merged secondaries
+    assert eng.scheduler.get_request(b) is not None
+    assert eng.scheduler.get_request(c) is not None
+    for rid in (a, b, c):
+        eng.wait_for(rid)
+
+
+def test_state_purged_after_result_consumed(tiny_config):
+    """Finding 9: consuming a result drops all per-request bookkeeping."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=64, max_prefill_tokens=32,
+                        dtype="float32", kv_cache_dtype="float32",
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,),
+                        enable_request_merging=False)
+    eng = Engine(params, tiny_config, ecfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=3)
+    for i in range(5):
+        eng.generate([3 + i, 7, 11], sp)
+    assert len(eng.scheduler.finished) == 0
+    assert len(eng.scheduler._requests) == 0
+    assert len(eng._params_by_rid) == 0
+    assert len(eng._slot_by_rid) == 0
+
+
+def test_capacity_clamped_at_max_seq_len():
+    """Finding 6: ensure_capacity never allocates past max_seq_len blocks."""
+    sched = Scheduler(max_batch_size=2, max_seq_len=32, kv_block_size=4,
+                      max_kv_blocks=64, max_prefill_tokens=32)
+    rid = sched.add_request(np.arange(28, dtype=np.int64), max_new_tokens=4)
+    sched.schedule()
+    req = sched.get_request(rid)
+    assert sched.ensure_capacity(req, 100)  # clamped, not rejected
+    assert len(req.kv_block_ids) <= 8  # 32 / 4

@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 
 from vllm_i64_tpu.core.scheduler import (
-    BlockAllocator,
     Request,
     RequestState,
     Scheduler,
@@ -44,7 +43,16 @@ def run_step(s, token=7):
     return batch
 
 
+from vllm_i64_tpu.core.block_pool import BlockPool
+
+
+def BlockAllocator(n):
+    return BlockPool(n, block_size=4)
+
+
 class TestBlockAllocator:
+    """Allocator-surface tests now run against BlockPool (the only
+    allocator in production; the separate BlockAllocator was removed)."""
     def test_block_zero_reserved(self):
         a = BlockAllocator(8)
         got = a.allocate(7)

@@ -117,8 +117,8 @@ class BlockPool:
         and the prompt head survives longest (prefix-reuse friendly)."""
         released = []
         for bid in block_ids:
-            if bid <= 0:
-                continue
+            if bid <= 0 or self.ref[bid] <= 0:
+                continue  # double-free guard (matches the C++ pool)
             self.ref[bid] -= 1
             if self.ref[bid] == 0:
                 released.append(bid)

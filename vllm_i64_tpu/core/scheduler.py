@@ -59,7 +59,10 @@ class Request:
 
     output_token_ids: List[int] = field(default_factory=list)
     kv_block_ids: List[int] = field(default_factory=list)
-    prefill_done: int = 0  # prompt tokens already written to KV
+    prefill_done: int = 0  # tokens already written to KV by prefill chunks
+    # restored output tokens that must ALSO be re-prefilled after a
+    # preemption (prefill target = prompt + restore_extra)
+    restore_extra: int = 0
     cached_prefix_len: int = 0  # tokens satisfied by prefix cache at admission
 
     # preemption save slots
@@ -85,7 +88,10 @@ class Request:
 
     @property
     def prefill_complete(self) -> bool:
-        return self.prefill_done >= self.num_prompt_tokens
+        # a restored request must re-prefill its saved output tokens too —
+        # comparing against the prompt alone would switch to decode with
+        # KV missing for positions prompt..prompt+restore_extra-1
+        return self.prefill_done >= self.num_prompt_tokens + self.restore_extra
 
     @property
     def is_finished(self) -> bool:
@@ -134,46 +140,6 @@ class ScheduledBatch:
     @property
     def prefill_seqs(self) -> List[ScheduledSeq]:
         return [s for s in self.seqs if s.is_prefill or len(s.token_ids) > 1]
-
-
-class BlockAllocator:
-    """Integer KV block free list: O(1) alloc/free, O(1) membership.
-
-    Block 0 is reserved as the null block and never handed out.
-    """
-
-    def __init__(self, num_blocks: int):
-        self.num_blocks = num_blocks
-        self._free = deque(range(1, num_blocks))
-        self._free_set: Set[int] = set(range(1, num_blocks))
-
-    @property
-    def num_free(self) -> int:
-        return len(self._free)
-
-    def allocate(self, n: int) -> Optional[List[int]]:
-        if len(self._free) < n:
-            return None
-        out = []
-        for _ in range(n):
-            bid = self._free.popleft()
-            self._free_set.discard(bid)
-            out.append(bid)
-        return out
-
-    def allocate_specific(self, block_id: int) -> bool:
-        """Claim a specific block (prefix-cache reuse path)."""
-        if block_id not in self._free_set:
-            return False
-        self._free_set.discard(block_id)
-        self._free.remove(block_id)  # O(n) — prefix hits are per-admission, not per-step
-        return True
-
-    def free(self, block_ids: List[int]) -> None:
-        for bid in block_ids:
-            if bid > 0 and bid not in self._free_set:
-                self._free.append(bid)
-                self._free_set.add(bid)
 
 
 class Scheduler:
@@ -328,9 +294,11 @@ class Scheduler:
         victims = sorted(
             self.running, key=lambda r: (-r.priority, -len(r.kv_block_ids))
         )
-        freed = 0
+        # measure actual availability: shared prefix blocks (ref > 1) do not
+        # free when a victim releases them, and already-free blocks count
+        # toward the goal without preempting anyone
         for victim in victims:
-            if freed >= blocks_needed:
+            if self.blocks.num_free >= blocks_needed:
                 break
             # never preempt equal-or-higher-priority work
             if victim.priority <= requester_priority:
@@ -338,10 +306,10 @@ class Scheduler:
             victim.state = RequestState.PREEMPTED
             victim._saved = (list(victim.output_token_ids), victim.prefill_done)
             self.blocks.free(victim.kv_block_ids)
-            freed += len(victim.kv_block_ids)
             victim.kv_block_ids = []
             victim.output_token_ids = []
             victim.prefill_done = 0
+            victim.restore_extra = 0
             victim.cached_prefix_len = 0
             self.running.remove(victim)
             # re-admit with a priority boost so it isn't starved
@@ -356,7 +324,7 @@ class Scheduler:
                 victim.request_id,
                 len(victim._saved[0]),
             )
-        return freed >= blocks_needed
+        return self.blocks.num_free >= blocks_needed
 
     # -- prefix caching -------------------------------------------------------
 
@@ -456,6 +424,7 @@ class Scheduler:
                 saved_out, saved_prefill = req._saved
                 req.output_token_ids = saved_out
                 req.prefill_done = 0  # KV gone — must re-prefill prompt (+ saved out)
+                req.restore_extra = len(saved_out)
                 req._saved = None
             else:
                 # cached prefix tokens skip chunked prefill entirely
@@ -524,10 +493,17 @@ class Scheduler:
                 # one decoded token also lives in KV next step; ensure capacity
                 self._grow_blocks(req)
 
+    @property
+    def _max_blocks_per_seq(self) -> int:
+        return -(-self.max_seq_len // self.kv_block_size)
+
     def ensure_capacity(self, req: Request, extra_tokens: int) -> bool:
         """Pre-allocate KV blocks to hold total_tokens + extra_tokens
-        (multi-step decode reserves its whole window up front)."""
+        (multi-step decode reserves its whole window up front). The block
+        table never grows past max_seq_len's worth — positions are bounded
+        by the admission-time prompt+max_tokens <= max_seq_len check."""
         needed = -(-(req.total_tokens + extra_tokens) // self.kv_block_size)
+        needed = min(needed, self._max_blocks_per_seq)
         deficit = needed - len(req.kv_block_ids)
         if deficit <= 0:
             return True
@@ -554,6 +530,7 @@ class Scheduler:
     def _grow_blocks(self, req: Request) -> None:
         # +1: the next decode step writes K/V at position total_tokens
         needed = -(-(req.total_tokens + 1) // self.kv_block_size)
+        needed = min(needed, self._max_blocks_per_seq)
         deficit = needed - len(req.kv_block_ids)
         if deficit <= 0:
             return

@@ -93,11 +93,12 @@ class AsyncEngine:
         logger.info("engine stopped")
 
     async def cancel_request(self, rid: int) -> None:
-        self.engine.cancel_request(rid)
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(None, self.engine.cancel_request, rid)
 
     # -- submission --------------------------------------------------------------
 
-    def _admit(
+    async def _admit(
         self,
         prompt_token_ids,
         sampling_params: Optional[SamplingParams],
@@ -111,12 +112,18 @@ class AsyncEngine:
             raise RuntimeError(
                 f"queue full ({self.active_requests}/{self.max_queue_depth})"
             )
-        rid = self.engine.add_request(
-            prompt_token_ids,
-            sampling_params,
-            priority=priority,
-            timeout_s=timeout_s,
-            cache_namespace=cache_namespace,
+        # admission contends on the engine lock with an in-flight step —
+        # wait in a worker thread, never on the event loop
+        loop = asyncio.get_running_loop()
+        rid = await loop.run_in_executor(
+            None,
+            lambda: self.engine.add_request(
+                prompt_token_ids,
+                sampling_params,
+                priority=priority,
+                timeout_s=timeout_s,
+                cache_namespace=cache_namespace,
+            ),
         )
         self._t0[rid] = time.perf_counter()
         self.active_requests += 1
@@ -133,8 +140,8 @@ class AsyncEngine:
         cache_namespace: Optional[bytes] = None,
     ) -> GenerationResult:
         loop = asyncio.get_running_loop()
-        rid = self._admit(prompt_token_ids, sampling_params, priority,
-                          timeout_s, cache_namespace)
+        rid = await self._admit(prompt_token_ids, sampling_params, priority,
+                                timeout_s, cache_namespace)
         future: asyncio.Future = loop.create_future()
         self._targets[rid] = future
         return await future
@@ -148,8 +155,8 @@ class AsyncEngine:
         cache_namespace: Optional[bytes] = None,
     ) -> AsyncIterator:
         """Yields int token ids, then a final ("__done__", finish_reason)."""
-        rid = self._admit(prompt_token_ids, sampling_params, priority,
-                          timeout_s, cache_namespace)
+        rid = await self._admit(prompt_token_ids, sampling_params, priority,
+                                timeout_s, cache_namespace)
         queue: asyncio.Queue = asyncio.Queue()
         self._targets[rid] = queue
         try:
@@ -163,7 +170,9 @@ class AsyncEngine:
         finally:
             if rid in self._targets:  # client disconnected mid-stream
                 self._targets.pop(rid, None)
-                self.engine.cancel_request(rid)
+                # cancellation contends on the engine lock — run off-loop
+                asyncio.get_running_loop().run_in_executor(
+                    None, self.engine.cancel_request, rid)
             self.active_requests -= 1
             self._t0.pop(rid, None)
             self._first_token_sent.discard(rid)
@@ -223,9 +232,10 @@ class AsyncEngine:
                 for tok in toks:
                     await target.put(int(tok))
 
-        # resolve finished scheduler requests
+        # resolve finished scheduler requests (snapshot: _result_for purges
+        # consumed requests from the live finished list)
         finished_ids = set()
-        for req in self.engine.scheduler.finished:
+        for req in list(self.engine.scheduler.finished):
             rid = req.request_id
             finished_ids.add(rid)
             target = self._targets.pop(rid, None)
@@ -265,9 +275,25 @@ class AsyncEngine:
 
     async def _fail_running(self, exc: Exception) -> None:
         """Fail all running requests so clients see an error, free engine
-        state, clear the running set (ref: :1502-1517)."""
+        state, clear the running set (ref: :1502-1517). Scheduler mutation
+        happens under the engine lock in a worker thread; future/queue
+        resolution stays on the event loop."""
         sched = self.engine.scheduler
-        for req in list(sched.running):
+
+        def reap():
+            with self.engine._lock:
+                reqs = list(sched.running)
+                for req in reqs:
+                    sched.blocks.free(req.kv_block_ids)
+                    req.kv_block_ids = []
+                    req.state = RequestState.FINISHED
+                    req.finish_reason = "error"
+                    self.engine._release_request(req.request_id)
+                sched.running.clear()
+                return reqs
+
+        loop = asyncio.get_running_loop()
+        for req in await loop.run_in_executor(None, reap):
             rid = req.request_id
             target = self._targets.pop(rid, None)
             if isinstance(target, asyncio.Future):
@@ -277,13 +303,7 @@ class AsyncEngine:
                 self.active_requests -= 1
             elif isinstance(target, asyncio.Queue):
                 await target.put((DONE, "error"))
-            sched.blocks.free(req.kv_block_ids)
-            req.kv_block_ids = []
-            req.state = RequestState.FINISHED
-            req.finish_reason = "error"
-            self.engine._release_request(rid)
             self._t0.pop(rid, None)
-        sched.running.clear()
 
     # -- stats ------------------------------------------------------------------
 

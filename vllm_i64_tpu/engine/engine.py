@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import threading
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -59,6 +60,14 @@ class GenerationResult:
     finish_reason: str = "length"
     logprobs: Optional[List[TokenLogprob]] = None
     text: Optional[str] = None
+
+
+def _split(seq, cap: int):
+    """Slice a list into chunks of at most cap."""
+    if not seq:
+        return
+    for i in range(0, len(seq), max(cap, 1)):
+        yield seq[i:i + cap]
 
 
 class AdaptiveBatchSizer:
@@ -111,13 +120,18 @@ class Engine:
         self.tokenizer = tokenizer
 
         ec = self.engine_config
+        # a single prefill chunk can never exceed the widest compiled
+        # token bucket — clamp the scheduler budget so rows always fit
+        chunk_budget = min(ec.max_prefill_tokens,
+                           max(ec.prefill_token_buckets))
         self.scheduler = Scheduler(
             max_batch_size=ec.max_batch_size,
             max_seq_len=ec.max_seq_len,
             kv_block_size=ec.kv_block_size,
             max_kv_blocks=ec.resolve_kv_blocks(),
-            max_prefill_tokens=ec.max_prefill_tokens,
+            max_prefill_tokens=chunk_budget,
             enable_preemption=ec.enable_preemption,
+            enable_prefix_caching=ec.enable_prefix_caching,
         )
 
         self.runner: Optional[ModelRunner] = None
@@ -136,7 +150,12 @@ class Engine:
         # pixel_values threading at i64_engine.py:572-574, 1129-1151)
         self.vision_params = None
         self.vision_config = None
-        self._pixel_by_rid: Dict[int, np.ndarray] = {}
+
+        # engine-state lock: the async wrapper admits/cancels from worker
+        # threads while step() runs in another — scheduler heaps, the block
+        # pool, and slot maps are not thread-safe on their own
+        self._lock = threading.RLock()
+        self._lock_waiters = 0  # admission fairness (see step())
 
         # per-request state
         self._params_by_rid: Dict[int, SamplingParams] = {}
@@ -176,6 +195,23 @@ class Engine:
         timeout_s: Optional[float] = None,
         cache_namespace: Optional[bytes] = None,
     ) -> int:
+        self._lock_waiters += 1
+        try:
+            with self._lock:
+                return self._add_request_locked(
+                    prompt_token_ids, sampling_params, priority, timeout_s,
+                    cache_namespace)
+        finally:
+            self._lock_waiters -= 1
+
+    def _add_request_locked(
+        self,
+        prompt_token_ids,
+        sampling_params: Optional[SamplingParams] = None,
+        priority: int = 0,
+        timeout_s: Optional[float] = None,
+        cache_namespace: Optional[bytes] = None,
+    ) -> int:
         params = sampling_params or SamplingParams()
         prompt = np.asarray(prompt_token_ids, dtype=np.int64)
         if prompt.size == 0:
@@ -188,8 +224,19 @@ class Engine:
             )
         eos = self.model_config.eos_token_id
 
-        # merge path: identical greedy prompt already running -> piggyback
-        if self._merge_enabled and params.is_greedy and not params.needs_host_sampling:
+        # merge path: identical greedy prompt already running -> piggyback.
+        # Only behavior-free requests are mergeable — per-request stops,
+        # min_tokens, or any host-path feature would be silently ignored on
+        # a secondary.
+        mergeable = (
+            self._merge_enabled
+            and params.is_greedy
+            and not params.needs_host_sampling
+            and not params.stop
+            and not params.stop_token_ids
+            and not params.min_tokens
+        )
+        if mergeable:
             phash = hashlib.md5(prompt.tobytes()).digest()
             group = self._merge_primaries.get(phash)
             if group is not None:
@@ -202,14 +249,35 @@ class Engine:
                 ):
                     sec_rid = self.scheduler._next_id
                     self.scheduler._next_id += 1
+                    # backfill tokens the primary already produced — a
+                    # late-joining secondary must still get a full completion
+                    backfill = list(
+                        preq.output_token_ids[: params.max_tokens])
                     self._merged_secondaries[sec_rid] = {
                         "prompt": [int(t) for t in prompt],
-                        "output": [],
+                        "output": backfill,
                         "max_new_tokens": params.max_tokens,
                         "t0": time.perf_counter(),
                     }
-                    sec_list.append(sec_rid)
                     self._params_by_rid[sec_rid] = params
+                    if len(backfill) >= params.max_tokens or (
+                        backfill and backfill[-1] == eos
+                    ):
+                        # the primary's existing tokens already satisfy this
+                        # request — resolve immediately, never join the group
+                        self.merged_finished[sec_rid] = GenerationResult(
+                            request_id=sec_rid,
+                            prompt_tokens=[int(t) for t in prompt],
+                            output_tokens=backfill,
+                            num_steps=0,
+                            elapsed_ms=0.0,
+                            finish_reason=("stop" if backfill
+                                           and backfill[-1] == eos
+                                           else "length"),
+                        )
+                        del self._merged_secondaries[sec_rid]
+                        return sec_rid
+                    sec_list.append(sec_rid)
                     return sec_rid
 
         rid = self.scheduler.add_request(
@@ -219,7 +287,7 @@ class Engine:
             eos_token_id=eos,
             cache_namespace=cache_namespace,
         )
-        if self._merge_enabled and params.is_greedy and not params.needs_host_sampling:
+        if mergeable:
             phash = hashlib.md5(prompt.tobytes()).digest()
             if phash not in self._merge_primaries:
                 self._merge_primaries[phash] = (
@@ -279,19 +347,42 @@ class Engine:
         )
 
     def cancel_request(self, rid: int) -> bool:
-        ok = self.scheduler.cancel(rid)
-        if ok:
-            self._release_request(rid)
-            self._procs_by_rid.pop(rid, None)
-        return ok
+        with self._lock:
+            ok = self.scheduler.cancel(rid)
+            if ok:
+                self._release_request(rid)
+                self._procs_by_rid.pop(rid, None)
+            return ok
 
-    def _release_request(self, rid: int) -> None:
+    def _release_slot(self, rid: int) -> None:
         slot = self._slot_by_rid.pop(rid, None)
         if slot is not None:
             self._free_slots.append(slot)
             if self.runner is not None:
                 self.runner.clear_slot(slot)
+
+    def _release_request(self, rid: int) -> None:
+        self._release_slot(rid)
         self._deadlines.pop(rid, None)
+
+    def _purge_request(self, rid: int) -> None:
+        """Drop all per-request bookkeeping once the result is consumed —
+        long-lived servers must not accumulate Request/params objects or
+        rescan an ever-growing finished list (O(n) per step otherwise)."""
+        self._release_request(rid)
+        self._params_by_rid.pop(rid, None)
+        self._procs_by_rid.pop(rid, None)
+        self._logprobs_by_rid.pop(rid, None)
+        req = self.scheduler._requests.pop(rid, None)
+        if req is not None:
+            try:
+                self.scheduler.finished.remove(req)
+            except ValueError:
+                pass
+        # drop a merge-group entry whose primary is gone and drained
+        for phash, (prid, _, secs) in list(self._merge_primaries.items()):
+            if prid == rid and not secs:
+                del self._merge_primaries[phash]
 
     def _assign_slot(self, req: Request) -> int:
         rid = req.request_id
@@ -314,6 +405,15 @@ class Engine:
 
         Single-step paths yield 1-element lists; multi-step decode yields up
         to ``multistep_decode`` accepted tokens per request."""
+        # fairness: a tight step loop can re-acquire the (unfair) lock
+        # before a blocked admission thread wakes — yield briefly when
+        # someone is waiting so new requests join the batch promptly
+        if self._lock_waiters > 0:
+            time.sleep(0.002)
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> Dict[int, List[int]]:
         t0 = time.perf_counter()
 
         self._sweep_timeouts()
@@ -325,6 +425,14 @@ class Engine:
         for req in self.scheduler.finished:
             if req.request_id in self._slot_by_rid:
                 self._release_request(req.request_id)
+        # ...and of requests the scheduler preempted (they left running but
+        # still hold sampler slots — exhausting the slot pool otherwise)
+        for rid in list(self._slot_by_rid):
+            req = self.scheduler.get_request(rid)
+            if req is not None and req.state in (
+                RequestState.PENDING, RequestState.PREEMPTED
+            ):
+                self._release_slot(rid)  # keep the deadline: it may resume
         if batch is None:
             # merged secondaries whose primary already finished still need
             # resolution even when nothing is scheduled
@@ -343,6 +451,8 @@ class Engine:
             decode = batch.decode_seqs
             prefill = batch.prefill_seqs
             k = self._multistep_window(batch)
+            dec_cap = max(self.engine_config.decode_batch_buckets)
+            pre_cap = max(self.engine_config.prefill_batch_buckets)
             if (
                 decode and not prefill
                 and self.speculative is not None
@@ -350,12 +460,16 @@ class Engine:
             ):
                 multi = self._speculative_step(decode)
             elif decode and not prefill and k > 1:
-                multi = self._run_multi_decode(decode, k)
+                multi = {}
+                for part in _split(decode, dec_cap):
+                    multi.update(self._run_multi_decode(part, k))
             else:
-                if decode:
-                    single.update(self._run_group(decode, kind="decode"))
-                if prefill:
-                    single.update(self._run_group(prefill, kind="prefill"))
+                # the scheduler can emit more rows than the largest compiled
+                # bucket; split so padding never exceeds the bucket table
+                for part in _split(decode, dec_cap):
+                    single.update(self._run_group(part, kind="decode"))
+                for part in _split(prefill, pre_cap):
+                    single.update(self._run_group(part, kind="prefill"))
         self._perf["forward_ms"] += (time.perf_counter() - t1) * 1000
 
         result: Dict[int, List[int]] = {}
@@ -523,6 +637,9 @@ class Engine:
             if (
                 self._needs_host(params, req.request_id)
                 or params.needs_token_history
+                # verify writes K+1 positions; never past max_seq_len
+                or req.total_tokens + spec.K + 1
+                > self.engine_config.max_seq_len
                 or not self.scheduler.ensure_capacity(req, spec.K + 2)
             ):
                 fallback.append(s)
@@ -812,7 +929,7 @@ class Engine:
                         logprobs = logprobs[:idx]
                 break
 
-        return GenerationResult(
+        result = GenerationResult(
             request_id=rid,
             prompt_tokens=list(req.prompt_token_ids),
             output_tokens=out,
@@ -821,6 +938,8 @@ class Engine:
             finish_reason=finish,
             logprobs=logprobs,
         )
+        self._purge_request(rid)
+        return result
 
     # -- vision (VLM) -------------------------------------------------------------
 

@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--multistep", type=int, default=16,
                    help="decode iterations fused per device dispatch")
+    p.add_argument("--prefill-budget", type=int, default=512,
+                   help="chunked-prefill token budget per step")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     args = p.parse_args()
@@ -79,10 +81,10 @@ def main() -> None:
         max_seq_len=min(2048, cfg.max_position_embeddings),
         kv_block_size=16,
         # batched chunked prefill: several prompts per prefill dispatch
-        max_prefill_tokens=max(args.prompt_len, 512),
+        max_prefill_tokens=max(args.prompt_len, args.prefill_budget),
         quantization=args.quantization,
         decode_batch_buckets=(args.max_batch,),
-        prefill_batch_buckets=(1, 2, 4),
+        prefill_batch_buckets=(1, 2, 4, 8, 16),
         # rows pad to the CHUNK length, not the whole budget — a 128-token
         # prompt must not burn a 512-wide prefill row
         prefill_token_buckets=(args.prompt_len, max(args.prompt_len, 512)),

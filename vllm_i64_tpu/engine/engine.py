@@ -860,16 +860,31 @@ class Engine:
         steps = 0
         from ..models import complexity_deep as cdm
 
+        import jax.numpy as jnp
+
         while not searcher.is_done and steps < params.max_tokens:
             seqs = [b.token_ids for b in searcher.beams]
             t = max(len(s) for s in seqs)
             batch = np.zeros((len(seqs), t), np.int32)
+            seq_lens = np.zeros(len(seqs), np.int32)
             for i, s in enumerate(seqs):
                 batch[i, : len(s)] = s
+                seq_lens[i] = len(s)
             if self.runner is not None:
+                # only last-position logits are needed — materializing the
+                # full (B, T, V) fp32 logits tensor is 100x more HBM traffic
+                b_ids = jnp.asarray(batch)
+                hidden, _ = cdm.forward_hidden(
+                    self.runner.params, self.model_config, b_ids,
+                    jnp.broadcast_to(
+                        jnp.arange(t, dtype=jnp.int32)[None], batch.shape),
+                    seq_lens=jnp.asarray(seq_lens),
+                )
+                last = jnp.take_along_axis(
+                    hidden, jnp.asarray(seq_lens - 1)[:, None, None], axis=1
+                )[:, 0]
                 logits = np.asarray(
-                    cdm.forward(self.runner.params, self.model_config, batch)
-                )[:, -1, :]
+                    cdm.lm_logits(self.runner.params, self.model_config, last))
             else:
                 logits = self._host_rng.standard_normal(
                     (len(seqs), self.model_config.vocab_size)

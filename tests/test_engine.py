@@ -169,3 +169,56 @@ class TestModelless:
         eng = Engine(None, None, EngineConfig(max_seq_len=16, max_kv_blocks=64))
         with pytest.raises(ValueError):
             eng.add_request(list(range(10)), SamplingParams(max_tokens=100))
+
+
+class TestPipelinedDispatch:
+    """The step loop dispatches every split group before resolving any
+    (deferred device arrays). Outputs must be identical to the unsplit path."""
+
+    def _ecfg(self, caps):
+        return EngineConfig(
+            max_batch_size=8, max_seq_len=64, kv_block_size=4,
+            max_kv_blocks=256, max_prefill_tokens=16,
+            dtype="float32", kv_cache_dtype="float32",
+            decode_batch_buckets=caps, prefill_batch_buckets=caps,
+            prefill_token_buckets=(8, 16), multistep_decode=1,
+        )
+
+    def test_split_groups_match_unsplit(self, engine_setup):
+        params, cfg, _ = engine_setup
+        prompts = [[5, 17, 42, 7], [9, 9, 9], [100, 2, 3, 4, 5, 6], [33, 44],
+                   [1, 2, 3], [200, 201], [7, 8, 9, 10], [55]]
+        # tiny buckets: 8 running seqs force 4 decode parts per step,
+        # all dispatched before any host readback
+        eng = Engine(params, cfg, self._ecfg((1, 2)))
+        rids = [eng.add_request(p, greedy(8)) for p in prompts]
+        split_out = [eng.wait_for(r).output_tokens for r in rids]
+        refs = [ref_greedy_tokens(params, cfg, p, 8) for p in prompts]
+        for got, ref in zip(split_out, refs):
+            assert got == ref
+
+    def test_host_sampled_rows_from_deferred_logits(self, engine_setup):
+        params, cfg, _ = engine_setup
+        eng = Engine(params, cfg, self._ecfg((1, 2)))
+        sp = SamplingParams(temperature=0.8, top_p=0.9, max_tokens=5,
+                            seed=1234, logprobs=3)
+        rids = [eng.add_request([5 + i, 17, 42], sp) for i in range(4)]
+        for r in rids:
+            res = eng.wait_for(r)
+            # EOS can legitimately be sampled before max_tokens
+            assert 1 <= len(res.output_tokens) <= 5
+            assert res.logprobs is not None
+            assert len(res.logprobs) == len(res.output_tokens)
+
+    def test_seeded_reproducible_through_split_path(self, engine_setup):
+        params, cfg, _ = engine_setup
+
+        def run():
+            eng = Engine(params, cfg, self._ecfg((1, 2)))
+            rids = [eng.add_request([5 + i, 17, 42],
+                                    SamplingParams(temperature=1.0,
+                                                   max_tokens=5, seed=77))
+                    for i in range(4)]
+            return [eng.wait_for(r).output_tokens for r in rids]
+
+        assert run() == run()

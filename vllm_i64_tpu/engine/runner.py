@@ -290,8 +290,13 @@ class ModelRunner:
         features: SamplerFeatures,
         return_logits: bool = False,
         kind: str = "decode",
+        defer: bool = False,
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        """Pad to buckets, run the step program, return (tokens, logits?)."""
+        """Pad to buckets, run the step program, return (tokens, logits?).
+
+        defer=True skips the host readback and returns device arrays —
+        callers that dispatch several groups in one step (prefill parts)
+        pipeline them instead of paying a round-trip per group."""
         b_actual, t_actual = token_ids.shape
         if kind == "decode":
             b = _bucket(b_actual, self.ecfg.decode_batch_buckets)
@@ -338,6 +343,8 @@ class ModelRunner:
             features,
             return_logits,
         )
+        if defer:
+            return tokens, logits  # device arrays; slice after conversion
         tokens_np = np.asarray(tokens)[:b_actual]
         logits_np = np.asarray(logits)[:b_actual] if logits is not None else None
         return tokens_np, logits_np

@@ -311,3 +311,33 @@ async def test_load_shed_middleware():
     finally:
         server.async_engine.active_requests = 0
         await client.close()
+
+
+async def test_completions_prompt_forms():
+    """OpenAI prompt forms: [str] unwraps, token-ID lists are pre-tokenized
+    input (no tokenizer round-trip), malformed lists get clean 400s."""
+    client = await make_client(make_server())
+    try:
+        async def post(p, **kw):
+            return await client.post("/v1/completions", json={
+                "prompt": p, "max_tokens": 4, "temperature": 0.0, **kw})
+
+        r = await post(["hello world"])  # 1-element string list unwraps
+        assert r.status == 200
+
+        r = await post([72, 105, 33])  # token IDs
+        assert r.status == 200
+        body = await r.json()
+        assert body["usage"]["prompt_tokens"] == 3
+        assert body["choices"][0]["finish_reason"] in ("stop", "length")
+
+        for bad in ([5, "x"], [], [True, False], [[1, 2], [3]]):
+            r = await post(bad)
+            assert r.status == 400, bad
+
+        # streaming with token-ID prompt
+        r = await post([72, 105, 33], stream=True)
+        assert r.status == 200
+        assert "[DONE]" in (await r.text())
+    finally:
+        await client.close()

@@ -207,16 +207,33 @@ class CompletionsMixin:
         except Exception:
             return _error("Invalid JSON")
         prompt = body.get("prompt")
-        if not prompt:
+        # OpenAI-style prompt forms: a string, a 1-element list of strings,
+        # or a list of token IDs (pre-tokenized — the natural form for an
+        # integer-routed engine).
+        if isinstance(prompt, list) and len(prompt) == 1 and isinstance(prompt[0], str):
+            prompt = prompt[0]
+        pre_tokenized = None
+        if isinstance(prompt, list):
+            if prompt and all(
+                isinstance(t, int) and not isinstance(t, bool) for t in prompt
+            ):
+                pre_tokenized = [int(t) for t in prompt]
+                prompt = self._decode(pre_tokenized)
+            else:
+                return _error(
+                    "'prompt' must be a string or a non-empty list of token IDs")
+        if not prompt and pre_tokenized is None:
             return _error("Missing 'prompt'")
 
         req = CompletionRequest.from_body(
             body, prompt, suppress_first_tokens=self._space_suppress_ids)
+        if pre_tokenized is not None:
+            req._prompt_token_ids = pre_tokenized
         max_seq_len = self.engine.engine_config.max_seq_len
         err = req.validate(max_seq_len=max_seq_len)
         if err:
             return _error(err)
-        prompt_ids = self._encode(req.prompt)
+        prompt_ids = pre_tokenized if pre_tokenized is not None else self._encode(req.prompt)
         err = req.validate(max_seq_len=max_seq_len, prompt_tokens=len(prompt_ids))
         if err:
             return _error(err)
@@ -235,6 +252,10 @@ class CompletionsMixin:
                 frequency_penalty=req.frequency_penalty,
                 presence_penalty=req.presence_penalty, seed=req.seed,
             )
+            if pre_tokenized is not None:
+                # decoded text may collide with a literal text prompt that
+                # tokenizes differently — key the cache on the IDs themselves
+                cache_kw["pretokenized"] = ",".join(map(str, pre_tokenized))
             cached = self._request_cache.get(req.prompt, req.max_tokens, **cache_kw)
             if cached is not None:
                 return web.json_response(cached)

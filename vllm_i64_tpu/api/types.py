@@ -86,7 +86,10 @@ class CompletionRequest:
                  prompt_tokens: Optional[int] = None) -> Optional[str]:
         """Returns an error message, or None when valid
         (ref: types.py:57-99 — incl. the total-token budget check)."""
-        if not self.prompt or not self.prompt.strip():
+        if self._prompt_token_ids is not None:
+            if len(self._prompt_token_ids) == 0:
+                return "prompt must not be empty"
+        elif not self.prompt or not self.prompt.strip():
             return "prompt must not be empty"
         if self.max_tokens < 1:
             return "max_tokens must be >= 1"

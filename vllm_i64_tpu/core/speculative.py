@@ -42,9 +42,15 @@ def _draft_k_greedy(params, cfg: ModelConfig, buf: jax.Array, n: jax.Array,
 
     def body(i, buf):
         seq_len = jnp.reshape(n + i, (1,)).astype(jnp.int32)
-        logits = cdm.forward(params, cfg, buf[None], positions=positions,
-                             seq_lens=seq_len)
-        tok = jnp.argmax(logits[0, n + i - 1]).astype(buf.dtype)
+        hidden, _ = cdm.forward_hidden(params, cfg, buf[None],
+                                       positions, seq_lens=seq_len)
+        # only the predicting position touches the (H, V) lm head —
+        # materializing (Tpad, V) fp32 logits per drafted token is ~Tpad x
+        # more HBM traffic than the draft forward itself
+        h_last = jax.lax.dynamic_index_in_dim(hidden[0], n + i - 1, 0,
+                                              keepdims=False)
+        logits = cdm.lm_logits(params, cfg, h_last[None])
+        tok = jnp.argmax(logits[0]).astype(buf.dtype)
         return jax.lax.dynamic_update_index_in_dim(buf, tok, n + i, 0)
 
     buf = jax.lax.fori_loop(0, k, body, buf)

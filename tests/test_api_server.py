@@ -341,3 +341,81 @@ async def test_completions_prompt_forms():
         assert "[DONE]" in (await r.text())
     finally:
         await client.close()
+
+
+async def test_chat_completions_with_image():
+    """VLM path: base64 data-URL image -> vision tower -> soft tokens."""
+    import base64
+    import io
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from vllm_i64_tpu.config import ModelConfig
+    from vllm_i64_tpu.models import complexity_deep as cdm
+    from vllm_i64_tpu.models.vision import VisionConfig, init_vision_params
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=2, max_position_embeddings=256,
+                      use_token_routed_mlp=False, num_experts=1,
+                      shared_expert=False, image_token_id=1)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=4, max_seq_len=256, kv_block_size=4,
+                        max_kv_blocks=256, max_prefill_tokens=128)
+    eng = Engine(params, cfg, ecfg, tokenizer=ByteTokenizer())
+    vcfg = VisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                        num_layers=2, num_heads=2, llm_hidden_size=128)
+    eng.enable_vision(init_vision_params(vcfg, jax.random.PRNGKey(1)), vcfg)
+    server = Server(eng, tokenizer=ByteTokenizer(), model_name="vlm-test")
+    client = await make_client(server)
+    try:
+        img = Image.fromarray(np.random.default_rng(0).integers(
+            0, 256, (24, 24, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        body = {
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": "describe"},
+                {"type": "image_url",
+                 "image_url": {"url": f"data:image/png;base64,{b64}"}},
+            ]}],
+            "max_tokens": 4, "temperature": 0.0,
+        }
+        r = await client.post("/v1/chat/completions", json=body)
+        assert r.status == 200, await r.text()
+        out = await r.json()
+        assert out["choices"][0]["message"]["content"] is not None
+        # 16 patches of soft tokens ride at the head of the prompt
+        assert out["usage"]["prompt_tokens"] > 16
+    finally:
+        await client.close()
+
+
+async def test_chat_image_rejected_without_vision():
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    client = await make_client(make_server())
+    try:
+        img = Image.fromarray(np.zeros((8, 8, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        body = {
+            "messages": [{"role": "user", "content": [
+                {"type": "image_url",
+                 "image_url": {"url": f"data:image/png;base64,{b64}"}},
+            ]}],
+            "max_tokens": 4,
+        }
+        r = await client.post("/v1/chat/completions", json=body)
+        assert r.status == 400
+        assert "vision" in (await r.json())["error"]["message"]
+    finally:
+        await client.close()

@@ -83,3 +83,131 @@ def test_engine_encode_images(tiny_config):
                                             dtype=np.uint8)
     emb = eng.encode_images(img)
     assert emb.shape == (1, cfg.num_patches, tiny_config.hidden_size)
+
+
+# -- soft-token fusion (VLM end-to-end) ---------------------------------------
+
+from vllm_i64_tpu.config import EngineConfig, ModelConfig
+from vllm_i64_tpu.core.sampling import SamplingParams
+from vllm_i64_tpu.engine import Engine
+from vllm_i64_tpu.models import complexity_deep as cdm
+
+
+def _dense_cfg():
+    # dense MLP: hidden states fully determine the forward (no id-routing),
+    # so soft-embedding a token's OWN embedding row must reproduce the
+    # plain-token run exactly
+    return ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                       num_hidden_layers=2, num_attention_heads=8,
+                       num_key_value_heads=2, max_position_embeddings=128,
+                       use_token_routed_mlp=False, num_experts=1,
+                       shared_expert=False, image_token_id=1)
+
+
+def _ecfg(**kw):
+    kw.setdefault("max_batch_size", 4)
+    kw.setdefault("max_seq_len", 64)
+    kw.setdefault("kv_block_size", 4)
+    kw.setdefault("max_kv_blocks", 64)
+    kw.setdefault("max_prefill_tokens", 32)
+    kw.setdefault("decode_batch_buckets", (1, 2, 4))
+    kw.setdefault("prefill_batch_buckets", (1, 2, 4))
+    kw.setdefault("prefill_token_buckets", (8, 16, 32))
+    kw.setdefault("dtype", "float32")
+    kw.setdefault("kv_cache_dtype", "float32")
+    return EngineConfig(**kw)
+
+
+def test_soft_embeds_match_plain_tokens_dense():
+    cfg = _dense_cfg()
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    embed = np.asarray(params["embed"], np.float32)
+    real = [17, 42]
+    prompt_plain = real + [5, 9, 30, 7]
+    prompt_soft = [1, 1] + [5, 9, 30, 7]  # image placeholders
+    sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+    eng = Engine(params, cfg, _ecfg())
+    out_plain = eng.generate(prompt_plain, sp).output_tokens
+    rid = eng.add_request(prompt_soft, sp, soft_embeds=embed[real],
+                          soft_positions=[0, 1])
+    out_soft = eng.wait_for(rid).output_tokens
+    assert out_soft == out_plain
+
+    # sanity: the soft override actually changes the forward (vs raw
+    # placeholder ids) even if the tiny model's argmax degenerates
+    ids = jnp.asarray([prompt_soft], jnp.int32)
+    base = cdm.forward(params, cfg, ids)
+    mask = np.zeros((1, len(prompt_soft)), bool)
+    mask[0, :2] = True
+    soft = np.zeros((1, len(prompt_soft), cfg.hidden_size), np.float32)
+    soft[0, :2] = embed[real]
+    hidden, _ = cdm.forward_hidden(
+        params, cfg, ids,
+        jnp.arange(len(prompt_soft), dtype=jnp.int32)[None],
+        seq_lens=jnp.asarray([len(prompt_soft)], jnp.int32),
+        soft_embeds=jnp.asarray(soft), soft_mask=jnp.asarray(mask))
+    fused = cdm.lm_logits(params, cfg, hidden)
+    assert not np.allclose(np.asarray(base), np.asarray(fused))
+
+
+def test_soft_embeds_across_prefill_chunks():
+    cfg = _dense_cfg()
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    embed = np.asarray(params["embed"], np.float32)
+    real = list(range(3, 15))  # 12 soft rows span two 8-token chunks
+    tail = [5, 9, 30]
+    sp = SamplingParams(temperature=0.0, max_tokens=5)
+
+    eng_chunked = Engine(params, cfg, _ecfg(max_prefill_tokens=8))
+    rid = eng_chunked.add_request([1] * 12 + tail, sp, soft_embeds=embed[real],
+                                  soft_positions=list(range(12)))
+    out_chunked = eng_chunked.wait_for(rid).output_tokens
+
+    eng_plain = Engine(params, cfg, _ecfg())
+    out_plain = eng_plain.generate(real + tail, sp).output_tokens
+    assert out_chunked == out_plain
+
+
+def test_soft_embeds_validation():
+    cfg = _dense_cfg()
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine(params, cfg, _ecfg())
+    sp = SamplingParams(temperature=0.0, max_tokens=2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.add_request([1, 2, 3], sp, soft_embeds=np.zeros((2, 64)),
+                        soft_positions=[0, 1])  # wrong hidden size
+    with _pytest.raises(ValueError):
+        eng.add_request([1, 2, 3], sp, soft_embeds=np.zeros((2, 128)),
+                        soft_positions=[0, 5])  # position outside prompt
+    with _pytest.raises(ValueError):
+        eng.add_request([1, 2, 3], sp, soft_embeds=np.zeros((2, 128)),
+                        soft_positions=[0])  # length mismatch
+
+
+def test_encode_images_to_engine_soft_tokens():
+    """Full VLM path: image -> vision tower -> engine soft tokens."""
+    vcfg = tiny_vision_cfg(llm_hidden_size=128)
+    vparams = init_vision_params(vcfg, jax.random.PRNGKey(1))
+    cfg = _dense_cfg()
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine(params, cfg, _ecfg(max_seq_len=128, max_kv_blocks=128))
+    eng.enable_vision(vparams, vcfg)
+
+    img = np.random.default_rng(0).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    soft = eng.encode_images(img)  # (1, patches, 128)
+    n = soft.shape[0] * soft.shape[1]
+    prompt = [1] * n + [5, 9, 30]
+    sp = SamplingParams(temperature=0.0, max_tokens=4)
+    rid = eng.add_request(prompt, sp, soft_embeds=soft,
+                          soft_positions=list(range(n)))
+    res = eng.wait_for(rid)
+    assert len(res.output_tokens) == 4
+    # different image -> different soft tokens -> (almost surely) different output
+    img2 = np.random.default_rng(9).integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    soft2 = eng.encode_images(img2)
+    rid2 = eng.add_request(prompt, sp, soft_embeds=soft2,
+                           soft_positions=list(range(n)))
+    res2 = eng.wait_for(rid2)
+    assert len(res2.output_tokens) == 4

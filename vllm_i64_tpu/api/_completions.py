@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import asyncio
 import hashlib
 import json
 import time
@@ -70,6 +71,63 @@ class CompletionsMixin:
             return self.chat_template.apply(messages, add_generation_prompt=True)
         return "\n".join(f"{m['role']}: {m['content']}" for m in messages) + "\nassistant:"
 
+    # -- VLM image intake (ref: _helpers.py:77-101, 196-211) ---------------------
+
+    @staticmethod
+    def _extract_content_text(content) -> str:
+        """OpenAI multi-part content -> flat text; image parts become
+        <image> markers (ref: _helpers.py:64-74)."""
+        if isinstance(content, list):
+            parts = []
+            for item in content:
+                if item.get("type") == "text":
+                    parts.append(item.get("text", ""))
+                elif item.get("type") == "image_url":
+                    parts.append("<image>")
+            return "\n".join(p for p in parts if p)
+        return str(content) if content else ""
+
+    @classmethod
+    def _normalize_chat_messages(cls, messages) -> list:
+        return [
+            {**m, "content": cls._extract_content_text(m.get("content", ""))}
+            for m in messages
+        ]
+
+    def _extract_images_from_messages(self, messages) -> list:
+        """Decode base64 data-URL images from multi-part chat content.
+        Returns a list of (H, W, 3) uint8 arrays."""
+        import base64
+        import io
+
+        images = []
+        for msg in messages:
+            content = msg.get("content")
+            if not isinstance(content, list):
+                continue
+            for item in content:
+                if item.get("type") != "image_url":
+                    continue
+                url = item.get("image_url", {})
+                url = url.get("url", "") if isinstance(url, dict) else str(url)
+                if not url:
+                    continue
+                if not url.startswith("data:"):
+                    self.logger.warning(
+                        "non-base64 image URLs not supported: %s...", url[:60])
+                    continue
+                try:
+                    from PIL import Image
+                    import numpy as _np
+
+                    _, b64 = url.split(",", 1)
+                    img = Image.open(
+                        io.BytesIO(base64.b64decode(b64))).convert("RGB")
+                    images.append(_np.asarray(img))
+                except Exception as exc:
+                    self.logger.error("failed to decode image: %s", exc)
+        return images
+
     def _build_response(self, result, prompt_ids: List[int]) -> CompletionResponse:
         text = self._decode(result.output_tokens)
         choice = {"index": 0, "text": text,
@@ -104,11 +162,16 @@ class CompletionsMixin:
         prompt_ids = req._prompt_token_ids
         ns = self._cache_namespace(api_key, req.user)
         priority = -self._priority_manager.get_priority(api_key, req.priority)
+        soft_kw = {}
+        if req._soft is not None:
+            soft_kw = {"soft_embeds": req._soft[0],
+                       "soft_positions": req._soft[1]}
         result = await self.async_engine.generate(
             prompt_ids,
             sampling_params=req.to_sampling_params(tokenizer=self.tokenizer),
             priority=priority,
             cache_namespace=ns,
+            **soft_kw,
         )
         resp = self._build_response(result, prompt_ids)
         if req._context_metrics is not None:
@@ -157,11 +220,16 @@ class CompletionsMixin:
         prev_text = ""
         finish_reason = "length"
         priority = -self._priority_manager.get_priority(api_key, req.priority)
+        soft_kw = {}
+        if req._soft is not None:
+            soft_kw = {"soft_embeds": req._soft[0],
+                       "soft_positions": req._soft[1]}
         async for item in self.async_engine.generate_stream(
             prompt_ids,
             sampling_params=req.to_sampling_params(tokenizer=self.tokenizer),
             priority=priority,
             cache_namespace=ns,
+            **soft_kw,
         ):
             if isinstance(item, tuple) and item[0] == "__done__":
                 finish_reason = item[1]
@@ -281,11 +349,30 @@ class CompletionsMixin:
         if not messages:
             return _error("Missing 'messages'")
 
-        context_messages = list(messages)
+        # VLM: pull base64 images out of multi-part content, then flatten
+        # the content to text (image parts -> <image> markers) for the
+        # template/context path (ref: _completions.py:301-304)
+        images = self._extract_images_from_messages(messages)
+        soft_embeds = None
+        if images:
+            if getattr(self.engine, "vision_params", None) is None:
+                return _error(
+                    "this model has no vision tower; image input unsupported")
+            import numpy as _np
+
+            loop = asyncio.get_running_loop()
+            encoded = await loop.run_in_executor(
+                None,
+                lambda: [self.engine.encode_images(img) for img in images])
+            # (N_img, patches, H) rows flattened in message order
+            soft_embeds = _np.concatenate(
+                [e.reshape(-1, e.shape[-1]) for e in encoded], axis=0)
+
+        context_messages = self._normalize_chat_messages(messages)
 
         # RAG context injection (ref: _completions.py:307-320)
         if body.get("rag") and getattr(self, "retriever", None) is not None:
-            query = messages[-1].get("content", "")
+            query = context_messages[-1].get("content", "")
             if isinstance(query, str) and query:
                 ctx = self.retriever.get_context(query, k=body.get("rag_k", 3))
                 if ctx:
@@ -324,12 +411,22 @@ class CompletionsMixin:
         except ContextWindowError as exc:
             return _error(str(exc))
 
+        soft = None
+        if soft_embeds is not None:
+            # soft tokens ride at the head of the prompt on image-placeholder
+            # ids (which also drive their deterministic MoE routing)
+            img_id = self.engine.model_config.resolved_image_token_id
+            n_soft = len(soft_embeds)
+            prompt_ids = [img_id] * n_soft + list(prompt_ids)
+            soft = (soft_embeds, list(range(n_soft)))
+
         req = CompletionRequest.from_body(
             body, prompt, suppress_first_tokens=self._space_suppress_ids,
             user=self._chat_conversation_id(request, body))
         req.stop = self._chat_stop_sequences(body.get("stop"))
         req._prompt_token_ids = prompt_ids
         req._context_metrics = context_metrics
+        req._soft = soft
 
         err = req.validate(max_seq_len=max_seq_len, prompt_tokens=len(prompt_ids))
         if err:

@@ -53,6 +53,8 @@ class CompletionRequest:
     # request-scoped extras attached by handlers (not part of the wire type)
     _prompt_token_ids: Optional[List[int]] = field(default=None, repr=False)
     _context_metrics: Optional[dict] = field(default=None, repr=False)
+    # VLM soft tokens: ((P, H) f32 embeds, (P,) prompt positions)
+    _soft: Optional[tuple] = field(default=None, repr=False)
 
     @classmethod
     def from_body(cls, body: dict, prompt: str,

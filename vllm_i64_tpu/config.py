@@ -53,6 +53,10 @@ class ModelConfig:
     pad_token_id: int = 1
     bos_token_id: int = 2
     eos_token_id: int = 0
+    # VLM image-placeholder token: soft (vision) tokens occupy prompt
+    # positions holding this id; it also drives their deterministic MoE
+    # routing (ref analog: pixel_values threading, i64_engine.py:1129-1151)
+    image_token_id: Optional[int] = None
 
     # Token-routed MoE (integer routing)
     use_token_routed_mlp: bool = True
@@ -114,6 +118,10 @@ class ModelConfig:
     @property
     def mu_enabled(self) -> bool:
         return self.use_mu_guidance and not self.disable_mu_guidance
+
+    @property
+    def resolved_image_token_id(self) -> int:
+        return self.pad_token_id if self.image_token_id is None else self.image_token_id
 
     @staticmethod
     def from_json(path: str) -> "ModelConfig":

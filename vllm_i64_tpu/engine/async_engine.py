@@ -105,6 +105,8 @@ class AsyncEngine:
         priority: int,
         timeout_s: Optional[float],
         cache_namespace: Optional[bytes],
+        soft_embeds=None,
+        soft_positions=None,
     ) -> int:
         if self._draining:
             raise RuntimeError("engine is shutting down, not accepting requests")
@@ -123,6 +125,8 @@ class AsyncEngine:
                 priority=priority,
                 timeout_s=timeout_s,
                 cache_namespace=cache_namespace,
+                soft_embeds=soft_embeds,
+                soft_positions=soft_positions,
             ),
         )
         self._t0[rid] = time.perf_counter()
@@ -138,10 +142,13 @@ class AsyncEngine:
         priority: int = 0,
         timeout_s: Optional[float] = None,
         cache_namespace: Optional[bytes] = None,
+        soft_embeds=None,
+        soft_positions=None,
     ) -> GenerationResult:
         loop = asyncio.get_running_loop()
         rid = await self._admit(prompt_token_ids, sampling_params, priority,
-                                timeout_s, cache_namespace)
+                                timeout_s, cache_namespace,
+                                soft_embeds, soft_positions)
         future: asyncio.Future = loop.create_future()
         self._targets[rid] = future
         return await future
@@ -153,10 +160,13 @@ class AsyncEngine:
         priority: int = 0,
         timeout_s: Optional[float] = None,
         cache_namespace: Optional[bytes] = None,
+        soft_embeds=None,
+        soft_positions=None,
     ) -> AsyncIterator:
         """Yields int token ids, then a final ("__done__", finish_reason)."""
         rid = await self._admit(prompt_token_ids, sampling_params, priority,
-                                timeout_s, cache_namespace)
+                                timeout_s, cache_namespace,
+                                soft_embeds, soft_positions)
         queue: asyncio.Queue = asyncio.Queue()
         self._targets[rid] = queue
         try:

@@ -170,6 +170,8 @@ class Engine:
 
         # per-request state
         self._params_by_rid: Dict[int, SamplingParams] = {}
+        # VLM soft tokens: rid -> ((P, H) f32 rows, (P,) prompt positions)
+        self._soft_by_rid: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self._procs_by_rid: Dict[int, list] = {}  # logits-processor chains
         self._logprobs_by_rid: Dict[int, List[TokenLogprob]] = {}
         self._slot_by_rid: Dict[int, int] = {}
@@ -205,13 +207,15 @@ class Engine:
         priority: int = 0,
         timeout_s: Optional[float] = None,
         cache_namespace: Optional[bytes] = None,
+        soft_embeds: Optional[np.ndarray] = None,
+        soft_positions: Optional[np.ndarray] = None,
     ) -> int:
         self._lock_waiters += 1
         try:
             with self._lock:
                 return self._add_request_locked(
                     prompt_token_ids, sampling_params, priority, timeout_s,
-                    cache_namespace)
+                    cache_namespace, soft_embeds, soft_positions)
         finally:
             self._lock_waiters -= 1
 
@@ -222,6 +226,8 @@ class Engine:
         priority: int = 0,
         timeout_s: Optional[float] = None,
         cache_namespace: Optional[bytes] = None,
+        soft_embeds: Optional[np.ndarray] = None,
+        soft_positions: Optional[np.ndarray] = None,
     ) -> int:
         params = sampling_params or SamplingParams()
         prompt = np.asarray(prompt_token_ids, dtype=np.int64)
@@ -235,12 +241,38 @@ class Engine:
             )
         eos = self.model_config.eos_token_id
 
+        # VLM soft tokens: (P, H) vision-projector rows occupying the given
+        # prompt positions (which must hold the image-placeholder token id)
+        if soft_embeds is not None:
+            soft_embeds = np.asarray(soft_embeds, np.float32)
+            if soft_embeds.ndim == 3:  # (N_img, patches, H) -> flat rows
+                soft_embeds = soft_embeds.reshape(-1, soft_embeds.shape[-1])
+            if soft_positions is None:
+                soft_positions = np.arange(len(soft_embeds))
+            soft_positions = np.asarray(soft_positions, np.int64)
+            if soft_embeds.shape[0] != soft_positions.shape[0]:
+                raise ValueError("soft_embeds rows != soft_positions")
+            if soft_embeds.shape[1] != self.model_config.hidden_size:
+                raise ValueError(
+                    f"soft_embeds width {soft_embeds.shape[1]} != hidden_size "
+                    f"{self.model_config.hidden_size}")
+            if soft_positions.size and (
+                soft_positions.min() < 0 or soft_positions.max() >= prompt.size
+            ):
+                raise ValueError("soft_positions outside the prompt")
+            # identical placeholder ids must not prefix-cache-hit across
+            # different images — salt the namespace with the image content
+            img_salt = hashlib.sha256(soft_embeds.tobytes()).digest()[:16]
+            cache_namespace = hashlib.sha256(
+                (cache_namespace or b"") + img_salt).digest()[:16]
+
         # merge path: identical greedy prompt already running -> piggyback.
         # Only behavior-free requests are mergeable — per-request stops,
         # min_tokens, or any host-path feature would be silently ignored on
         # a secondary.
         mergeable = (
             self._merge_enabled
+            and soft_embeds is None  # same placeholder ids, different images
             and params.is_greedy
             and not params.needs_host_sampling
             and not params.stop
@@ -305,6 +337,10 @@ class Engine:
                     rid, tuple(int(t) for t in prompt), []
                 )
         self._params_by_rid[rid] = params
+        if soft_embeds is not None:
+            # kept until purge: preemption restore re-prefills and needs the
+            # rows again
+            self._soft_by_rid[rid] = (soft_embeds, soft_positions)
         procs = self._build_processors(params, eos)
         if procs:
             self._procs_by_rid[rid] = procs
@@ -384,6 +420,7 @@ class Engine:
         self._params_by_rid.pop(rid, None)
         self._procs_by_rid.pop(rid, None)
         self._logprobs_by_rid.pop(rid, None)
+        self._soft_by_rid.pop(rid, None)
         req = self.scheduler._requests.pop(rid, None)
         if req is not None:
             try:
@@ -761,6 +798,26 @@ class Engine:
         max_blocks = max(len(s.request.kv_block_ids) for s in seqs)
         block_tables = np.zeros((b, max(max_blocks, 1)), np.int32)
 
+        # VLM: fill soft-token rows for any chunk overlapping stored
+        # soft positions (absolute prompt positions)
+        soft_embeds = soft_mask = None
+        if self._soft_by_rid and kind == "prefill":
+            for i, s in enumerate(seqs):
+                entry = self._soft_by_rid.get(s.request.request_id)
+                if entry is None:
+                    continue
+                emb, pos = entry
+                lo, hi = int(s.positions[0]), int(s.positions[-1])
+                sel = (pos >= lo) & (pos <= hi)
+                if not sel.any():
+                    continue
+                if soft_embeds is None:
+                    soft_embeds = np.zeros((b, t, emb.shape[1]), np.float32)
+                    soft_mask = np.zeros((b, t), bool)
+                cols = (pos[sel] - lo).astype(np.int64)
+                soft_embeds[i, cols] = emb[sel]
+                soft_mask[i, cols] = True
+
         params_list = []
         requests = []
         for i, s in enumerate(seqs):
@@ -792,6 +849,7 @@ class Engine:
             token_ids, positions, block_tables, ctx_lens, last_idx, valid,
             slot_ids, sample_mask, sample_args, features,
             return_logits=bool(need_host), kind=kind, defer=True,
+            soft_embeds=soft_embeds, soft_mask=soft_mask,
         )
         return _PendingGroup(seqs, params_list, need_host, tokens, logits)
 

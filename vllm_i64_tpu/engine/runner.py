@@ -123,10 +123,13 @@ class ModelRunner:
         sample_args: Dict[str, jax.Array],
         features: SamplerFeatures,
         return_logits: bool,
+        soft_embeds=None,  # (B, T, H) VLM soft tokens (prefill only)
+        soft_mask=None,  # (B, T) bool
     ):
         logits, (kv_k, kv_v) = cdm.forward_step(
             params, self.cfg, token_ids, positions, (kv_k, kv_v),
             block_tables, ctx_lens, last_idx, valid,
+            soft_embeds=soft_embeds, soft_mask=soft_mask,
         )
         row_counts = jnp.take(counts, slot_ids, axis=0) if features.penalties else None
         tokens = sample_tokens(
@@ -291,6 +294,8 @@ class ModelRunner:
         return_logits: bool = False,
         kind: str = "decode",
         defer: bool = False,
+        soft_embeds: Optional[np.ndarray] = None,  # (B, T, H) f32
+        soft_mask: Optional[np.ndarray] = None,  # (B, T) bool
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Pad to buckets, run the step program, return (tokens, logits?).
 
@@ -324,6 +329,13 @@ class ModelRunner:
         padded_args = {
             k: pad1(v) if v.ndim == 1 else v for k, v in sample_args.items()
         }
+        soft_e = soft_m = None
+        if soft_embeds is not None:
+            # None vs array changes the treedef -> the VLM step is its own
+            # compiled program; non-VLM dispatches never pay for these pads
+            soft_e = np.zeros((b, t, soft_embeds.shape[-1]), np.float32)
+            soft_e[:b_actual, :t_actual] = soft_embeds
+            soft_m = pad2(soft_mask, fill=False)
         # padding rows must not look greedy-sampled into counts
         tokens, logits, self.kv_k, self.kv_v, self.counts = self._step_fn(
             self.params,
@@ -342,6 +354,8 @@ class ModelRunner:
             padded_args,
             features,
             return_logits,
+            soft_e,
+            soft_m,
         )
         if defer:
             return tokens, logits  # device arrays; slice after conversion

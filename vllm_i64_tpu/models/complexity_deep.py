@@ -312,10 +312,25 @@ def forward_layers(
     return hidden, mu, new_kv
 
 
-def embed_tokens(params: Params, cfg: ModelConfig, token_ids: jax.Array):
-    """Embedding lookup + initial mu. Returns (hidden, mu_prev, clipped_ids)."""
+def embed_tokens(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,
+    soft_embeds: Optional[jax.Array] = None,  # (B, T, H)
+    soft_mask: Optional[jax.Array] = None,  # (B, T) bool
+):
+    """Embedding lookup + initial mu. Returns (hidden, mu_prev, clipped_ids).
+
+    VLM soft-token fusion: positions where ``soft_mask`` is set take their
+    hidden state from ``soft_embeds`` (vision-projector output) instead of
+    the embedding table; their token id (the image placeholder) still drives
+    deterministic MoE routing (ref analog: i64_engine.py:1129-1151)."""
     ids = jnp.clip(token_ids, 0, cfg.vocab_size - 1).astype(jnp.int32)
     hidden = jnp.take(params["embed"], ids, axis=0)
+    if soft_embeds is not None:
+        hidden = jnp.where(
+            soft_mask[..., None], soft_embeds.astype(hidden.dtype), hidden
+        )
     mu_prev = None
     if cfg.mu_enabled:
         mu_prev = jnp.broadcast_to(
@@ -334,9 +349,13 @@ def forward_hidden(
     ctx_lens: Optional[jax.Array] = None,  # (B,)
     seq_lens: Optional[jax.Array] = None,  # (B,) for cache-free mode
     valid: Optional[jax.Array] = None,  # (B, T) bool
+    soft_embeds: Optional[jax.Array] = None,  # (B, T, H) VLM soft tokens
+    soft_mask: Optional[jax.Array] = None,  # (B, T) bool
 ):
     """Run embedding + all decoder layers. Returns (hidden(B,T,H), new_kv)."""
-    hidden, mu_prev, ids = embed_tokens(params, cfg, token_ids)
+    hidden, mu_prev, ids = embed_tokens(
+        params, cfg, token_ids, soft_embeds=soft_embeds, soft_mask=soft_mask
+    )
     hidden, _, new_kv = forward_layers(
         params["layers"], cfg, hidden, mu_prev, ids, positions,
         kv=kv, block_tables=block_tables, ctx_lens=ctx_lens,
@@ -386,6 +405,8 @@ def forward_step(
     ctx_lens: jax.Array,  # (B,)
     last_idx: jax.Array,  # (B,) index of last valid token per row
     valid: jax.Array,  # (B, T) bool
+    soft_embeds: Optional[jax.Array] = None,  # (B, T, H) VLM soft tokens
+    soft_mask: Optional[jax.Array] = None,  # (B, T) bool
 ):
     """Engine step: paged-cache forward returning last-token fp32 logits.
 
@@ -395,6 +416,7 @@ def forward_step(
     hidden, new_kv = forward_hidden(
         params, cfg, token_ids, positions,
         kv=kv, block_tables=block_tables, ctx_lens=ctx_lens, valid=valid,
+        soft_embeds=soft_embeds, soft_mask=soft_mask,
     )
     last_h = jnp.take_along_axis(hidden, last_idx[:, None, None].astype(jnp.int32), axis=1)
     logits = lm_logits(params, cfg, last_h[:, 0, :])  # (B, V) fp32

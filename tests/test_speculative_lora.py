@@ -242,3 +242,68 @@ def test_lora_on_int8_weights(tiny_config, tmp_path):
     assert isinstance(eng.runner.params["layers"]["q"], QTensor)
     r = eng.generate([5, 6, 7], SamplingParams(temperature=0.0, max_tokens=3))
     assert len(r.output_tokens) >= 1
+
+
+# ---------------------------------------------------------------------------
+# paged draft cache
+# ---------------------------------------------------------------------------
+
+
+def test_paged_draft_matches_cache_free(tiny_config):
+    """The paged draft path (context-delta + per-slot paged KV) must produce
+    the exact tokens of the stateless cache-free path, including across
+    rejection-truncated cache prefixes."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    paged = SpeculativeDecoder(params, tiny_config, num_speculative=3,
+                               max_seq_len=128, block_size=4)
+    plain = SpeculativeDecoder(params, tiny_config, num_speculative=3,
+                               paged=False)
+    rng = np.random.default_rng(0)
+    context = [5, 17, 42, 7]
+    for step in range(6):
+        d_paged = paged.draft(np.asarray(context), rid=1)
+        d_plain = plain.draft(np.asarray(context))
+        assert list(d_paged) == list(d_plain), (step, d_paged, d_plain)
+        # simulate the engine accepting a random prefix + a correction token
+        n_acc = int(rng.integers(0, len(d_paged) + 1))
+        context = context + [int(t) for t in d_paged[:n_acc]]
+        if n_acc < len(d_paged):
+            context.append(int(rng.integers(3, tiny_config.vocab_size)))
+    paged.release(1)
+    assert paged._free_slots and 1 not in paged._slot_by_rid
+
+
+def test_paged_draft_slot_reuse_and_exhaustion(tiny_config):
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    spec = SpeculativeDecoder(params, tiny_config, num_speculative=2,
+                              max_slots=2, max_seq_len=64, block_size=4)
+    c1, c2, c3 = [5, 6, 7], [8, 9, 10], [11, 12, 13]
+    d1 = spec.draft(np.asarray(c1), rid=1)
+    d2 = spec.draft(np.asarray(c2), rid=2)
+    # slots exhausted -> rid=3 falls back to the cache-free path (same result)
+    d3 = spec.draft(np.asarray(c3), rid=3)
+    plain = SpeculativeDecoder(params, tiny_config, num_speculative=2,
+                               paged=False)
+    assert list(d3) == list(plain.draft(np.asarray(c3)))
+    spec.release(1)
+    d3b = spec.draft(np.asarray(c3), rid=3)  # now gets the freed slot
+    assert list(d3b) == list(d3)
+    assert 3 in spec._slot_by_rid
+
+
+def test_speculative_engine_paged_matches_plain_greedy(tiny_config):
+    """Engine-level: speculative engine with the paged draft cache still
+    produces token-identical greedy output."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    draft_cfg = tiny_config.replace(num_hidden_layers=1)
+    draft_params = cdm.init_params(draft_cfg, jax.random.PRNGKey(1))
+    spec = SpeculativeDecoder(draft_params, draft_cfg, num_speculative=3,
+                              max_seq_len=128, block_size=4)
+    eng_spec = make_engine(tiny_config, speculative=spec)
+    eng_plain = make_engine(tiny_config)
+    for p in ([5, 17, 42, 7], [9, 9, 9]):
+        a = eng_spec.generate(p, SamplingParams(temperature=0.0, max_tokens=10))
+        b = eng_plain.generate(p, SamplingParams(temperature=0.0, max_tokens=10))
+        assert a.output_tokens == b.output_tokens
+    # draft slots were released at purge
+    assert not spec._slot_by_rid

@@ -20,7 +20,7 @@ TPU-native shape discipline:
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,11 +61,54 @@ def _bucket(n: int, step: int = 128) -> int:
     return max(step, -(-n // step) * step)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k"),
+                   donate_argnames=("kv_k", "kv_v"))
+def _draft_k_paged(params, cfg: ModelConfig, kv_k, kv_v,
+                   delta: jax.Array,  # (1, Td) i32 — new context tokens
+                   delta_len: jax.Array,  # () i32 — valid count in delta
+                   start: jax.Array,  # () i32 — first delta position
+                   block_tables: jax.Array,  # (1, MB) i32
+                   k: int):
+    """Extend the draft's paged cache by the context delta, then greedy-draft
+    k tokens with single-token paged steps (the draft-side analog of the
+    engine's multistep decode). Returns ((k,) drafted ids, kv_k, kv_v)."""
+    from ..models import complexity_deep as cdm
+
+    td = delta.shape[1]
+    offs = jnp.arange(td, dtype=jnp.int32)
+    positions = (start + offs)[None]
+    valid = (offs < delta_len)[None]
+    n_total = start + delta_len
+    logits, (kv_k, kv_v) = cdm.forward_step(
+        params, cfg, delta, positions, (kv_k, kv_v), block_tables,
+        jnp.reshape(n_total, (1,)), jnp.reshape(delta_len - 1, (1,)), valid,
+    )
+    tok0 = jnp.argmax(logits[0]).astype(jnp.int32)
+
+    def body(carry, i):
+        tok, kv_k, kv_v = carry
+        pos = n_total + i
+        logits, (kv_k, kv_v) = cdm.forward_step(
+            params, cfg, tok[None, None], pos[None, None].astype(jnp.int32),
+            (kv_k, kv_v), block_tables, jnp.reshape(pos + 1, (1,)),
+            jnp.zeros((1,), jnp.int32), jnp.ones((1, 1), bool),
+        )
+        nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        return (nxt, kv_k, kv_v), nxt
+
+    (_, kv_k, kv_v), rest = jax.lax.scan(
+        body, (tok0, kv_k, kv_v), jnp.arange(k - 1, dtype=jnp.int32))
+    drafted = jnp.concatenate([tok0[None], rest]) if k > 1 else tok0[None]
+    return drafted, kv_k, kv_v
+
+
 class SpeculativeDecoder:
     """Draft-model speculation (greedy draft; target-faithful acceptance)."""
 
     def __init__(self, draft_params, draft_cfg: ModelConfig,
-                 num_speculative: int = 5):
+                 num_speculative: int = 5, paged: bool = True,
+                 max_slots: int = 16, max_seq_len: int = 2048,
+                 block_size: int = 16, kv_dtype=None):
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.K = max(1, int(num_speculative))
@@ -73,17 +116,103 @@ class SpeculativeDecoder:
         self.total_accepted = 0
         self._rng = np.random.default_rng(0)
 
+        # paged draft cache: each slot owns a FIXED stripe of blocks, so no
+        # allocator is needed (the draft model is small — the whole cache is
+        # a few tens of MB). Per-slot state tracks which context prefix the
+        # cache rows were computed from; a divergence (rejected draft) just
+        # truncates the valid prefix.
+        self.paged = paged
+        self.block_size = block_size
+        self.blocks_per_slot = -(-(max_seq_len + self.K + 1) // block_size)
+        self.max_slots = max_slots
+        self._kv = None  # lazy (L, max_slots*blocks_per_slot, bs, Hkv, d) x2
+        self._kv_dtype = kv_dtype
+        self._slot_by_rid: Dict[int, int] = {}
+        self._cached_by_rid: Dict[int, List[int]] = {}
+        self._free_slots = list(range(max_slots - 1, -1, -1))
+
+    def _ensure_kv(self):
+        if self._kv is None:
+            if self._kv_dtype is None:
+                # CPU XLA lacks bf16 dot support
+                self._kv_dtype = (
+                    jnp.float32 if jax.default_backend() == "cpu"
+                    else jnp.bfloat16)
+            cfg = self.draft_cfg
+            shape = (cfg.num_hidden_layers,
+                     self.max_slots * self.blocks_per_slot, self.block_size,
+                     cfg.num_key_value_heads, cfg.head_dim)
+            self._kv = (jnp.zeros(shape, self._kv_dtype),
+                        jnp.zeros(shape, self._kv_dtype))
+        return self._kv
+
+    def release(self, rid: int) -> None:
+        """Free a request's draft-cache slot (engine calls this at purge)."""
+        slot = self._slot_by_rid.pop(rid, None)
+        if slot is not None:
+            self._free_slots.append(slot)
+        self._cached_by_rid.pop(rid, None)
+
     # -- drafting --------------------------------------------------------------
 
-    def draft(self, context_ids: np.ndarray) -> np.ndarray:
-        """Greedy-draft K tokens after context_ids. Returns (K,) i64."""
-        n = len(context_ids)
+    def draft(self, context_ids: np.ndarray,
+              rid: Optional[int] = None) -> np.ndarray:
+        """Greedy-draft K tokens after context_ids. Returns (K,) i64.
+
+        With ``rid`` and paged mode, only the context delta since the last
+        call runs through the draft model (paged cache per request); without
+        it, the stateless cache-free path runs the whole context."""
+        ids = np.asarray(context_ids, np.int64) % self.draft_cfg.vocab_size
+        n = len(ids)
+        if self.paged and rid is not None and (
+            rid in self._slot_by_rid or self._free_slots
+        ) and n + self.K + 1 <= self.blocks_per_slot * self.block_size:
+            return self._draft_paged(ids, rid)
         tpad = _bucket(n + self.K)
         buf = np.zeros(tpad, np.int32)
-        buf[:n] = np.asarray(context_ids, np.int64) % self.draft_cfg.vocab_size
+        buf[:n] = ids
         out = _draft_k_greedy(self.draft_params, self.draft_cfg,
                               jnp.asarray(buf), jnp.int32(n), self.K)
         return np.asarray(out, np.int64)
+
+    def _draft_paged(self, ids: np.ndarray, rid: int) -> np.ndarray:
+        kv_k, kv_v = self._ensure_kv()
+        n = len(ids)
+        slot = self._slot_by_rid.get(rid)
+        if slot is None:
+            slot = self._free_slots.pop()
+            self._slot_by_rid[rid] = slot
+            self._cached_by_rid[rid] = []
+        cached = self._cached_by_rid[rid]
+        # longest prefix of the cache still matching this context
+        keep = 0
+        m = min(len(cached), n)
+        while keep < m and cached[keep] == ids[keep]:
+            keep += 1
+        delta = ids[keep:]
+        if len(delta) == 0:
+            # context fully cached (e.g. identical retry) — re-run the last
+            # token so the program always has >= 1 valid row
+            keep = n - 1
+            delta = ids[keep:]
+        # delta length buckets: decode steps extend by <=K+1 tokens, the
+        # first call by the whole prompt
+        td = self.K + 1 if len(delta) <= self.K + 1 else _bucket(len(delta))
+        buf = np.zeros((1, td), np.int32)
+        buf[0, : len(delta)] = delta
+        bt = np.arange(slot * self.blocks_per_slot,
+                       (slot + 1) * self.blocks_per_slot,
+                       dtype=np.int32)[None]
+        drafted, kv_k, kv_v = _draft_k_paged(
+            self.draft_params, self.draft_cfg, kv_k, kv_v,
+            jnp.asarray(buf), jnp.int32(len(delta)), jnp.int32(keep),
+            jnp.asarray(bt), self.K,
+        )
+        self._kv = (kv_k, kv_v)
+        drafted = np.asarray(drafted, np.int64)
+        # cache now holds the full context + the first K-1 drafted tokens
+        self._cached_by_rid[rid] = list(ids) + [int(t) for t in drafted[:-1]]
+        return drafted
 
     # -- acceptance ----------------------------------------------------------
 

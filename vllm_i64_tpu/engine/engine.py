@@ -421,6 +421,8 @@ class Engine:
         self._procs_by_rid.pop(rid, None)
         self._logprobs_by_rid.pop(rid, None)
         self._soft_by_rid.pop(rid, None)
+        if self.speculative is not None:
+            self.speculative.release(rid)
         req = self.scheduler._requests.pop(rid, None)
         if req is not None:
             try:
@@ -705,7 +707,7 @@ class Engine:
                 np.asarray(req.prompt_token_ids, np.int64),
                 np.asarray(req.output_token_ids, np.int64),
             ])
-            draft = spec.draft(context)
+            draft = spec.draft(context, rid=req.request_id)
             n = req.total_tokens
             verify_tokens = np.concatenate(
                 [[context[-1]], draft]).astype(np.int64)[None, :]

@@ -222,3 +222,37 @@ class TestPipelinedDispatch:
             return [eng.wait_for(r).output_tokens for r in rids]
 
         assert run() == run()
+
+
+class TestMixedMultistepPrefill:
+    def test_multistep_with_concurrent_prefill_matches_single_step(
+            self, engine_setup):
+        """Decode rows run the fused multistep window while other requests'
+        prefill chunks share the step; output must equal the K=1 engine."""
+        params, cfg, _ = engine_setup
+
+        def ecfg(k):
+            return EngineConfig(
+                max_batch_size=4, max_seq_len=64, kv_block_size=4,
+                max_kv_blocks=128, max_prefill_tokens=8,
+                dtype="float32", kv_cache_dtype="float32",
+                decode_batch_buckets=(1, 2, 4), prefill_batch_buckets=(1, 2, 4),
+                prefill_token_buckets=(8, 16), multistep_decode=k,
+            )
+
+        prompts = [[5, 17, 42, 7], [9, 9, 9, 11, 12, 13, 14, 15, 16, 2],
+                   [100, 2, 3, 4], [33, 44, 45, 46, 47, 48]]
+
+        def run(k):
+            eng = Engine(params, cfg, ecfg(k))
+            # stagger admissions so chunked prefill of later requests
+            # overlaps decode of earlier ones
+            rids = [eng.add_request(prompts[0], greedy(10)),
+                    eng.add_request(prompts[1], greedy(10))]
+            eng.step()
+            rids.append(eng.add_request(prompts[2], greedy(10)))
+            eng.step()
+            rids.append(eng.add_request(prompts[3], greedy(10)))
+            return [eng.wait_for(r).output_tokens for r in rids]
+
+        assert run(4) == run(1)

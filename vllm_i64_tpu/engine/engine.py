@@ -509,10 +509,20 @@ class Engine:
                 and len(decode) <= self.spec_max_batch
             ):
                 multi = self._speculative_step(decode)
-            elif decode and not prefill and k > 1:
+            elif decode and k > 1:
+                # decode rows run the fused multistep window even when
+                # prefill chunks share the step — the chunks dispatch first
+                # (deferred), the window executes behind them, and the
+                # chunks resolve after: one round-trip for the whole step
+                pending = [
+                    self._dispatch_group(part, kind="prefill")
+                    for part in _split(prefill, pre_cap)
+                ]
                 multi = {}
                 for part in _split(decode, dec_cap):
                     multi.update(self._run_multi_decode(part, k))
+                for pg in pending:
+                    single.update(self._resolve_group(pg))
             else:
                 # the scheduler can emit more rows than the largest compiled
                 # bucket; split so padding never exceeds the bucket table.
@@ -538,9 +548,14 @@ class Engine:
                 n = self.scheduler.apply_decode_tokens(req, toks)
                 result[rid] = toks[:n]
                 self.total_tokens_generated += n
-        else:
+        if multi is None or single:
+            # prefill rows (and the pure single-step path) go through
+            # update_after_step: chunk-progress advance + token append +
+            # block growth. Decode rows already applied above are absent
+            # from `single`, so the sweep skips them.
             self.scheduler.update_after_step(batch, single)
-            result = {rid: [tok] for rid, tok in single.items()}
+            for rid, tok in single.items():
+                result[rid] = [tok]
             self.total_tokens_generated += len(single)
 
         self._check_stop_sequences(result)

@@ -35,6 +35,10 @@ def main() -> None:
                    help="decode iterations fused per device dispatch")
     p.add_argument("--prefill-budget", type=int, default=512,
                    help="chunked-prefill token budget per step")
+    p.add_argument("--max-seq-len", type=int, default=0,
+                   help="engine max_seq_len; 0 = sized to the workload "
+                        "(tight max_seq_len keeps the block-table buckets "
+                        "small, which keeps remote compiles fast)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     args = p.parse_args()
@@ -76,9 +80,22 @@ def main() -> None:
         f"({cdm.num_parameters(params)/1e6:.1f}M, {param_bytes(params)/1e6:.0f} MB)"
     )
 
+    # size the KV pool for the whole workload: every request resident with
+    # prompt + output + multistep headroom (the EngineConfig auto default of
+    # batch*8 blocks preempt-thrashes at high request counts)
+    blocks_needed = args.requests * (
+        -(-(args.prompt_len + args.gen_tokens + args.multistep + 16) // 16))
+    if args.max_seq_len:
+        max_seq = args.max_seq_len
+    else:
+        need = args.prompt_len + args.gen_tokens + args.multistep + 32
+        max_seq = 64
+        while max_seq < need:
+            max_seq *= 2
     ecfg = EngineConfig(
         max_batch_size=args.max_batch,
-        max_seq_len=min(2048, cfg.max_position_embeddings),
+        max_seq_len=min(max_seq, cfg.max_position_embeddings),
+        max_kv_blocks=max(512, int(blocks_needed * 1.25)),
         kv_block_size=16,
         # batched chunked prefill: several prompts per prefill dispatch
         max_prefill_tokens=max(args.prompt_len, args.prefill_budget),
@@ -140,6 +157,9 @@ def main() -> None:
         total_tokens += sum(len(t) for t in result.values())
         peak_batch = max(peak_batch, len(engine.scheduler.running))
     elapsed = time.perf_counter() - t_start
+
+    perf = engine.get_stats()["perf"]
+    log(f"[bench] perf: {json.dumps({k: round(v, 2) for k, v in perf.items()})}")
 
     gen_tokens = sum(
         len(engine.scheduler.get_request(r).output_token_ids) for r in rids

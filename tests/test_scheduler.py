@@ -190,24 +190,26 @@ class TestPriorityAndPreemption:
         assert r1_req.priority <= -1
         assert r1_req._saved is not None and len(r1_req._saved[0]) == 1
 
-        # finish r2 quickly; r1 should come back and re-prefill prompt+saved
-        for _ in range(10):
-            if s.get_request(r2).state == RequestState.FINISHED:
-                break
-            run_step(s)
-        for _ in range(10):
+        # r1 comes back (as soon as blocks free up — possibly while r2 still
+        # runs) and re-prefills prompt+saved from position 0
+        seen_prefill = False
+        for _ in range(30):
             b = s.schedule()
-            if b and any(q.request.request_id == r1 for q in b.seqs):
-                seq = next(q for q in b.seqs if q.request.request_id == r1)
-                assert seq.is_prefill
-                s.update_after_step(b, {})
+            if b is None:
                 break
-            if b:
-                s.update_after_step(
-                    b, {q.request.request_id: 7 for q in b.seqs if q.needs_sample}
-                )
-        # restored output token present
-        assert s.get_request(r1).output_token_ids == [1] or True  # restored on admit
+            for q in b.seqs:
+                if q.request.request_id == r1 and not seen_prefill:
+                    assert q.is_prefill
+                    assert int(q.positions[0]) == 0  # full re-prefill
+                    seen_prefill = True
+            s.update_after_step(
+                b, {q.request.request_id: 7 for q in b.seqs if q.needs_sample}
+            )
+            if seen_prefill:
+                break
+        assert seen_prefill
+        # the saved generated token (7, fed by run_step) was restored
+        assert s.get_request(r1).output_token_ids[:1] == [7]
 
     def test_no_preemption_of_equal_priority(self):
         s = make_scheduler(max_kv_blocks=5)  # 4 usable

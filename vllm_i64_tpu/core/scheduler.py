@@ -45,7 +45,7 @@ class RequestState(IntEnum):
     FINISHED = 3
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: ndarray fields break value eq
 class Request:
     """One inference request — all fields integer or integer arrays."""
 
@@ -273,6 +273,20 @@ class Scheduler:
             heapq.heappop(self._pending)
         return None
 
+    def _remove_pending(self, req: Request) -> None:
+        """Remove a specific request from the pending heap.
+
+        Admission must NOT pop the heap top: _preempt_for pushes boosted
+        (priority -1) victims mid-admission, so the top may no longer be the
+        request being admitted — popping blindly dropped the victim on the
+        floor, starving it forever (it stayed PENDING but queue-less)."""
+        for i, entry in enumerate(self._pending):
+            if entry[2] == req.request_id:
+                self._pending[i] = self._pending[-1]
+                self._pending.pop()
+                heapq.heapify(self._pending)
+                return
+
     @property
     def num_pending(self) -> int:
         return sum(1 for *_, r in self._pending if r.state == RequestState.PENDING)
@@ -417,7 +431,7 @@ class Scheduler:
                 if reused_blocks:
                     self.blocks.free(reused_blocks)  # undo the touch
                 break
-            self._pop_pending()
+            self._remove_pending(req)
             req.kv_block_ids = reused_blocks + blocks
             req.state = RequestState.RUNNING
             if req._saved is not None:

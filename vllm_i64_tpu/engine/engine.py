@@ -296,13 +296,15 @@ class Engine:
                     # late-joining secondary must still get a full completion
                     backfill = list(
                         preq.output_token_ids[: params.max_tokens])
+                    # NOTE: no _params_by_rid entry for secondaries — they
+                    # never sample (only behavior-free params merge) and the
+                    # entry would outlive the merged result (leak)
                     self._merged_secondaries[sec_rid] = {
                         "prompt": [int(t) for t in prompt],
                         "output": backfill,
                         "max_new_tokens": params.max_tokens,
                         "t0": time.perf_counter(),
                     }
-                    self._params_by_rid[sec_rid] = params
                     if len(backfill) >= params.max_tokens or (
                         backfill and backfill[-1] == eos
                     ):
@@ -429,6 +431,14 @@ class Engine:
                 self.scheduler.finished.remove(req)
             except ValueError:
                 pass
+            # a request can be purged while still in `running` (finished
+            # mid-step, e.g. kv_oom inside _grow_blocks, consumed before the
+            # next sweep) — detach fully or the sweep re-appends it to
+            # `finished` AFTER this purge and it leaks forever
+            if req in self.scheduler.running:
+                self.scheduler.running.remove(req)
+                self.scheduler.blocks.free(req.kv_block_ids)
+                req.kv_block_ids = []
         # drop a merge-group entry whose primary is gone and drained
         for phash, (prid, _, secs) in list(self._merge_primaries.items()):
             if prid == rid and not secs:

@@ -137,6 +137,12 @@ def main() -> None:
                 engine.cancel_request(wid)
             break
     log(f"[bench] warmup done in {time.perf_counter()-t0:.1f}s")
+    # perf counters accumulated warmup compiles — reset so the perf line
+    # reflects the timed run only
+    for k in engine._perf:
+        engine._perf[k] = 0.0
+    engine.total_steps = 0
+    engine.total_tokens_generated = 0
 
     # Timed run: continuous batching over all requests
     first_token_at = {}

@@ -24,6 +24,19 @@ import jax.numpy as jnp
 NEG_INF = float("-inf")
 
 _PALLAS_DECODE = True
+# Window-RMW decode KV write kernel (ops/kv_write_pallas.py). Standalone it
+# beats the XLA scatter 4x (6.4 vs 25 ms for 30 layers x 64 rows), but
+# measured IN the compiled step program the two are within 0.3% at B=16 and
+# B=64 — XLA schedules the in-context scatter far better than it does a
+# bare one — while the kernel's programs compile ~6x slower through the
+# remote-compile tunnel. Off by default; flip for shapes where the scatter
+# regresses.
+_PALLAS_KV_WRITE = False
+# prefill switches from the XLA gather path (which materializes the (T, S)
+# score tensor) to the Pallas flash kernel at this query length — measured
+# crossover on v5e is flat up to 2k (9.1 vs 9.6 ms at B=4 T=512); beyond it
+# the kernel's O(T*d) memory wins outright
+_PALLAS_PREFILL_MIN_T = 1024
 
 
 def _use_pallas_decode() -> bool:
@@ -71,8 +84,30 @@ def write_kv(
 
     Functional update — callers donate the cache buffers so XLA performs the
     scatter in place (no copy of the multi-hundred-MB cache per step).
+
+    Decode steps (T=1) route through the Pallas window-RMW kernel instead:
+    XLA's scatter serializes on TPU at ~0.4-0.8 ms per (K,V) pair — 15-25 ms
+    per 30-layer decode iteration, several times the forward math itself.
+    The kernel's aligned window DMAs cut that to ~0.2 ms/layer. Safe because
+    decode rows of one dispatch always write DISTINCT blocks (block tables
+    are per-sequence exclusive; shared prefix blocks are never decode-written).
     """
     nb, bs, hkv, d = k_cache.shape
+    t = k.shape[1]
+    if (
+        t == 1
+        and bs % 8 == 0
+        and (hkv * d) % 128 == 0
+        and k_cache.dtype.itemsize >= 2  # 1-byte dtypes tile (32, 128)
+        and _PALLAS_KV_WRITE
+        and _use_pallas_decode()
+    ):
+        from .kv_write_pallas import kv_write_decode_pallas
+
+        slots_b = kv_cache_slots(block_tables, positions, bs, valid)[:, 0]
+        return kv_write_decode_pallas(
+            k_cache, v_cache, k[:, 0], v[:, 0], slots_b
+        )
     slots = kv_cache_slots(block_tables, positions, bs, valid).reshape(-1)
     k_flat = k.reshape(-1, hkv, d).astype(k_cache.dtype)
     v_flat = v.reshape(-1, hkv, d).astype(v_cache.dtype)
@@ -129,6 +164,23 @@ def paged_attention(
             block_size=k_cache.shape[1], scale=scale,
         )
         return out[:, None]
+    # long-context prefill: flash kernel instead of dense gather + (T, S)
+    # scores. Requires the engine's chunked-prefill layout (contiguous
+    # per-row query positions) and lane-aligned pages.
+    if (
+        t >= _PALLAS_PREFILL_MIN_T
+        and t % 128 == 0
+        and sliding_window is None
+        and hkv_d % 128 == 0
+        and k_cache.shape[1] % 8 == 0
+        and _use_pallas_decode()
+    ):
+        from .prefill_attention_pallas import paged_prefill_attention_pallas
+
+        return paged_prefill_attention_pallas(
+            q, k_cache, v_cache, block_tables, positions, ctx_lens,
+            block_size=k_cache.shape[1], scale=scale,
+        )
     _, _, hkv, _ = k_cache.shape
     g = hq // hkv
     if scale is None:

@@ -1,0 +1,198 @@
+"""Pallas decode KV-write kernel — replaces the XLA scatter on the hot path.
+
+XLA lowers the decode step's paged-cache write (`.at[slots].set`) to a
+serialized scatter that costs ~0.4-0.8 ms per (K,V) pair on v5e — at 30
+layers that is 15-25 ms per decode iteration, dominating the whole step
+(the forward math itself is ~3 ms). This kernel does the write as aligned
+DMA read-merge-write of each token's 8-slot window instead:
+
+- the cache is viewed as ``(NSLOTS/8, 8, Hkv*d)`` — window-granular slices
+  satisfy Mosaic's sublane (8) and lane (128) tiling rules, which reject
+  single-row slices outright (measured: "Slice shape along dimension 0
+  must be aligned to tiling (8)");
+- each decode row writes one token, rows of one dispatch always live in
+  DISTINCT blocks (block tables are per-sequence exclusive; shared prefix
+  blocks are never written during decode), so windows never collide within
+  a call and all read-merge-writes are independent;
+- K and V ride in one kernel invocation (two DMAs in flight per token).
+
+Semantics match ``write_kv`` exactly for T=1 steps: invalid rows carry an
+out-of-range slot and are skipped (the scatter path's mode="drop" analog).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_NBUF = 4  # read/write rotation depth (DMAs in flight: up to 2*NBUF*2)
+
+
+def _kernel(nwin_ref,  # (B,) i32 window index per row (scalar prefetch)
+            noff_ref,  # (B,) i32 offset-in-window per row (scalar prefetch)
+            k_rows_ref,  # (B, 8, HD) VMEM — new K row at its window offset
+            v_rows_ref,
+            k_hbm,  # (NW, 8, HD) ANY (aliased output)
+            v_hbm,
+            k_out,  # aliased to k_hbm
+            v_out,
+            kr_buf,  # (NBUF, 8, HD) VMEM read scratch
+            vr_buf,
+            kw_buf,  # (NBUF, 8, HD) VMEM write scratch
+            vw_buf,
+            r_sems,  # DMA semaphores (NBUF, 2)
+            w_sems,
+            *, num_windows: int, rows: int, hd: int):
+    """Software-pipelined window read-merge-write.
+
+    Rows of one call always target DISTINCT windows (one decode token per
+    sequence, per-sequence-exclusive blocks), so reads and writes never
+    conflict and up to _NBUF tokens stream concurrently."""
+
+    def read_copies(i, slot):
+        w = nwin_ref[i]
+        return (
+            pltpu.make_async_copy(k_hbm.at[w], kr_buf.at[slot], r_sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[w], vr_buf.at[slot], r_sems.at[slot, 1]),
+        )
+
+    def write_copies(i, slot):
+        w = nwin_ref[i]
+        return (
+            pltpu.make_async_copy(kw_buf.at[slot], k_out.at[w], w_sems.at[slot, 0]),
+            pltpu.make_async_copy(vw_buf.at[slot], v_out.at[w], w_sems.at[slot, 1]),
+        )
+
+    def valid(i):
+        return nwin_ref[i] < num_windows
+
+    # prologue: fill the read pipeline
+    for j in range(_NBUF):
+        @pl.when((j < rows) & valid(j))
+        def _(j=j):
+            kd, vd = read_copies(j, j % _NBUF)
+            kd.start()
+            vd.start()
+
+    def body(i, _):
+        slot = i % _NBUF
+
+        # free this write buffer: wait out the write that last used it
+        @pl.when((i >= _NBUF) & valid(i - _NBUF))
+        def _():
+            kd, vd = write_copies(i - _NBUF, slot)
+            kd.wait()
+            vd.wait()
+
+        @pl.when(valid(i))
+        def _():
+            kd, vd = read_copies(i, slot)
+            kd.wait()
+            vd.wait()
+            # 2-D mask built in-register (a (8,)->(8,1) reshape of a bool
+            # is rejected by Mosaic for non-32-bit blends)
+            m = jax.lax.broadcasted_iota(jnp.int32, (8, hd), 0) == noff_ref[i]
+            kw_buf[slot] = jnp.where(m, k_rows_ref[i], kr_buf[slot])
+            vw_buf[slot] = jnp.where(m, v_rows_ref[i], vr_buf[slot])
+            kd, vd = write_copies(i, slot)
+            kd.start()
+            vd.start()
+
+        # read buffer consumed — prefetch the row NBUF ahead into it
+        @pl.when((i + _NBUF < rows) & valid(i + _NBUF))
+        def _():
+            kd, vd = read_copies(i + _NBUF, slot)
+            kd.start()
+            vd.start()
+        return 0
+
+    jax.lax.fori_loop(0, rows, body, 0, unroll=False)
+
+    # epilogue: drain outstanding writes
+    def drain(i, _):
+        @pl.when((i >= 0) & (i < rows) & valid(i))
+        def _():
+            kd, vd = write_copies(i, i % _NBUF)
+            kd.wait()
+            vd.wait()
+        return 0
+
+    jax.lax.fori_loop(
+        jnp.maximum(rows - _NBUF, 0), rows, drain, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_decode_pallas(
+    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    v_cache: jax.Array,
+    k_new: jax.Array,  # (B, Hkv, d) — one token per row
+    v_new: jax.Array,
+    slots: jax.Array,  # (B,) i32 flat slot ids; >= NB*bs means "skip"
+    *,
+    interpret: bool = False,
+):
+    """Write one token per row into the paged cache via aligned window DMAs.
+
+    Requires bs % 8 == 0 and (Hkv*d) % 128 == 0 (production models: 16, 256).
+    Returns the updated caches; callers donate them as usual.
+    """
+    nb, bs, hkv, d = k_cache.shape
+    hd = hkv * d
+    b = k_new.shape[0]
+    nslots = nb * bs
+    nw = nslots // 8
+
+    win = jnp.where(slots < nslots, slots // 8, jnp.int32(2**30)).astype(jnp.int32)
+    off = (slots % 8).astype(jnp.int32)
+    onehot = (off[:, None] == jnp.arange(8, dtype=jnp.int32)[None]).astype(jnp.int32)
+    # position each new row at its window offset (pure vector build, no scatter)
+    k_rows = jnp.where(
+        (onehot[..., None] > 0), k_new.reshape(b, 1, hd), 0
+    ).astype(k_cache.dtype)
+    v_rows = jnp.where(
+        (onehot[..., None] > 0), v_new.reshape(b, 1, hd), 0
+    ).astype(v_cache.dtype)
+
+    kf = k_cache.reshape(nw, 8, hd)
+    vf = v_cache.reshape(nw, 8, hd)
+
+    kernel = functools.partial(_kernel, num_windows=nw, rows=b, hd=hd)
+    k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # k_rows
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # v_rows
+                pl.BlockSpec(memory_space=pl.ANY),  # k_hbm
+                pl.BlockSpec(memory_space=pl.ANY),  # v_hbm
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_NBUF, 8, hd), k_cache.dtype),
+                pltpu.VMEM((_NBUF, 8, hd), v_cache.dtype),
+                pltpu.VMEM((_NBUF, 8, hd), k_cache.dtype),
+                pltpu.VMEM((_NBUF, 8, hd), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((_NBUF, 2)),
+                pltpu.SemaphoreType.DMA((_NBUF, 2)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nw, 8, hd), k_cache.dtype),
+            jax.ShapeDtypeStruct((nw, 8, hd), v_cache.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(win, off, k_rows, v_rows, kf, vf)
+
+    return k_out.reshape(nb, bs, hkv, d), v_out.reshape(nb, bs, hkv, d)

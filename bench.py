@@ -39,6 +39,13 @@ def main() -> None:
                    help="engine max_seq_len; 0 = sized to the workload "
                         "(tight max_seq_len keeps the block-table buckets "
                         "small, which keeps remote compiles fast)")
+    p.add_argument("--w8a8", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="dynamic int8 activations into int8 MXU matmuls "
+                        "(matches the reference's quantize_dynamic numerics; "
+                        "--no-w8a8 for weight-only dequant)")
+    p.add_argument("--chain", action=argparse.BooleanOptionalAction,
+                   default=True, help="pipelined multistep window chaining")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     args = p.parse_args()
@@ -106,6 +113,8 @@ def main() -> None:
         # prompt must not burn a 512-wide prefill row
         prefill_token_buckets=(args.prompt_len, max(args.prompt_len, 512)),
         multistep_decode=args.multistep,
+        w8a8=args.w8a8 and args.quantization == "int8",
+        decode_chaining=args.chain,
     )
     engine = Engine(params, cfg, ecfg)
 

@@ -236,3 +236,66 @@ def test_kv_swap_roundtrip(tiny_config):
     assert float(runner.kv_k[0, 7, 0, 0, 0]) == 1.5
     assert float(runner.kv_v[0, 9, 0, 0, 0]) == -2.5
     assert float(runner.kv_k[0, 3, 0, 0, 0]) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# W8A8: dynamic int8 activations into int8xint8 matmuls
+# (ref: core/quantization.py:119-224 int8_linear_native,
+#  :227-286 int8_fused_gate_up_native)
+# ---------------------------------------------------------------------------
+
+
+def test_w8a8_matmul_close_to_dequant(rng):
+    from vllm_i64_tpu.ops.dequant_matmul import int8_int8_matmul
+    from vllm_i64_tpu.ops.quant import dequantize, quantize_int8
+
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    w = quantize_int8(jnp.asarray(rng.standard_normal((256, 128)), jnp.float32))
+    got = np.asarray(int8_int8_matmul(x, w), np.float64)
+    ref = np.asarray(x @ dequantize(w, jnp.float32), np.float64)
+    # activation quantization adds ~1/255 per-element noise that averages
+    # out over K=256; row cosine similarity is the robust check
+    for r in range(got.shape[0]):
+        cos = np.dot(got[r], ref[r]) / (
+            np.linalg.norm(got[r]) * np.linalg.norm(ref[r]) + 1e-12)
+        assert cos > 0.995, cos
+
+
+def test_w8a8_fused_swiglu_close(rng):
+    from vllm_i64_tpu.ops.dequant_matmul import set_w8a8
+    from vllm_i64_tpu.ops.fused_swiglu import fused_swiglu
+    from vllm_i64_tpu.ops.quant import quantize_int8
+
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    g = quantize_int8(jnp.asarray(rng.standard_normal((256, 128)), jnp.float32))
+    u = quantize_int8(jnp.asarray(rng.standard_normal((256, 128)), jnp.float32))
+    ref = np.asarray(fused_swiglu(x, g, u), np.float64)
+    set_w8a8(True)
+    try:
+        got = np.asarray(fused_swiglu(x, g, u), np.float64)
+    finally:
+        set_w8a8(False)
+    cos = (got * ref).sum() / (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-12)
+    assert cos > 0.99, cos
+
+
+def test_w8a8_engine_end_to_end(tiny_config):
+    from vllm_i64_tpu.ops.dequant_matmul import set_w8a8
+
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    qp = quantize_params(params, tiny_config, "int8")
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=32, dtype="float32",
+                        kv_cache_dtype="float32", quantization="int8",
+                        w8a8=True,
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,))
+    try:
+        eng = Engine(qp, tiny_config, ecfg)
+        r = eng.generate([5, 17, 42],
+                         SamplingParams(temperature=0.0, max_tokens=4))
+        assert len(r.output_tokens) >= 1
+        assert all(0 <= t < tiny_config.vocab_size for t in r.output_tokens)
+    finally:
+        set_w8a8(False)

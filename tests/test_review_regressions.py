@@ -161,3 +161,49 @@ def test_capacity_clamped_at_max_seq_len():
     req = sched.get_request(rid)
     assert sched.ensure_capacity(req, 100)  # clamped, not rejected
     assert len(req.kv_block_ids) <= 8  # 32 / 4
+
+
+def test_batch_sizer_never_shrinks_while_requests_wait():
+    """Bench finding (gen=256 run): the adaptive sizer shrank max_batch one
+    below a saturated 16-request workload; the 16th request starved for its
+    neighbors' entire generation while the responsiveness fallback pinned
+    multistep at k=1 — a 5x throughput collapse. Shrinking is forbidden
+    while anything waits for admission."""
+    from vllm_i64_tpu.engine.engine import AdaptiveBatchSizer
+
+    s = AdaptiveBatchSizer(initial=16, window=10)
+    for _ in range(5):
+        s.record(10, 10_000 / 100)
+    # recent throughput collapsed — but requests are pending
+    for _ in range(5):
+        s.record(10, 10_000 / 50)
+        assert s.adjust(allow_shrink=False) == 16
+    # with nobody waiting, the downward exploration is allowed again
+    assert s.adjust(allow_shrink=True) == 15
+
+
+def test_multistep_window_capped_not_collapsed_when_pending(tiny_config):
+    """When a pending request CANNOT be admitted (slots full), the window
+    must stay at the mixed cap, not collapse to 1 for the blocked request's
+    whole wait."""
+    params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=4,
+                        max_kv_blocks=64, max_prefill_tokens=32,
+                        dtype="float32", kv_cache_dtype="float32",
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,),
+                        multistep_decode=8, multistep_mixed=4,
+                        enable_request_merging=False)
+    eng = Engine(params, tiny_config, ecfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=16)
+    rids = [eng.add_request([3 + i, 7, 11], sp) for i in range(3)]
+    # steps until the two admitted rows are decoding and the third pends
+    for _ in range(3):
+        eng.step()
+    assert eng.scheduler.num_pending == 1
+    batch = eng.scheduler.schedule()
+    assert batch is not None
+    assert eng._multistep_window(batch) == 4  # capped, not 1
+    for r in rids:
+        assert len(eng.wait_for(r).output_tokens) >= 1

@@ -173,6 +173,10 @@ class EngineConfig:
     dtype: str = "bfloat16"          # activations/weights compute dtype
     kv_cache_dtype: str = "bfloat16"  # also: float8_e4m3fn | float8_e5m2
     quantization: str = "none"        # none | int8 | int4 | fp8
+    # W8A8: dynamic per-token INT8 activation quant feeding native
+    # int8xint8 MXU matmuls (ref: quantization.py:119-224). int8-quantized
+    # weights only; logits stay on the dequant path for accuracy.
+    w8a8: bool = False
     # auto-upgrade the KV cache to fp8 when block usage crosses 70%
     # (ref: kv_cache.py maybe_enable_fp8 :819-831)
     kv_fp8_auto: bool = False
@@ -190,6 +194,18 @@ class EngineConfig:
     # (sampled tokens feed back on device). 1 = off. Amortizes dispatch
     # latency; admission of new requests waits at most K steps.
     multistep_decode: int = 8
+    # Cap the multistep window when prefill chunks share the step: a full
+    # K-window between prefill chunks delays later requests' first tokens
+    # by K decode iterations per chunk. Deferred iterations run in the
+    # chained pure-decode phase (round-trips hidden there), so this trades
+    # ~nothing for TTFT. 0 = no cap.
+    multistep_mixed: int = 4
+    # Pipeline consecutive multistep windows: dispatch window N+1 from
+    # window N's on-device carry BEFORE reading window N's tokens back, so
+    # host readback overlaps device execution (steady-state decode pays no
+    # dispatch round-trip). Breaks automatically on admissions, finishes,
+    # host-sampled rows, or stop sequences.
+    decode_chaining: bool = True
 
     # Fuse q/k/v projections into one GEMM per layer (ref: model.py
     # fuse_qkv :114-145). Decode at small batch is launch-latency-bound.

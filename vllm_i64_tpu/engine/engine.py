@@ -98,14 +98,20 @@ class AdaptiveBatchSizer:
         if elapsed_ms > 0:
             self._throughputs.append(tokens / (elapsed_ms / 1000.0))
 
-    def adjust(self) -> int:
+    def adjust(self, allow_shrink: bool = True) -> int:
+        """±1 on the max batch size from the throughput trend (ref:
+        i64_engine.py:46-72). `allow_shrink=False` while requests are
+        waiting for admission: shrinking then cannot evict anyone — it only
+        pins a waiting request out of the batch (observed: one request
+        starved for its neighbors' entire generation, and the engine's
+        responsiveness fallback ran at window=1 the whole time)."""
         if len(self._throughputs) < self.window:
             return self.current
         avg = sum(self._throughputs) / len(self._throughputs)
         recent = sum(list(self._throughputs)[-5:]) / 5
         if recent > avg * 1.05:
             self.current = min(self.current + 1, self.max_size)
-        elif recent < avg * 0.9:
+        elif allow_shrink and recent < avg * 0.9:
             self.current = max(self.current - 1, self.min_size)
         return self.current
 
@@ -185,6 +191,10 @@ class Engine:
         self._merge_enabled = ec.enable_request_merging
         # prompt_hash -> (primary_rid, prompt_tuple, [secondary_rids])
         self._merge_primaries: Dict[bytes, Tuple[int, tuple, List[int]]] = {}
+        # pipelined multistep decode: the window in flight on device while
+        # the host processes the previous one ({"win": PendingWindow,
+        # "reqs": [Request...]} or None)
+        self._decode_chain = None
         self._merged_secondaries: Dict[int, dict] = {}
         self.merged_finished: Dict[int, GenerationResult] = {}
 
@@ -476,6 +486,25 @@ class Engine:
     def _step_locked(self) -> Dict[int, List[int]]:
         t0 = time.perf_counter()
 
+        if self._decode_chain is not None:
+            # a multistep window is already executing on device: advance the
+            # chain (dispatch the next window from its carry, then resolve
+            # this one). Timeout sweep / fp8 upgrade wait for a normal step.
+            t1 = time.perf_counter()
+            result = self._chain_advance()
+            self._perf["forward_ms"] += (time.perf_counter() - t1) * 1000
+            self._check_stop_sequences(result)
+            if self._merge_enabled and self._merge_primaries:
+                self._propagate_merged(result)
+            self.total_steps += 1
+            step_ms = (time.perf_counter() - t0) * 1000
+            self._perf["total_ms"] += step_ms
+            emitted = sum(len(v) for v in result.values())
+            self.batch_sizer.record(emitted, step_ms)
+            self.scheduler.max_batch_size = self.batch_sizer.adjust(
+            allow_shrink=self.scheduler.num_pending == 0)
+            return result
+
         self._sweep_timeouts()
         self._maybe_enable_fp8_kv()
 
@@ -505,6 +534,7 @@ class Engine:
         t1 = time.perf_counter()
         single: Dict[int, int] = {}
         multi: Optional[Dict[int, List[int]]] = None
+        multi_applied = False
         if self.runner is None:
             single = self._step_modelless(batch)
         else:
@@ -520,19 +550,35 @@ class Engine:
             ):
                 multi = self._speculative_step(decode)
             elif decode and k > 1:
-                # decode rows run the fused multistep window even when
-                # prefill chunks share the step — the chunks dispatch first
-                # (deferred), the window executes behind them, and the
-                # chunks resolve after: one round-trip for the whole step
-                pending = [
-                    self._dispatch_group(part, kind="prefill")
-                    for part in _split(prefill, pre_cap)
-                ]
-                multi = {}
-                for part in _split(decode, dec_cap):
-                    multi.update(self._run_multi_decode(part, k))
-                for pg in pending:
-                    single.update(self._resolve_group(pg))
+                if (
+                    not prefill
+                    and self.speculative is None
+                    and len(decode) <= dec_cap
+                    and self.engine_config.decode_chaining
+                    and self._chain_init_eligible(decode, k)
+                ):
+                    # pure-decode steady state: start a pipelined window
+                    # chain. Window 1 dispatches here; _chain_advance then
+                    # dispatches window 2 from its on-device carry before
+                    # resolving window 1 — from now on, one window is always
+                    # executing while the host processes the previous one.
+                    self._dispatch_chain_window(decode, k)
+                    multi = self._chain_advance()
+                    multi_applied = True
+                else:
+                    # decode rows run the fused multistep window even when
+                    # prefill chunks share the step — the chunks dispatch
+                    # first (deferred), the window executes behind them, and
+                    # the chunks resolve after: one round-trip per step
+                    pending = [
+                        self._dispatch_group(part, kind="prefill")
+                        for part in _split(prefill, pre_cap)
+                    ]
+                    multi = {}
+                    for part in _split(decode, dec_cap):
+                        multi.update(self._run_multi_decode(part, k))
+                    for pg in pending:
+                        single.update(self._resolve_group(pg))
             else:
                 # the scheduler can emit more rows than the largest compiled
                 # bucket; split so padding never exceeds the bucket table.
@@ -552,7 +598,10 @@ class Engine:
         self._perf["forward_ms"] += (time.perf_counter() - t1) * 1000
 
         result: Dict[int, List[int]] = {}
-        if multi is not None:
+        if multi is not None and multi_applied:
+            # chain path: tokens already applied inside _chain_advance
+            result.update(multi)
+        elif multi is not None:
             for rid, toks in multi.items():
                 req = self.scheduler.get_request(rid)
                 n = self.scheduler.apply_decode_tokens(req, toks)
@@ -579,7 +628,8 @@ class Engine:
         # adaptive batch sizing (ref: i64_engine.py:1024-1031)
         emitted = sum(len(v) for v in result.values())
         self.batch_sizer.record(emitted, step_ms)
-        self.scheduler.max_batch_size = self.batch_sizer.adjust()
+        self.scheduler.max_batch_size = self.batch_sizer.adjust(
+            allow_shrink=self.scheduler.num_pending == 0)
         return result
 
     def _propagate_merged(self, result: Dict[int, List[int]]) -> None:
@@ -640,9 +690,142 @@ class Engine:
         k = self.engine_config.multistep_decode
         if k <= 1:
             return 1
+        mixed_cap = self.engine_config.multistep_mixed
         if self.scheduler.num_pending > 0:
-            return 1
+            # schedule() already admitted every admissible pending request,
+            # so the remainder is blocked on slots/blocks. A short window
+            # keeps the wait after a slot frees small; collapsing to 1 here
+            # once destroyed throughput 5x when the batch sizer pinched one
+            # request out of a saturated batch (k=1 for its whole lifetime).
+            return max(1, min(k, mixed_cap)) if mixed_cap else 1
+        if mixed_cap and any(s.is_prefill for s in batch.seqs):
+            return max(1, min(k, mixed_cap))
         return k
+
+    # -- pipelined multistep decode (window chaining) -----------------------
+
+    def _chain_init_eligible(self, seqs, k: int) -> bool:
+        """A window chain may start only when every row is a pure on-device
+        decode row: no host sampling, no logits processors (stop sequences
+        finish a request host-side while the device would keep generating —
+        a frozen-row/live-row divergence the chain cannot see), and KV
+        capacity for TWO windows (the in-flight one plus the next) is
+        reservable up front so no mid-chain allocation can preempt."""
+        if self.scheduler.num_pending > 0:
+            return False
+        for s in seqs:
+            req = s.request
+            rid = req.request_id
+            if req.state != RequestState.RUNNING:
+                return False
+            p = self._params_by_rid.get(rid, SamplingParams())
+            if self._needs_host(p, rid) or self._procs_by_rid.get(rid):
+                return False
+            if not self.scheduler.ensure_capacity(req, 2 * k + 2):
+                return False
+        return True
+
+    def _dispatch_chain_window(self, seqs, k: int) -> None:
+        """Dispatch the first window of a chain (no readback)."""
+        b = len(seqs)
+        last_tokens = np.zeros(b, np.int64)
+        positions = np.zeros(b, np.int32)
+        ctx_lens = np.zeros(b, np.int32)
+        slot_ids = np.zeros(b, np.int32)
+        tokens_left = np.zeros(b, np.int32)
+        max_blocks = max(len(s.request.kv_block_ids) for s in seqs)
+        block_tables = np.zeros((b, max(max_blocks, 1)), np.int32)
+        params_list = []
+        requests = []
+        for i, s in enumerate(seqs):
+            req = s.request
+            last_tokens[i] = s.token_ids[0]
+            positions[i] = s.positions[0]
+            ctx_lens[i] = int(s.positions[0]) + 1
+            slot_ids[i] = self._assign_slot(req)
+            tokens_left[i] = max(req.max_new_tokens - req.num_generated, 1)
+            block_tables[i, : len(req.kv_block_ids)] = req.kv_block_ids
+            params_list.append(
+                self._params_by_rid.get(req.request_id, SamplingParams())
+            )
+            requests.append(req)
+        features = SamplerFeatures.for_params(params_list)
+        sample_args = make_param_arrays(params_list, requests)
+        win = self.runner.dispatch_multi_decode(
+            last_tokens, positions, block_tables, ctx_lens, slot_ids,
+            tokens_left, sample_args, features, num_steps=k,
+        )
+        self._decode_chain = {"win": win, "reqs": requests}
+
+    def _chain_can_continue(self, reqs, k: int) -> bool:
+        """May the NEXT window dispatch before this one resolves?
+
+        Conservative: any admission waiting, any row no longer RUNNING
+        (cancel), any expired deadline, or any capacity shortfall breaks the
+        chain. Rows the host already knows are finished are frozen on device
+        too (EOS and budget freezing are on-device), so block release for
+        them is deferred until the chain ends — no reuse hazard."""
+        if self.scheduler.num_pending > 0:
+            return False
+        now = time.monotonic()
+        for req in reqs:
+            if req.state != RequestState.RUNNING:
+                return False
+            dl = self._deadlines.get(req.request_id)
+            if dl is not None and now > dl:
+                return False
+        # someone must still have budget beyond the un-resolved window
+        if not any(
+            not req.is_finished
+            and req.max_new_tokens - req.num_generated > k
+            for req in reqs
+        ):
+            return False
+        for req in reqs:
+            if req.is_finished:
+                continue
+            if not self.scheduler.ensure_capacity(req, 2 * k + 2):
+                return False
+        return True
+
+    def _chain_advance(self) -> Dict[int, List[int]]:
+        """Dispatch window N+1 from window N's on-device carry (if the chain
+        may continue), THEN resolve window N — the readback overlaps the new
+        window's execution. Applies window N's tokens and returns them."""
+        ch = self._decode_chain
+        self._decode_chain = None
+        win, reqs = ch["win"], ch["reqs"]
+        k = win.num_steps
+        nxt = None
+        if self._chain_can_continue(reqs, k):
+            mb = max(len(r.kv_block_ids) for r in reqs)
+            bt = np.zeros((len(reqs), max(mb, 1)), np.int32)
+            ctx = np.zeros(len(reqs), np.int32)
+            for i, r in enumerate(reqs):
+                bt[i, : len(r.kv_block_ids)] = r.kv_block_ids
+                ctx[i] = r.total_tokens
+            nxt = self.runner.resume_multi_decode(win, bt, ctx)
+        emitted = self.runner.resolve_window(win)  # host sync
+
+        result: Dict[int, List[int]] = {}
+        for i, req in enumerate(reqs):
+            if req.state != RequestState.RUNNING or req.is_finished:
+                continue
+            toks = [int(t) for t in emitted[:, i] if t >= 0]
+            if not toks:
+                continue
+            n = self.scheduler.apply_decode_tokens(req, toks)
+            if n:
+                result[req.request_id] = toks[:n]
+                self.total_tokens_generated += n
+        if nxt is not None and any(
+            req.state == RequestState.RUNNING and not req.is_finished
+            for req in reqs
+        ):
+            self._decode_chain = {"win": nxt, "reqs": reqs}
+        # else: an already-dispatched window with every row frozen just
+        # discards its (empty) output — dropping the handle is enough
+        return result
 
     def _run_multi_decode(self, seqs, k: int) -> Dict[int, List[int]]:
         params_list = []

@@ -30,6 +30,27 @@ from ..models import complexity_deep as cdm
 logger = logging.getLogger("vllm_i64_tpu.runner")
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class PendingWindow:
+    """A dispatched-but-unresolved multistep decode window.
+
+    `emitted` and `carry` are DEVICE arrays; `carry` is the scan loop state
+    (tokens, positions, ctx_lens, active, left, gen_idx) that the next
+    window resumes from without a host round-trip."""
+
+    emitted: jax.Array  # (num_steps, b)
+    carry: tuple
+    b_actual: int
+    b: int
+    slot_ids: np.ndarray
+    sample_args: Dict[str, np.ndarray]
+    features: SamplerFeatures
+    num_steps: int
+
+
 def _bucket(value: int, buckets) -> int:
     for b in buckets:
         if value <= b:
@@ -58,6 +79,11 @@ class ModelRunner:
             from ..ops import attention as _attn
 
             _attn._PALLAS_DECODE = False
+
+        # W8A8 is a module-level flag captured when a program traces; setting
+        # it before every dispatch (see _sync_w8a8) keeps multiple engines
+        # with different settings consistent in one process.
+        self._w8a8 = bool(engine_cfg.w8a8)
 
         dtype = jnp.dtype(engine_cfg.kv_cache_dtype)
         num_blocks = engine_cfg.resolve_kv_blocks()
@@ -92,6 +118,11 @@ class ModelRunner:
             static_argnames=("features", "num_steps"),
             donate_argnames=("kv_k", "kv_v", "counts"),
         )(self._multi_decode_impl)
+
+    def _sync_w8a8(self) -> None:
+        from ..ops.dequant_matmul import set_w8a8
+
+        set_w8a8(self._w8a8)
 
     def _make_block_buckets(self):
         mx = self.ecfg.max_blocks_per_seq
@@ -151,13 +182,9 @@ class ModelRunner:
         kv_k,
         kv_v,
         counts,
-        tokens0,  # (B,) i32 last token per row
-        positions0,  # (B,) i32
+        carry_in,  # (tokens, positions, ctx_lens, active, left, gen_idx) — (B,) each
         block_tables,  # (B, MB) i32 — capacity for +num_steps ensured by host
-        ctx_lens0,  # (B,) i32
         slot_ids,  # (B,) i32
-        active0,  # (B,) bool
-        tokens_left,  # (B,) i32 — max_tokens - num_generated per row
         key,
         sample_args: Dict[str, jax.Array],
         features: SamplerFeatures,
@@ -170,10 +197,14 @@ class ModelRunner:
         their token budget. This amortizes host<->device dispatch latency
         over num_steps tokens — the TPU analog of CUDA-graph decode replay,
         but covering the whole sample->embed loop, which a CUDA graph cannot.
+
+        The loop state enters and leaves as an explicit carry of (B,) device
+        arrays, so consecutive windows CHAIN without a host round-trip: the
+        engine dispatches window N+1 from window N's carry before reading
+        window N's tokens back, hiding dispatch latency entirely.
         """
         eos_ids = sample_args["eos_ids"]
         min_tokens = sample_args["min_tokens"]
-        base_gen = sample_args["gen_index"]
 
         def body(carry, step_key):
             tokens, positions, ctx_lens, active, left, gen_idx, kv_k, kv_v, counts = carry
@@ -214,13 +245,102 @@ class ModelRunner:
         # identical stream regardless of how dispatch windows are aligned
         # (and identically to the single-step path)
         step_keys = jnp.broadcast_to(key, (num_steps, *key.shape))
-        carry0 = (
-            tokens0, positions0, ctx_lens0, active0, tokens_left,
-            base_gen, kv_k, kv_v, counts,
-        )
+        carry0 = (*carry_in, kv_k, kv_v, counts)
         carry, emitted = jax.lax.scan(body, carry0, step_keys)
-        (_, _, _, _, _, _, kv_k, kv_v, counts) = carry
-        return emitted, kv_k, kv_v, counts  # emitted: (num_steps, B)
+        (*carry_out, kv_k, kv_v, counts) = carry
+        return emitted, tuple(carry_out), kv_k, kv_v, counts
+
+    def dispatch_multi_decode(
+        self,
+        last_tokens: np.ndarray,  # (B,) i64
+        positions: np.ndarray,  # (B,) i32
+        block_tables: np.ndarray,  # (B, MB_actual) i32
+        ctx_lens: np.ndarray,  # (B,) i32
+        slot_ids: np.ndarray,  # (B,) i32
+        tokens_left: np.ndarray,  # (B,) i32
+        sample_args: Dict[str, np.ndarray],
+        features: SamplerFeatures,
+        num_steps: int,
+    ) -> "PendingWindow":
+        """Enqueue one multistep window; returns a handle WITHOUT any host
+        readback. Resolve with `resolve_window`; chain the next window from
+        the handle's on-device carry with `resume_multi_decode`."""
+        self._sync_w8a8()
+        b_actual = last_tokens.shape[0]
+        b = _bucket(b_actual, self.ecfg.decode_batch_buckets)
+        mb = self._window_mb(block_tables, ctx_lens, num_steps)
+
+        def pad1(a, fill=0):
+            out = np.full((b,), fill, dtype=a.dtype)
+            out[:b_actual] = a
+            return out
+
+        bt = np.zeros((b, mb), np.int32)
+        bt[:b_actual, : min(block_tables.shape[1], mb)] = block_tables[:, :mb]
+
+        active = np.zeros(b, bool)
+        active[:b_actual] = True
+
+        padded_args = {k: pad1(v) for k, v in sample_args.items()}
+        carry_in = (
+            pad1(last_tokens.astype(np.int32)),
+            pad1(positions.astype(np.int32)),
+            pad1(ctx_lens.astype(np.int32)),
+            active,
+            pad1(np.maximum(tokens_left, 1).astype(np.int32)),
+            padded_args["gen_index"],
+        )
+        slots = pad1(slot_ids.astype(np.int32))
+        emitted, carry, self.kv_k, self.kv_v, self.counts = self._multi_decode_fn(
+            self.params, self.kv_k, self.kv_v, self.counts,
+            carry_in, bt, slots, self._base_key,
+            padded_args, features, num_steps,
+        )
+        return PendingWindow(
+            emitted=emitted, carry=carry, b_actual=b_actual, b=b,
+            slot_ids=slots, sample_args=padded_args, features=features,
+            num_steps=num_steps,
+        )
+
+    def resume_multi_decode(
+        self,
+        prev: "PendingWindow",
+        block_tables: np.ndarray,  # (b_actual, MB_actual) — may have grown
+        ctx_lens_host: np.ndarray,  # (b_actual,) host VIEW (lags device by ≤k)
+    ) -> "PendingWindow":
+        """Dispatch the next window directly from a previous window's
+        on-device carry — no host readback in between. The host's stale
+        ctx view only sizes the block-table bucket (with +2k headroom)."""
+        self._sync_w8a8()
+        k = prev.num_steps
+        mb = self._window_mb(block_tables, ctx_lens_host, 2 * k)
+        bt = np.zeros((prev.b, mb), np.int32)
+        bt[: prev.b_actual, : min(block_tables.shape[1], mb)] = (
+            block_tables[:, :mb]
+        )
+        emitted, carry, self.kv_k, self.kv_v, self.counts = self._multi_decode_fn(
+            self.params, self.kv_k, self.kv_v, self.counts,
+            prev.carry, bt, prev.slot_ids, self._base_key,
+            prev.sample_args, prev.features, k,
+        )
+        return PendingWindow(
+            emitted=emitted, carry=carry, b_actual=prev.b_actual, b=prev.b,
+            slot_ids=prev.slot_ids, sample_args=prev.sample_args,
+            features=prev.features, num_steps=k,
+        )
+
+    def resolve_window(self, win: "PendingWindow") -> np.ndarray:
+        """Host-sync one window's emitted tokens: (num_steps, b_actual)."""
+        return np.asarray(win.emitted)[:, : win.b_actual]
+
+    def _window_mb(self, block_tables, ctx_lens, extra_tokens: int) -> int:
+        bs = self.ecfg.kv_block_size
+        mb_needed = max(
+            int(block_tables.shape[1]),
+            -(-(int(np.max(ctx_lens)) + extra_tokens) // bs),
+            1,
+        )
+        return _bucket(mb_needed, self.block_buckets)
 
     def execute_multi_decode(
         self,
@@ -235,47 +355,11 @@ class ModelRunner:
         num_steps: int,
     ) -> np.ndarray:
         """Returns (num_steps, B) emitted tokens (-1 where row was frozen)."""
-        b_actual = last_tokens.shape[0]
-        b = _bucket(b_actual, self.ecfg.decode_batch_buckets)
-        # capacity bucket must cover ctx + num_steps new tokens
-        bs = self.ecfg.kv_block_size
-        mb_needed = max(
-            int(block_tables.shape[1]),
-            -(-(int(ctx_lens.max()) + num_steps) // bs),
-            1,
+        win = self.dispatch_multi_decode(
+            last_tokens, positions, block_tables, ctx_lens, slot_ids,
+            tokens_left, sample_args, features, num_steps,
         )
-        mb = _bucket(mb_needed, self.block_buckets)
-
-        def pad1(a, fill=0):
-            out = np.full((b,), fill, dtype=a.dtype)
-            out[:b_actual] = a
-            return out
-
-        bt = np.zeros((b, mb), np.int32)
-        bt[:b_actual, : min(block_tables.shape[1], mb)] = block_tables[:, :mb]
-
-        active = np.zeros(b, bool)
-        active[:b_actual] = True
-
-        padded_args = {k: pad1(v) for k, v in sample_args.items()}
-        emitted, self.kv_k, self.kv_v, self.counts = self._multi_decode_fn(
-            self.params,
-            self.kv_k,
-            self.kv_v,
-            self.counts,
-            pad1(last_tokens.astype(np.int32)),
-            pad1(positions.astype(np.int32)),
-            bt,
-            pad1(ctx_lens.astype(np.int32)),
-            pad1(slot_ids.astype(np.int32)),
-            active,
-            pad1(np.maximum(tokens_left, 1).astype(np.int32)),
-            self._base_key,
-            padded_args,
-            features,
-            num_steps,
-        )
-        return np.asarray(emitted)[:, :b_actual]
+        return self.resolve_window(win)
 
     # -- host-facing step ------------------------------------------------------
 
@@ -302,6 +386,7 @@ class ModelRunner:
         defer=True skips the host readback and returns device arrays —
         callers that dispatch several groups in one step (prefill parts)
         pipeline them instead of paying a round-trip per group."""
+        self._sync_w8a8()
         b_actual, t_actual = token_ids.shape
         if kind == "decode":
             b = _bucket(b_actual, self.ecfg.decode_batch_buckets)
@@ -384,6 +469,7 @@ class ModelRunner:
         valid: np.ndarray,  # (1, T)
     ) -> np.ndarray:
         """Run the verify program for one sequence; returns (T, V) logits."""
+        self._sync_w8a8()
         if not hasattr(self, "_verify_fn"):
             self._verify_fn = jax.jit(
                 self._verify_impl, donate_argnames=("kv_k", "kv_v"))

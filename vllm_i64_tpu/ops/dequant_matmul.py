@@ -26,6 +26,42 @@ from .quant import QTensor
 
 _PALLAS_ENABLED = True
 
+# W8A8: dynamically quantize activations per row and run native INT8xINT8
+# MXU matmuls (ref: core/quantization.py:119-224 `int8_linear_native` —
+# torch._int_mm INT8xINT8->INT32 with per-token activation scales). On v5e
+# the MXU's int8 path has 2x the bf16 macs/cycle, so compute-bound prefill
+# GEMMs can double; decode GEMMs are weight-bandwidth-bound and unchanged.
+# Set via `set_w8a8` BEFORE the first dispatch — jitted programs capture the
+# flag at trace time.
+_W8A8 = False
+
+
+def set_w8a8(enabled: bool) -> None:
+    global _W8A8
+    _W8A8 = bool(enabled)
+
+
+def w8a8_enabled() -> bool:
+    return _W8A8
+
+
+def int8_int8_matmul(x: jax.Array, w: QTensor) -> jax.Array:
+    """y = x @ dequant(w) computed as (q(x) @ w.q) * (row_scale * col_scale).
+
+    Per-row symmetric activation quantization; the int32 accumulator is
+    rescaled by the outer product of activation and weight scales.
+    """
+    from .quant import quantize_activations_int8
+
+    orig = x.shape
+    x2 = x.reshape(-1, orig[-1])
+    xq, xs = quantize_activations_int8(x2)  # (M, K) i8, (M, 1) f32
+    acc = jax.lax.dot_general(
+        xq, w.q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * xs * w.s.astype(jnp.float32)[None, :]
+    return out.astype(x.dtype).reshape(*orig[:-1], w.q.shape[-1])
+
 
 def _on_tpu() -> bool:
     try:

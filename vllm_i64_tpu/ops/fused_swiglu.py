@@ -108,6 +108,35 @@ def fused_swiglu(x: jax.Array, gate_w, up_w, *,
 
     Pallas on TPU for aligned int8 shapes, XLA-fused fallback elsewhere.
     """
+    from .dequant_matmul import w8a8_enabled
+
+    if (
+        not force_pallas
+        and w8a8_enabled()
+        and isinstance(gate_w, QTensor)
+        and isinstance(up_w, QTensor)
+        and gate_w.q.ndim == 2
+        and gate_w.q.dtype == jnp.int8
+    ):
+        # W8A8: quantize x ONCE, both GEMMs run int8xint8 on the MXU's
+        # double-rate int8 path (ref: quantization.py:227-286
+        # `int8_fused_gate_up_native`). XLA fuses the rescale+silu+mul
+        # epilogue into the matmul outputs.
+        from .quant import quantize_activations_int8
+
+        orig = x.shape
+        x2 = x.reshape(-1, orig[-1])
+        xq, xs = quantize_activations_int8(x2)
+        dims = (((1,), (0,)), ((), ()))
+        g = jax.lax.dot_general(
+            xq, gate_w.q, dims, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * xs * gate_w.s.astype(jnp.float32)[None, :]
+        u = jax.lax.dot_general(
+            xq, up_w.q, dims, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * xs * up_w.s.astype(jnp.float32)[None, :]
+        out = (jax.nn.silu(g) * u).astype(x.dtype)
+        return out.reshape(*orig[:-1], gate_w.q.shape[-1])
+
     use_pallas = force_pallas or (
         isinstance(gate_w, QTensor)
         and isinstance(up_w, QTensor)

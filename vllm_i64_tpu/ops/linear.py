@@ -20,8 +20,10 @@ def linear(x: jax.Array, w, *, precision=None) -> jax.Array:
     1 byte/weight (the HBM-bandwidth win that I64_gemm.cu:1-60 gets on GPU).
     """
     if isinstance(w, QTensor):
-        from .dequant_matmul import dequant_matmul
+        from .dequant_matmul import dequant_matmul, int8_int8_matmul, w8a8_enabled
 
+        if w8a8_enabled() and w.q.ndim == 2 and w.q.dtype == jnp.int8:
+            return int8_int8_matmul(x, w)
         return dequant_matmul(x, w)
     from .quant import Q4Tensor
 

@@ -46,6 +46,10 @@ def main() -> None:
                         "--no-w8a8 for weight-only dequant)")
     p.add_argument("--chain", action=argparse.BooleanOptionalAction,
                    default=True, help="pipelined multistep window chaining")
+    p.add_argument("--fuse-shared", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fold the shared expert into the flat-expert MoE "
+                        "(one gate/up/down GEMM set per layer)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     args = p.parse_args()
@@ -114,6 +118,7 @@ def main() -> None:
         prefill_token_buckets=(args.prompt_len, max(args.prompt_len, 512)),
         multistep_decode=args.multistep,
         w8a8=args.w8a8 and args.quantization == "int8",
+        fuse_shared_expert=args.fuse_shared,
         decode_chaining=args.chain,
     )
     engine = Engine(params, cfg, ecfg)

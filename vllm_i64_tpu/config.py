@@ -210,6 +210,14 @@ class EngineConfig:
     # Fuse q/k/v projections into one GEMM per layer (ref: model.py
     # fuse_qkv :114-145). Decode at small batch is launch-latency-bound.
     fuse_qkv: bool = True
+    # Fold the shared lexical expert into the flat-expert MoE layout as an
+    # always-on segment (ref: token_routed_mlp.py:164-186 computes it as a
+    # separate dense SwiGLU): one gate/up/down GEMM set per layer instead of
+    # two, with the output scales folded into the routing mask. The shared
+    # segment is zero-padded to a multiple of 128 columns so the fused
+    # widths stay lane-aligned for the MXU. Disabled under a mesh (the
+    # shared segment would need replication while experts shard).
+    fuse_shared_expert: bool = True
 
     def resolve_kv_blocks(self) -> int:
         """Auto KV block count (ref: engine/config.py resolve_kv_blocks)."""

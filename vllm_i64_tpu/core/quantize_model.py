@@ -124,6 +124,101 @@ def fuse_qkv_params(params):
     return out
 
 
+def fuse_shared_expert_params(params, cfg: ModelConfig):
+    """Fold the shared lexical expert into the flat-expert MoE layout.
+
+    The reference computes the shared expert as a separate dense SwiGLU and
+    mixes it with the routed output (ref: token_routed_mlp.py:164-186).
+    Concatenating its gate/up columns (and down rows) onto the flat-expert
+    weights makes the whole MoE one gate/up/down GEMM set per layer — the
+    routing mask grows an always-on shared segment whose value carries the
+    output scale (see ops/moe.py token_routed_mlp fused branch).
+
+    The shared segment is zero-padded to a multiple of 128 columns so the
+    fused widths stay lane-aligned (zero gate/up columns produce zero
+    intermediates; zero down rows contribute nothing — exact no-ops).
+
+    Quantized down-projections are re-quantized jointly: per-out-channel
+    scales cannot distinguish contraction segments, so the routed and shared
+    down weights are dequantized, concatenated, and quantized with one scale
+    set (same bit width, scale magnitudes comparable — validated against the
+    unfused path in tests). int4 (Q4Tensor) weights are left unfused.
+    Apply AFTER quantize_params; no-op when there is no shared expert or the
+    routed weights are not in a fusable layout.
+    """
+    from ..ops.quant import Q4Tensor, QTensor, dequantize, quantize_int8
+
+    layers = params.get("layers", {})
+    mlp = layers.get("mlp") if isinstance(layers, dict) else None
+    if not mlp or "shared_gate" not in mlp:
+        return params
+    gate, up, down = mlp["gate"], mlp["up"], mlp["down"]
+    sg, su, sd = mlp["shared_gate"], mlp["shared_up"], mlp["shared_down"]
+    if any(isinstance(w, Q4Tensor) for w in (gate, up, down, sg, su, sd)):
+        return params
+
+    ei = cfg.intermediate_size  # E * per-expert I (flat routed width)
+
+    def shared_cols(w):
+        return w.q.shape[-1] if isinstance(w, QTensor) else w.shape[-1]
+
+    s_w = shared_cols(sg)
+    pad = (-s_w) % 128
+
+    def fuse_in(routed, shared):
+        """gate/up: routed (L,H,E*I) or stacked (L,E,H,I); shared (L,H,S)."""
+        if isinstance(routed, QTensor):
+            if routed.q.ndim != 3:  # stacked quantized (L,E,H,I): not flat
+                return None
+            q = jnp.concatenate(
+                [routed.q, shared.q,
+                 jnp.zeros((*routed.q.shape[:-1], pad), routed.q.dtype)],
+                axis=-1)
+            s = jnp.concatenate(
+                [routed.s, shared.s,
+                 jnp.ones((*routed.s.shape[:-1], pad), routed.s.dtype)],
+                axis=-1)
+            return QTensor(q, s)
+        if routed.ndim == 4:  # float stacked (L, E, H, I) -> flat (L, H, E*I)
+            l, e, h, i = routed.shape
+            routed = jnp.transpose(routed, (0, 2, 1, 3)).reshape(l, h, e * i)
+        return jnp.concatenate(
+            [routed, shared,
+             jnp.zeros((*routed.shape[:-1], pad), routed.dtype)], axis=-1)
+
+    def fuse_down(routed, shared):
+        """down: routed (L,E*I,H) or stacked (L,E,I,H); shared (L,S,H)."""
+        if isinstance(routed, QTensor):
+            if routed.q.ndim != 3:
+                return None
+            rd = dequantize(routed, jnp.float32)  # (L, E*I, H)
+            sh = dequantize(shared, jnp.float32)
+            z = jnp.zeros((rd.shape[0], pad, rd.shape[-1]), jnp.float32)
+            return quantize_int8(jnp.concatenate([rd, sh, z], axis=-2))
+        if routed.ndim == 4:  # (L, E, I, H) -> (L, E*I, H)
+            l, e, i, h = routed.shape
+            routed = routed.reshape(l, e * i, h)
+        z = jnp.zeros((routed.shape[0], pad, routed.shape[-1]), routed.dtype)
+        return jnp.concatenate([routed, shared, z], axis=-2)
+
+    fg, fu, fd = fuse_in(gate, sg), fuse_in(up, su), fuse_down(down, sd)
+    if fg is None or fu is None or fd is None:
+        return params
+    w = fg.q.shape[-1] if isinstance(fg, QTensor) else fg.shape[-1]
+    if (w - ei) <= 0:
+        return params
+
+    out = dict(params)
+    new_layers = dict(layers)
+    new_mlp = dict(mlp)
+    new_mlp["gate"], new_mlp["up"], new_mlp["down"] = fg, fu, fd
+    for key in ("shared_gate", "shared_up", "shared_down"):
+        del new_mlp[key]
+    new_layers["mlp"] = new_mlp
+    out["layers"] = new_layers
+    return out
+
+
 def param_bytes(params) -> int:
     total = 0
     for leaf in jax.tree_util.tree_leaves(params):

@@ -157,6 +157,10 @@ class Engine:
                 from ..core.quantize_model import fuse_qkv_params
 
                 params = fuse_qkv_params(params)
+            if ec.fuse_shared_expert and mesh is None:
+                from ..core.quantize_model import fuse_shared_expert_params
+
+                params = fuse_shared_expert_params(params, self.model_config)
             self.runner = ModelRunner(params, self.model_config, ec, mesh=mesh)
 
         # hot-swap LoRA adapters (enabled via enable_lora(); ref:

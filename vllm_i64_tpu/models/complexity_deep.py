@@ -196,11 +196,28 @@ def _attention_block(
     return linear(out, p["o"]), new_kv
 
 
+def _flat_mlp_width(w) -> int:
+    """Trailing width of a per-layer mlp weight in flat layout, else 0."""
+    from ..ops.quant import QTensor
+
+    if isinstance(w, QTensor):
+        return w.q.shape[-1] if w.q.ndim == 2 else 0
+    return w.shape[-1] if getattr(w, "ndim", 0) == 2 else 0
+
+
 def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Array):
     b, t, h = hidden.shape
     x = hidden.reshape(b * t, h)
     mp = p["mlp"]
     if cfg.use_token_routed_mlp and cfg.num_experts > 1:
+        # shared expert folded into the flat gate/up/down weights
+        # (core/quantize_model.fuse_shared_expert_params): detected by the
+        # extra trailing columns beyond the routed E*I width
+        fused_cols = 0
+        if cfg.shared_expert and "shared_gate" not in mp:
+            w_cols = _flat_mlp_width(mp["gate"])
+            if w_cols > cfg.intermediate_size:
+                fused_cols = w_cols - cfg.intermediate_size
         out = token_routed_mlp(
             x,
             token_ids.reshape(-1),
@@ -218,6 +235,7 @@ def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Ar
             shared_output_scale=cfg.shared_output_scale,
             shared_output_gate=mp.get("shared_gate_scalar"),
             routed_output_gate=mp.get("routed_gate_scalar"),
+            shared_fused_cols=fused_cols,
         )
     else:
         out = dense_swiglu_mlp(x, mp["gate"], mp["up"], mp["down"])

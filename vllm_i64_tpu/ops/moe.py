@@ -142,6 +142,7 @@ def token_routed_mlp(
     shared_output_scale: float = 1.0,
     shared_output_gate: Optional[jax.Array] = None,  # learnable scalars
     routed_output_gate: Optional[jax.Array] = None,
+    shared_fused_cols: int = 0,  # >0: shared expert folded into gate/up/down
 ) -> jax.Array:
     """Full token-routed MLP: routed experts + shared expert + output mixing."""
     from .linear import linear
@@ -149,6 +150,31 @@ def token_routed_mlp(
     acc_t = _acc_dtype(x.dtype)
     routes = compute_routes(topk_table, token_ids, vocab_size)
     mask = route_mask(routes, num_experts, primary_weight, dtype=acc_t)  # (N, E)
+
+    if shared_fused_cols:
+        # Shared expert folded in as an always-on trailing segment
+        # (core/quantize_model.fuse_shared_expert_params): ONE gate/up
+        # SwiGLU and ONE down GEMM cover routed + shared. Output mixing
+        # (ref token_routed_mlp.py:164-186) folds into the mask — routed
+        # columns carry routing_weight * routed_scale, shared columns carry
+        # shared_scale; zero-padded columns are exact no-ops.
+        from .fused_swiglu import fused_swiglu
+
+        if shared_output_gate is not None and routed_output_gate is not None:
+            r_scale = routed_output_gate.astype(acc_t)
+            s_scale = shared_output_gate.astype(acc_t)
+        else:
+            r_scale = jnp.asarray(routed_output_scale, acc_t)
+            s_scale = jnp.asarray(shared_output_scale, acc_t)
+        inter = fused_swiglu(x, gate_w, up_w)  # (N, E*I + shared_fused_cols)
+        i_size = (inter.shape[-1] - shared_fused_cols) // num_experts
+        mask_flat = jnp.repeat(mask * r_scale, i_size, axis=1)
+        shared_seg = jnp.broadcast_to(
+            s_scale, (x.shape[0], shared_fused_cols)
+        ).astype(acc_t)
+        mask_all = jnp.concatenate([mask_flat, shared_seg], axis=1)
+        inter = (inter.astype(acc_t) * mask_all).astype(x.dtype)
+        return linear(inter, down_w)
 
     if _is_flat_expert(gate_w):
         # quantized flat-expert layout (H, E*I): one fused Pallas SwiGLU

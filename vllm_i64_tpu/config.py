@@ -200,6 +200,12 @@ class EngineConfig:
     # chained pure-decode phase (round-trips hidden there), so this trades
     # ~nothing for TTFT. 0 = no cap.
     multistep_mixed: int = 4
+    # Deferred KV writes in multistep decode: each iteration's K/V rows go
+    # to a (L, B, K) window side buffer and attend in-band; the paged cache
+    # is merged ONCE per window instead of scatter+gather per layer per
+    # iteration (which measured ~60% of a decode iteration on v5e).
+    # Disabled automatically for models with sliding-window attention.
+    deferred_kv_decode: bool = True
     # Pipeline consecutive multistep windows: dispatch window N+1 from
     # window N's on-device carry BEFORE reading window N's tokens back, so
     # host readback overlaps device execution (steady-state decode pays no

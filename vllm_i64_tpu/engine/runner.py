@@ -206,14 +206,45 @@ class ModelRunner:
         eos_ids = sample_args["eos_ids"]
         min_tokens = sample_args["min_tokens"]
 
-        def body(carry, step_key):
-            tokens, positions, ctx_lens, active, left, gen_idx, kv_k, kv_v, counts = carry
-            valid = active[:, None]
-            logits, (kv_k, kv_v) = cdm.forward_step(
-                params, self.cfg, tokens[:, None], positions[:, None],
-                (kv_k, kv_v), block_tables, ctx_lens, jnp.zeros_like(positions),
-                valid,
+        deferred = (
+            self.ecfg.deferred_kv_decode and self.cfg.sliding_window is None
+        )
+        if deferred:
+            # window KV side buffers: the cache stays read-only across the
+            # scan; one merge_window_kv pair of scatters lands the whole
+            # window (all layers x rows x steps) afterwards
+            b = carry_in[0].shape[0]
+            # carry ctx_lens COUNTS the current (not-yet-written) token;
+            # the cache holds ctx_lens - 1 rows at window entry
+            ctx_entry = carry_in[2]
+            ctx0 = ctx_entry - 1
+            win_shape = (
+                self.cfg.num_hidden_layers, b, num_steps,
+                self.cfg.num_key_value_heads, self.cfg.head_dim,
             )
+            win_k = jnp.zeros(win_shape, kv_k.dtype)
+            win_v = jnp.zeros(win_shape, kv_v.dtype)
+        cache_k, cache_v = kv_k, kv_v  # read-only view for the deferred scan
+
+        def body(carry, inp):
+            k_idx, step_key = inp
+            if deferred:
+                (tokens, positions, ctx_lens, active, left, gen_idx,
+                 win_k, win_v, counts) = carry
+                logits, win_k, win_v = cdm.forward_step_window(
+                    params, self.cfg, tokens[:, None], positions[:, None],
+                    (cache_k, cache_v), block_tables, ctx0, win_k, win_v,
+                    k_idx,
+                )
+            else:
+                (tokens, positions, ctx_lens, active, left, gen_idx,
+                 kv_k, kv_v, counts) = carry
+                valid = active[:, None]
+                logits, (kv_k, kv_v) = cdm.forward_step(
+                    params, self.cfg, tokens[:, None], positions[:, None],
+                    (kv_k, kv_v), block_tables, ctx_lens,
+                    jnp.zeros_like(positions), valid,
+                )
             row_counts = (
                 jnp.take(counts, slot_ids, axis=0) if features.penalties else None
             )
@@ -235,9 +266,10 @@ class ModelRunner:
             next_positions = positions + jnp.where(active, 1, 0)
             next_ctx = ctx_lens + jnp.where(active, 1, 0)
             gen_idx = gen_idx + jnp.where(active, 1, 0)
+            state = (win_k, win_v) if deferred else (kv_k, kv_v)
             return (
                 next_tokens, next_positions, next_ctx, next_active, left,
-                gen_idx, kv_k, kv_v, counts,
+                gen_idx, *state, counts,
             ), emitted
 
         # the SAME base key every iteration: per-token variation comes from
@@ -245,8 +277,26 @@ class ModelRunner:
         # identical stream regardless of how dispatch windows are aligned
         # (and identically to the single-step path)
         step_keys = jnp.broadcast_to(key, (num_steps, *key.shape))
+        if deferred:
+            carry0 = (*carry_in, win_k, win_v, counts)
+            carry, emitted = jax.lax.scan(
+                body, carry0,
+                (jnp.arange(num_steps, dtype=jnp.int32), step_keys))
+            (*carry_out, win_k, win_v, counts) = carry
+            # land the whole window (all layers x rows x steps) in one pair
+            # of scatters; frozen/padding rows drop via out-of-range slots
+            # active iterations this window == ctx growth (one per active
+            # step); iteration j wrote its token at position ctx0 + j
+            steps_taken = carry_out[2] - ctx_entry
+            from ..ops.attention import merge_window_kv
+
+            kv_k, kv_v = merge_window_kv(
+                kv_k, kv_v, win_k, win_v, block_tables, ctx0, steps_taken)
+            return emitted, tuple(carry_out), kv_k, kv_v, counts
         carry0 = (*carry_in, kv_k, kv_v, counts)
-        carry, emitted = jax.lax.scan(body, carry0, step_keys)
+        carry, emitted = jax.lax.scan(
+            body, carry0,
+            (jnp.arange(num_steps, dtype=jnp.int32), step_keys))
         (*carry_out, kv_k, kv_v, counts) = carry
         return emitted, tuple(carry_out), kv_k, kv_v, counts
 

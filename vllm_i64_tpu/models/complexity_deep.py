@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..ops.attention import paged_attention, varlen_self_attention, write_kv
+from ..ops.attention import (
+    paged_attention,
+    paged_attention_window,
+    varlen_self_attention,
+    write_kv,
+)
 from ..ops.linear import linear, linear_f32
 from ..ops.moe import dense_swiglu_mlp, token_routed_mlp
 from ..ops.norms import apply_rope, rms_norm, rope_cos_sin
@@ -141,6 +146,7 @@ def _attention_block(
     ctx_lens: Optional[jax.Array],
     seq_lens: Optional[jax.Array],
     valid: Optional[jax.Array],
+    window_ctx=None,  # (win_k_l, win_v_l, k_idx, ctx0) — deferred-KV decode
 ):
     b, t, _ = hidden.shape
     d = cfg.head_dim
@@ -177,7 +183,25 @@ def _attention_block(
     k = apply_rope(k, cos, sin)
 
     new_kv = None
-    if kv_layer is not None:
+    if kv_layer is not None and window_ctx is not None:
+        # Deferred-KV decode (T=1): the cache is read-only this window; the
+        # current token's K/V lands in the window side buffer and attends
+        # in-band (ops/attention.paged_attention_window). The per-layer
+        # scatter->gather chain this replaces was ~60% of a decode
+        # iteration on v5e; the cache merge happens once per window.
+        win_k_l, win_v_l, k_idx, ctx0 = window_ctx
+        k_cache, v_cache = kv_layer
+        zero = jnp.zeros((), k_idx.dtype)
+        idx = (zero, k_idx, zero, zero)
+        win_k_l = jax.lax.dynamic_update_slice(
+            win_k_l, k.astype(win_k_l.dtype), idx)
+        win_v_l = jax.lax.dynamic_update_slice(
+            win_v_l, v.astype(win_v_l.dtype), idx)
+        out = paged_attention_window(
+            q, k_cache, v_cache, block_tables, ctx0, win_k_l, win_v_l, k_idx,
+        )
+        new_kv = (win_k_l, win_v_l)
+    elif kv_layer is not None:
         k_cache, v_cache = kv_layer
         k_cache, v_cache = write_kv(
             k_cache, v_cache, k, v, block_tables, positions, valid
@@ -252,9 +276,17 @@ def _layer_fn(
     ctx_lens,
     seq_lens,
     valid,
+    window_meta=None,  # (k_idx, ctx0) for deferred-KV decode
 ):
     hidden, mu_prev = carry
-    if len(layer_in) == 3:
+    window_ctx = None
+    if len(layer_in) == 5:
+        # deferred-KV decode: per-layer caches (read-only) + window buffers
+        p, kc, vc, wk, wv = layer_in
+        kv_layer = (kc, vc)
+        k_idx, ctx0 = window_meta
+        window_ctx = (wk, wv, k_idx, ctx0)
+    elif len(layer_in) == 3:
         p, kc, vc = layer_in
         kv_layer = (kc, vc)
     else:
@@ -264,7 +296,8 @@ def _layer_fn(
     res = hidden
     h = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
     attn_out, new_kv = _attention_block(
-        p, cfg, h, positions, mu_prev, kv_layer, block_tables, ctx_lens, seq_lens, valid
+        p, cfg, h, positions, mu_prev, kv_layer, block_tables, ctx_lens,
+        seq_lens, valid, window_ctx=window_ctx,
     )
     hidden = res + attn_out
 
@@ -304,22 +337,34 @@ def forward_layers(
     ctx_lens: Optional[jax.Array] = None,
     seq_lens: Optional[jax.Array] = None,
     valid: Optional[jax.Array] = None,
+    window: Optional[tuple] = None,  # (win_k, win_v, k_idx, ctx0) deferred-KV
 ):
     """Run a contiguous range of decoder layers under lax.scan.
 
     The pipeline-parallel unit: a stage's hidden (+ mu) state is exactly
     what crosses stage boundaries (the reference's IntermediateTensors
     {hidden_states, mu_prev}, parallel/pp_utils.py).
-    Returns (hidden, mu, new_kv_for_these_layers)."""
+    Returns (hidden, mu, new_kv_for_these_layers). In deferred-KV decode
+    mode (``window`` set) the caches are read-only and the third return is
+    the updated (win_k, win_v) buffers instead."""
     carry = (hidden, mu_prev)
+
+    window_meta = None
+    if window is not None:
+        win_k, win_v, k_idx, ctx0 = window
+        window_meta = (k_idx, ctx0)
 
     def body(carry, layer_in):
         return _layer_fn(
             cfg, carry, layer_in, token_ids, positions, block_tables,
-            ctx_lens, seq_lens, valid,
+            ctx_lens, seq_lens, valid, window_meta=window_meta,
         )
 
-    if kv is not None:
+    if kv is not None and window is not None:
+        xs = (layer_params, kv[0], kv[1], win_k, win_v)
+        (hidden, mu), new_wins = jax.lax.scan(body, carry, xs)
+        new_kv = (new_wins[0], new_wins[1])
+    elif kv is not None:
         xs = (layer_params, kv[0], kv[1])
         (hidden, mu), new_caches = jax.lax.scan(body, carry, xs)
         new_kv = (new_caches[0], new_caches[1])
@@ -439,6 +484,37 @@ def forward_step(
     last_h = jnp.take_along_axis(hidden, last_idx[:, None, None].astype(jnp.int32), axis=1)
     logits = lm_logits(params, cfg, last_h[:, 0, :])  # (B, V) fp32
     return logits, new_kv
+
+
+def forward_step_window(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # (B, 1)
+    positions: jax.Array,  # (B, 1)
+    kv: Tuple[jax.Array, jax.Array],  # READ-ONLY this window
+    block_tables: jax.Array,  # (B, MB)
+    ctx0: jax.Array,  # (B,) cache-resident tokens at window start
+    win_k: jax.Array,  # (L, B, K, Hkv, d) window KV side buffers
+    win_v: jax.Array,
+    k_idx: jax.Array,  # scalar i32 iteration within the window
+):
+    """One deferred-KV decode iteration: like forward_step for T=1, but the
+    paged cache is not written — each layer appends its K/V to the window
+    side buffers and attends to cache history + the window in-band. The
+    caller merges the window into the cache once per multistep window
+    (ops/attention.merge_window_kv), removing the per-layer scatter->gather
+    serialization that dominated decode on v5e.
+
+    Returns (logits(B, V) fp32, win_k, win_v)."""
+    hidden, mu_prev, ids = embed_tokens(params, cfg, token_ids)
+    hidden, _, new_win = forward_layers(
+        params["layers"], cfg, hidden, mu_prev, ids, positions,
+        kv=kv, block_tables=block_tables,
+        window=(win_k, win_v, k_idx, ctx0),
+    )
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    logits = lm_logits(params, cfg, hidden[:, 0, :])
+    return logits, new_win[0], new_win[1]
 
 
 def num_parameters(params: Params) -> int:

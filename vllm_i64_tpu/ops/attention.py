@@ -23,7 +23,14 @@ import jax.numpy as jnp
 
 NEG_INF = float("-inf")
 
-_PALLAS_DECODE = True
+# Decode attention path: measured on v5e (B=16, 30 layers, in the compiled
+# multistep program) the XLA gather path beats the Pallas paged-decode
+# kernel at EVERY context length the reference serves (ctx 128: 7.8 vs
+# 10-14 ms/iter noisy but consistently ahead; ctx 512: 7.7 vs 13.6; ctx
+# 2048: 22.6 vs 42.2). The kernel is DMA-issue-count-bound (~0.8 us per
+# page DMA on the scalar core, B*pages*2 DMAs per layer) while XLA emits
+# one large vectorized gather. Kernel retained for experimentation.
+_PALLAS_DECODE = False
 # Window-RMW decode KV write kernel (ops/kv_write_pallas.py). Standalone it
 # beats the XLA scatter 4x (6.4 vs 25 ms for 30 layers x 64 rows), but
 # measured IN the compiled step program the two are within 0.3% at B=16 and
@@ -215,6 +222,98 @@ def paged_attention(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, t, hq, d).astype(q.dtype)
+
+
+def paged_attention_window(
+    q: jax.Array,  # (B, 1, Hq, d) — decode only
+    k_cache: jax.Array,  # (NB, bs, Hkv, d) — history through ctx0 only
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # (B, MB)
+    ctx0: jax.Array,  # (B,) tokens in the CACHE (window-start context)
+    win_k: jax.Array,  # (B, K, Hkv, d) — this window's deferred K rows
+    win_v: jax.Array,
+    k_idx: jax.Array,  # scalar i32 — current iteration within the window
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Decode attention with deferred KV writes.
+
+    The paged cache holds only tokens written BEFORE this multistep window;
+    the window's own tokens (including the current one) live in the
+    ``win_k/win_v`` side buffers and attend in-band. This removes the
+    per-layer scatter->gather serialization of write-then-read decode (the
+    cache is merged once per window, see ModelRunner._multi_decode_impl);
+    semantics match paged_attention over a cache containing ctx0 + k_idx + 1
+    tokens. Window entries j > k_idx are masked (stale or future).
+    """
+    b, t, hq, d = q.shape
+    hkv = k_cache.shape[2]
+    g = hq // hkv
+    kwin = win_k.shape[1]
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+
+    k, v = gather_kv(k_cache, v_cache, block_tables)  # (B, S, Hkv, d)
+    s = k.shape[1]
+    qg = q.reshape(b, t, hkv, g, d)
+
+    scores_h = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    mask_h = k_pos < ctx0[:, None]  # strictly historical
+    scores_h = jnp.where(mask_h[:, None, None, None, :], scores_h, NEG_INF)
+
+    scores_w = jnp.einsum(
+        "bthgd,bjhd->bhgtj", qg, win_k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    j_pos = jnp.arange(kwin, dtype=jnp.int32)
+    mask_w = j_pos <= k_idx  # (K,) — causal within the window
+    scores_w = jnp.where(mask_w[None, None, None, None, :], scores_w, NEG_INF)
+
+    scores = jnp.concatenate([scores_h, scores_w], axis=-1)
+    smax = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
+    unnorm = jnp.exp(scores - smax)
+    denom = jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+    probs = unnorm / denom
+
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs[..., :s].astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "bhgtj,bjhd->bthgd", probs[..., s:].astype(win_v.dtype), win_v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, t, hq, d).astype(q.dtype)
+
+
+def merge_window_kv(
+    k_cache: jax.Array,  # (NB, bs, Hkv, d) per layer stacked: (L, NB, bs, ...)
+    v_cache: jax.Array,
+    win_k: jax.Array,  # (L, B, K, Hkv, d)
+    win_v: jax.Array,
+    block_tables: jax.Array,  # (B, MB)
+    ctx0: jax.Array,  # (B,) window-start context
+    steps_taken: jax.Array,  # (B,) active iterations this window
+):
+    """Scatter a whole multistep window's K/V (all layers) into the paged
+    cache in ONE pair of scatters. Entries beyond a row's active steps map
+    to an out-of-range slot and are dropped (frozen/padding rows)."""
+    l, nb, bs, hkv, d = k_cache.shape
+    kwin = win_k.shape[2]
+    j = jnp.arange(kwin, dtype=jnp.int32)
+    pos = ctx0[:, None] + j[None, :]  # (B, K)
+    valid = j[None, :] < steps_taken[:, None]
+    phys = jnp.take_along_axis(block_tables, pos // bs, axis=1)
+    slots = jnp.where(valid, phys.astype(jnp.int32) * bs + pos % bs,
+                      jnp.int32(2**30))  # (B, K)
+    lay = jnp.arange(l, dtype=jnp.int32)[:, None, None] * (nb * bs)
+    flat = jnp.minimum(lay + slots[None], jnp.int32(2**30)).reshape(-1)
+    kf = k_cache.reshape(l * nb * bs, hkv, d)
+    vf = v_cache.reshape(l * nb * bs, hkv, d)
+    kf = kf.at[flat].set(win_k.reshape(-1, hkv, d).astype(kf.dtype), mode="drop")
+    vf = vf.at[flat].set(win_v.reshape(-1, hkv, d).astype(vf.dtype), mode="drop")
+    return kf.reshape(l, nb, bs, hkv, d), vf.reshape(l, nb, bs, hkv, d)
 
 
 def varlen_self_attention(

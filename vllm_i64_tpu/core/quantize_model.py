@@ -124,6 +124,20 @@ def fuse_qkv_params(params):
     return out
 
 
+def materialize_lm_head(params, cfg: ModelConfig):
+    """Store the tied-embedding logits weight as a transposed copy.
+
+    ``lm_logits`` otherwise computes ``embed.T`` in-graph; inside the
+    multistep decode scan XLA re-materializes that 65 MB transpose every
+    iteration (measured ~3 ms/iter at B=16 on v5e — half the decode step).
+    One (H, V) copy costs +embed-size HBM and removes it entirely."""
+    if not cfg.tie_word_embeddings or "lm_head" in params:
+        return params
+    out = dict(params)
+    out["lm_head"] = jnp.transpose(params["embed"])
+    return out
+
+
 def fuse_shared_expert_params(params, cfg: ModelConfig):
     """Fold the shared lexical expert into the flat-expert MoE layout.
 

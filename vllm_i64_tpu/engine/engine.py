@@ -161,6 +161,10 @@ class Engine:
                 from ..core.quantize_model import fuse_shared_expert_params
 
                 params = fuse_shared_expert_params(params, self.model_config)
+            if mesh is None:
+                from ..core.quantize_model import materialize_lm_head
+
+                params = materialize_lm_head(params, self.model_config)
             self.runner = ModelRunner(params, self.model_config, ec, mesh=mesh)
 
         # hot-swap LoRA adapters (enabled via enable_lora(); ref:
@@ -176,6 +180,9 @@ class Engine:
         # threads while step() runs in another — scheduler heaps, the block
         # pool, and slot maps are not thread-safe on their own
         self._lock = threading.RLock()
+        # mid-prompt prefill chunk groups dispatched without a host sync
+        # (see _finish_group) — kept alive until a bounded-depth retire
+        self._inflight_groups: list = []
         self._lock_waiters = 0  # admission fairness (see step())
 
         # per-request state
@@ -582,7 +589,7 @@ class Engine:
                     for part in _split(decode, dec_cap):
                         multi.update(self._run_multi_decode(part, k))
                     for pg in pending:
-                        single.update(self._resolve_group(pg))
+                        single.update(self._finish_group(pg))
             else:
                 # the scheduler can emit more rows than the largest compiled
                 # bucket; split so padding never exceeds the bucket table.
@@ -598,7 +605,7 @@ class Engine:
                     for part in _split(prefill, pre_cap)
                 ]
                 for pg in pending:
-                    single.update(self._resolve_group(pg))
+                    single.update(self._finish_group(pg))
         self._perf["forward_ms"] += (time.perf_counter() - t1) * 1000
 
         result: Dict[int, List[int]] = {}
@@ -1066,6 +1073,25 @@ class Engine:
             soft_embeds=soft_embeds, soft_mask=soft_mask,
         )
         return _PendingGroup(seqs, params_list, need_host, tokens, logits)
+
+    def _finish_group(self, pending: "_PendingGroup") -> Dict[int, int]:
+        """Resolve a dispatched group — or skip the host sync entirely when
+        no row samples this step (mid-prompt prefill chunks).
+
+        Chunked prefill steps don't depend on device RESULTS, only on the
+        device-side KV writes, which program order guarantees. Skipping the
+        readback lets consecutive chunk steps enqueue back-to-back through
+        the dispatch link, so an N-chunk prompt pays ~1 round-trip instead
+        of N (the cross-step analog of the split-group pipelining above).
+        A small in-flight cap bounds the unresolved queue.
+        """
+        if any(s.needs_sample for s in pending.seqs):
+            return self._resolve_group(pending)
+        self._inflight_groups.append(pending)
+        while len(self._inflight_groups) > 8:
+            old = self._inflight_groups.pop(0)
+            np.asarray(old.tokens)  # sync: program long since retired
+        return {}
 
     def _resolve_group(self, pending: "_PendingGroup") -> Dict[int, int]:
         """Host-sync one dispatched group and assemble its sampled tokens."""

@@ -296,23 +296,55 @@ def merge_window_kv(
     ctx0: jax.Array,  # (B,) window-start context
     steps_taken: jax.Array,  # (B,) active iterations this window
 ):
-    """Scatter a whole multistep window's K/V (all layers) into the paged
-    cache in ONE pair of scatters. Entries beyond a row's active steps map
-    to an out-of-range slot and are dropped (frozen/padding rows)."""
+    """Land a whole multistep window's K/V (all layers) in the paged cache.
+
+    A row scatter of L*B*K individual (Hkv, d) rows serializes on TPU
+    (measured ~3.2 ms per iteration amortized at L=30, B=16, K=16 — half
+    the decode step). Instead the window's tokens are blended into whole
+    BLOCK images (a K-token window spans at most ceil((K-1)/bs)+1 blocks
+    per row) and scattered block-at-a-time: L*B*W slab updates, W ~= 2.
+    Non-covered rows of a touched block keep their current cache content
+    (gathered first — program order keeps read-before-write in one jit).
+    Entries beyond a row's active steps (frozen/padding rows) drop via an
+    out-of-range destination."""
     l, nb, bs, hkv, d = k_cache.shape
-    kwin = win_k.shape[2]
-    j = jnp.arange(kwin, dtype=jnp.int32)
-    pos = ctx0[:, None] + j[None, :]  # (B, K)
-    valid = j[None, :] < steps_taken[:, None]
-    phys = jnp.take_along_axis(block_tables, pos // bs, axis=1)
-    slots = jnp.where(valid, phys.astype(jnp.int32) * bs + pos % bs,
-                      jnp.int32(2**30))  # (B, K)
-    lay = jnp.arange(l, dtype=jnp.int32)[:, None, None] * (nb * bs)
-    flat = jnp.minimum(lay + slots[None], jnp.int32(2**30)).reshape(-1)
-    kf = k_cache.reshape(l * nb * bs, hkv, d)
-    vf = v_cache.reshape(l * nb * bs, hkv, d)
-    kf = kf.at[flat].set(win_k.reshape(-1, hkv, d).astype(kf.dtype), mode="drop")
-    vf = vf.at[flat].set(win_v.reshape(-1, hkv, d).astype(vf.dtype), mode="drop")
+    b, kwin = win_k.shape[1], win_k.shape[2]
+    mb = block_tables.shape[1]
+    w = (kwin - 1) // bs + 2  # cache blocks a window can touch per row
+
+    start_blk = ctx0 // bs  # (B,)
+    off0 = ctx0 % bs
+    wi = jnp.arange(w, dtype=jnp.int32)
+    blk_idx = start_blk[:, None] + wi[None]  # (B, W)
+    phys = jnp.take_along_axis(
+        block_tables, jnp.clip(blk_idx, 0, mb - 1), axis=1
+    ).astype(jnp.int32)
+
+    r = jnp.arange(bs, dtype=jnp.int32)
+    j = wi[None, :, None] * bs + r[None, None, :] - off0[:, None, None]
+    valid = (j >= 0) & (j < steps_taken[:, None, None])  # (B, W, bs)
+    any_valid = valid.any(-1)  # (B, W)
+    jc = jnp.clip(j, 0, kwin - 1)
+
+    def blend(cache, win):
+        img = jnp.take_along_axis(
+            win[:, :, None], jc[None, :, :, :, None, None], axis=3
+        )  # (L, B, W, bs, hkv, d)
+        cur = jnp.take(cache, phys.reshape(-1), axis=1).reshape(
+            l, b, w, bs, hkv, d)
+        return jnp.where(
+            valid[None, :, :, :, None, None], img.astype(cache.dtype), cur)
+
+    dst = jnp.where(any_valid, phys, jnp.int32(2**30))  # (B, W)
+    lay = jnp.arange(l, dtype=jnp.int32)[:, None, None] * nb
+    flat = jnp.minimum(lay + dst[None], jnp.int32(2**30)).reshape(-1)
+
+    kf = k_cache.reshape(l * nb, bs, hkv, d)
+    vf = v_cache.reshape(l * nb, bs, hkv, d)
+    kf = kf.at[flat].set(
+        blend(k_cache, win_k).reshape(-1, bs, hkv, d), mode="drop")
+    vf = vf.at[flat].set(
+        blend(v_cache, win_v).reshape(-1, bs, hkv, d), mode="drop")
     return kf.reshape(l, nb, bs, hkv, d), vf.reshape(l, nb, bs, hkv, d)
 
 

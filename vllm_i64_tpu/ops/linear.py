@@ -43,8 +43,9 @@ def linear_f32(x: jax.Array, w) -> jax.Array:
         from .dequant_matmul import dequant_matmul
 
         return dequant_matmul(x.astype(jnp.float32), w)
-    return jnp.dot(
-        x.astype(jnp.float32),
-        w.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    # fp32 ACCUMULATION on the MXU without materializing an fp32 copy of
+    # the weights: bf16 operands with preferred_element_type=f32 is the
+    # native TPU path (upcasting the tied embedding costs a 131 MB HBM
+    # round-trip per logits call). fp32 params still compute fully in fp32.
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return out.astype(jnp.float32)

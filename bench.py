@@ -46,6 +46,9 @@ def main() -> None:
                         "--no-w8a8 for weight-only dequant)")
     p.add_argument("--chain", action=argparse.BooleanOptionalAction,
                    default=True, help="pipelined multistep window chaining")
+    p.add_argument("--block-size", type=int, default=128,
+                   help="KV cache block size in tokens (v5e sweep: 128 "
+                        "more than halves decode gather time vs 16)")
     p.add_argument("--fuse-shared", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fold the shared expert into the flat-expert MoE "
@@ -95,7 +98,8 @@ def main() -> None:
     # prompt + output + multistep headroom (the EngineConfig auto default of
     # batch*8 blocks preempt-thrashes at high request counts)
     blocks_needed = args.requests * (
-        -(-(args.prompt_len + args.gen_tokens + args.multistep + 16) // 16))
+        -(-(args.prompt_len + args.gen_tokens + args.multistep + 16)
+          // args.block_size))
     if args.max_seq_len:
         max_seq = args.max_seq_len
     else:
@@ -106,8 +110,9 @@ def main() -> None:
     ecfg = EngineConfig(
         max_batch_size=args.max_batch,
         max_seq_len=min(max_seq, cfg.max_position_embeddings),
-        max_kv_blocks=max(512, int(blocks_needed * 1.25)),
-        kv_block_size=16,
+        max_kv_blocks=max(args.max_batch * 4,
+                          int(blocks_needed * 1.25) + 2),
+        kv_block_size=args.block_size,
         # batched chunked prefill: several prompts per prefill dispatch
         max_prefill_tokens=max(args.prompt_len, args.prefill_budget),
         quantization=args.quantization,

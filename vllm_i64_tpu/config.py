@@ -200,6 +200,12 @@ class EngineConfig:
     # chained pure-decode phase (round-trips hidden there), so this trades
     # ~nothing for TTFT. 0 = no cap.
     multistep_mixed: int = 4
+    # Prefill row packing: split prefill chunks into subrows of at most
+    # this many tokens before batching, so one long prompt no longer pads
+    # every other row in its group to its length (true-varlen analog; the
+    # per-row ctx_lens/positions make split rows attend correctly, and all
+    # KV writes in a step land before any attention reads them). 0 = off.
+    prefill_pack_tokens: int = 256
     # Deferred KV writes in multistep decode: each iteration's K/V rows go
     # to a (L, B, K) window side buffer and attend in-band; the paged cache
     # is merged ONCE per window instead of scatter+gather per layer per

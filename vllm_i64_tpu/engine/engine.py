@@ -44,7 +44,13 @@ from ..core.sampling import (
     make_param_arrays,
     sample_host,
 )
-from ..core.scheduler import Request, RequestState, ScheduledBatch, Scheduler
+from ..core.scheduler import (
+    Request,
+    RequestState,
+    ScheduledBatch,
+    ScheduledSeq,
+    Scheduler,
+)
 from .runner import ModelRunner
 
 logger = logging.getLogger("vllm_i64_tpu.engine")
@@ -550,7 +556,7 @@ class Engine:
             single = self._step_modelless(batch)
         else:
             decode = batch.decode_seqs
-            prefill = batch.prefill_seqs
+            prefill = self._pack_prefill_rows(batch.prefill_seqs)
             k = self._multistep_window(batch)
             dec_cap = max(self.engine_config.decode_batch_buckets)
             pre_cap = max(self.engine_config.prefill_batch_buckets)
@@ -1073,6 +1079,38 @@ class Engine:
             soft_embeds=soft_embeds, soft_mask=soft_mask,
         )
         return _PendingGroup(seqs, params_list, need_host, tokens, logits)
+
+    def _pack_prefill_rows(self, prefill: list) -> list:
+        """Split prefill chunks into subrows of <= prefill_pack_tokens.
+
+        True-varlen analog for the bucketed-row layout: one long prompt no
+        longer pads every other row in its group to its length — rows
+        become uniformly narrow and the batch dimension absorbs the
+        variance. Correctness: each subrow carries its own positions and
+        a per-row ctx_lens (= its last position + 1), so queries attend
+        only through their own tokens; a request's subrows stay contiguous
+        and ordered, so cross-group splits still write earlier tokens'
+        KV before later rows attend (device programs execute in order).
+        Only the final subrow of a sampling chunk samples."""
+        tp = self.engine_config.prefill_pack_tokens
+        if not tp or tp <= 0:
+            return prefill
+        out = []
+        for s in prefill:
+            n = len(s.token_ids)
+            if n <= tp:
+                out.append(s)
+                continue
+            for i in range(0, n, tp):
+                j = min(i + tp, n)
+                out.append(ScheduledSeq(
+                    request=s.request,
+                    token_ids=s.token_ids[i:j],
+                    positions=s.positions[i:j],
+                    is_prefill=True,
+                    needs_sample=s.needs_sample and j == n,
+                ))
+        return out
 
     def _finish_group(self, pending: "_PendingGroup") -> Dict[int, int]:
         """Resolve a dispatched group — or skip the host sync entirely when

@@ -90,10 +90,12 @@ def main() -> int:
         vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
         slots = jnp.asarray(np.arange(b, dtype=np.int32) * bs + 3)
         ko, vo = kv_write_decode_pallas(kc, vc, kn, vn, slots)
-        ref = np.zeros((nb * bs, hkv, d), np.float32)
-        ref[np.asarray(slots)] = np.asarray(kn, np.float32)
-        np.testing.assert_allclose(
-            np.asarray(ko.reshape(-1, hkv, d), np.float32), ref, atol=1e-2)
+        for out, new in ((ko, kn), (vo, vn)):
+            ref = np.zeros((nb * bs, hkv, d), np.float32)
+            ref[np.asarray(slots)] = np.asarray(new, np.float32)
+            np.testing.assert_allclose(
+                np.asarray(out.reshape(-1, hkv, d), np.float32), ref,
+                atol=1e-2)
 
     ok &= check("kv_write_decode_pallas (B=16 bs=16)", kvwrite)
 

@@ -131,10 +131,13 @@ def materialize_lm_head(params, cfg: ModelConfig):
     multistep decode scan XLA re-materializes that 65 MB transpose every
     iteration (measured ~3 ms/iter at B=16 on v5e — half the decode step).
     One (H, V) copy costs +embed-size HBM and removes it entirely."""
-    if not cfg.tie_word_embeddings or "lm_head" in params:
+    if not cfg.tie_word_embeddings or "lm_head" in params \
+            or "lm_head_t" in params:
         return params
     out = dict(params)
-    out["lm_head"] = jnp.transpose(params["embed"])
+    # distinct key: num_parameters/param_bytes must not double-count the
+    # tied embedding through its transposed serving copy
+    out["lm_head_t"] = jnp.transpose(params["embed"])
     return out
 
 
@@ -234,7 +237,10 @@ def fuse_shared_expert_params(params, cfg: ModelConfig):
 
 
 def param_bytes(params) -> int:
+    skip = {id(params["lm_head_t"])} if "lm_head_t" in params else set()
     total = 0
     for leaf in jax.tree_util.tree_leaves(params):
+        if id(leaf) in skip:
+            continue  # transposed serving copy of the tied embedding
         total += leaf.size * leaf.dtype.itemsize
     return int(total)

@@ -742,19 +742,24 @@ class Engine:
                 return False
         return True
 
-    def _dispatch_chain_window(self, seqs, k: int) -> None:
-        """Dispatch the first window of a chain (no readback)."""
-        b = len(seqs)
+    def _build_decode_arrays(self, rows):
+        """Flat decode-row arrays for the multistep window programs.
+
+        The ONE place encoding the device program's input conventions
+        (ctx_lens counts the current token, tokens_left floors at 1,
+        block tables zero-pad) — shared by the chained and unchained
+        dispatch paths so they cannot diverge."""
+        b = len(rows)
         last_tokens = np.zeros(b, np.int64)
         positions = np.zeros(b, np.int32)
         ctx_lens = np.zeros(b, np.int32)
         slot_ids = np.zeros(b, np.int32)
         tokens_left = np.zeros(b, np.int32)
-        max_blocks = max(len(s.request.kv_block_ids) for s in seqs)
+        max_blocks = max(len(s.request.kv_block_ids) for s in rows)
         block_tables = np.zeros((b, max(max_blocks, 1)), np.int32)
         params_list = []
         requests = []
-        for i, s in enumerate(seqs):
+        for i, s in enumerate(rows):
             req = s.request
             last_tokens[i] = s.token_ids[0]
             positions[i] = s.positions[0]
@@ -768,6 +773,14 @@ class Engine:
             requests.append(req)
         features = SamplerFeatures.for_params(params_list)
         sample_args = make_param_arrays(params_list, requests)
+        return (last_tokens, positions, block_tables, ctx_lens, slot_ids,
+                tokens_left, sample_args, features, requests)
+
+    def _dispatch_chain_window(self, seqs, k: int) -> None:
+        """Dispatch the first window of a chain (no readback)."""
+        (last_tokens, positions, block_tables, ctx_lens, slot_ids,
+         tokens_left, sample_args, features, requests) = (
+            self._build_decode_arrays(seqs))
         win = self.runner.dispatch_multi_decode(
             last_tokens, positions, block_tables, ctx_lens, slot_ids,
             tokens_left, sample_args, features, num_steps=k,
@@ -845,8 +858,6 @@ class Engine:
         return result
 
     def _run_multi_decode(self, seqs, k: int) -> Dict[int, List[int]]:
-        params_list = []
-        requests = []
         rows = []
         fallback_rows = []
         for s in seqs:
@@ -865,29 +876,9 @@ class Engine:
                 for rid, tok in self._run_group(seqs, kind="decode").items()
             }
 
-        b = len(rows)
-        last_tokens = np.zeros(b, np.int64)
-        positions = np.zeros(b, np.int32)
-        ctx_lens = np.zeros(b, np.int32)
-        slot_ids = np.zeros(b, np.int32)
-        tokens_left = np.zeros(b, np.int32)
-        max_blocks = max(len(s.request.kv_block_ids) for s in rows)
-        block_tables = np.zeros((b, max(max_blocks, 1)), np.int32)
-        for i, s in enumerate(rows):
-            req = s.request
-            last_tokens[i] = s.token_ids[0]
-            positions[i] = s.positions[0]
-            ctx_lens[i] = int(s.positions[0]) + 1
-            slot_ids[i] = self._assign_slot(req)
-            tokens_left[i] = max(req.max_new_tokens - req.num_generated, 1)
-            block_tables[i, : len(req.kv_block_ids)] = req.kv_block_ids
-            params_list.append(
-                self._params_by_rid.get(req.request_id, SamplingParams())
-            )
-            requests.append(req)
-
-        features = SamplerFeatures.for_params(params_list)
-        sample_args = make_param_arrays(params_list, requests)
+        (last_tokens, positions, block_tables, ctx_lens, slot_ids,
+         tokens_left, sample_args, features, requests) = (
+            self._build_decode_arrays(rows))
         emitted = self.runner.execute_multi_decode(
             last_tokens, positions, block_tables, ctx_lens, slot_ids,
             tokens_left, sample_args, features, num_steps=k,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import threading
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -31,6 +32,14 @@ logger = logging.getLogger("vllm_i64_tpu.runner")
 
 
 from dataclasses import dataclass
+
+# Serializes "set the process-global W8A8 flag -> trace/dispatch" so two
+# engines with different w8a8 settings stepped from different threads can
+# never interleave a flag flip between another runner's flag-set and its
+# first trace of a new bucket shape (the jit cache is keyed on shapes, not
+# the flag — a wrong-flag trace would bake the wrong numerics in forever).
+# Held only across host-side enqueue; device execution is async.
+_W8A8_DISPATCH_LOCK = threading.Lock()
 
 
 @dataclass
@@ -119,10 +128,20 @@ class ModelRunner:
             donate_argnames=("kv_k", "kv_v", "counts"),
         )(self._multi_decode_impl)
 
-    def _sync_w8a8(self) -> None:
+    def _sync_w8a8(self):
+        """Context manager: hold the dispatch lock with this runner's W8A8
+        flag set (see _W8A8_DISPATCH_LOCK)."""
+        import contextlib
+
         from ..ops.dequant_matmul import set_w8a8
 
-        set_w8a8(self._w8a8)
+        @contextlib.contextmanager
+        def scope():
+            with _W8A8_DISPATCH_LOCK:
+                set_w8a8(self._w8a8)
+                yield
+
+        return scope()
 
     def _make_block_buckets(self):
         mx = self.ecfg.max_blocks_per_seq
@@ -315,7 +334,6 @@ class ModelRunner:
         """Enqueue one multistep window; returns a handle WITHOUT any host
         readback. Resolve with `resolve_window`; chain the next window from
         the handle's on-device carry with `resume_multi_decode`."""
-        self._sync_w8a8()
         b_actual = last_tokens.shape[0]
         b = _bucket(b_actual, self.ecfg.decode_batch_buckets)
         mb = self._window_mb(block_tables, ctx_lens, num_steps)
@@ -341,11 +359,13 @@ class ModelRunner:
             padded_args["gen_index"],
         )
         slots = pad1(slot_ids.astype(np.int32))
-        emitted, carry, self.kv_k, self.kv_v, self.counts = self._multi_decode_fn(
-            self.params, self.kv_k, self.kv_v, self.counts,
-            carry_in, bt, slots, self._base_key,
-            padded_args, features, num_steps,
-        )
+        with self._sync_w8a8():
+            (emitted, carry, self.kv_k, self.kv_v,
+             self.counts) = self._multi_decode_fn(
+                self.params, self.kv_k, self.kv_v, self.counts,
+                carry_in, bt, slots, self._base_key,
+                padded_args, features, num_steps,
+            )
         return PendingWindow(
             emitted=emitted, carry=carry, b_actual=b_actual, b=b,
             slot_ids=slots, sample_args=padded_args, features=features,
@@ -361,18 +381,19 @@ class ModelRunner:
         """Dispatch the next window directly from a previous window's
         on-device carry — no host readback in between. The host's stale
         ctx view only sizes the block-table bucket (with +2k headroom)."""
-        self._sync_w8a8()
         k = prev.num_steps
         mb = self._window_mb(block_tables, ctx_lens_host, 2 * k)
         bt = np.zeros((prev.b, mb), np.int32)
         bt[: prev.b_actual, : min(block_tables.shape[1], mb)] = (
             block_tables[:, :mb]
         )
-        emitted, carry, self.kv_k, self.kv_v, self.counts = self._multi_decode_fn(
-            self.params, self.kv_k, self.kv_v, self.counts,
-            prev.carry, bt, prev.slot_ids, self._base_key,
-            prev.sample_args, prev.features, k,
-        )
+        with self._sync_w8a8():
+            (emitted, carry, self.kv_k, self.kv_v,
+             self.counts) = self._multi_decode_fn(
+                self.params, self.kv_k, self.kv_v, self.counts,
+                prev.carry, bt, prev.slot_ids, self._base_key,
+                prev.sample_args, prev.features, k,
+            )
         return PendingWindow(
             emitted=emitted, carry=carry, b_actual=prev.b_actual, b=prev.b,
             slot_ids=prev.slot_ids, sample_args=prev.sample_args,
@@ -436,7 +457,6 @@ class ModelRunner:
         defer=True skips the host readback and returns device arrays —
         callers that dispatch several groups in one step (prefill parts)
         pipeline them instead of paying a round-trip per group."""
-        self._sync_w8a8()
         b_actual, t_actual = token_ids.shape
         if kind == "decode":
             b = _bucket(b_actual, self.ecfg.decode_batch_buckets)
@@ -472,7 +492,8 @@ class ModelRunner:
             soft_e[:b_actual, :t_actual] = soft_embeds
             soft_m = pad2(soft_mask, fill=False)
         # padding rows must not look greedy-sampled into counts
-        tokens, logits, self.kv_k, self.kv_v, self.counts = self._step_fn(
+        with self._sync_w8a8():
+            tokens, logits, self.kv_k, self.kv_v, self.counts = self._step_fn(
             self.params,
             self.kv_k,
             self.kv_v,
@@ -519,7 +540,6 @@ class ModelRunner:
         valid: np.ndarray,  # (1, T)
     ) -> np.ndarray:
         """Run the verify program for one sequence; returns (T, V) logits."""
-        self._sync_w8a8()
         if not hasattr(self, "_verify_fn"):
             self._verify_fn = jax.jit(
                 self._verify_impl, donate_argnames=("kv_k", "kv_v"))
@@ -527,7 +547,8 @@ class ModelRunner:
         mb = _bucket(max(int(block_tables.shape[1]), 1), self.block_buckets)
         bt = np.zeros((1, mb), np.int32)
         bt[:, : block_tables.shape[1]] = block_tables
-        logits, self.kv_k, self.kv_v = self._verify_fn(
+        with self._sync_w8a8():
+            logits, self.kv_k, self.kv_v = self._verify_fn(
             self.params, self.kv_k, self.kv_v,
             token_ids.astype(np.int32), positions.astype(np.int32), bt,
             ctx_lens.astype(np.int32), valid,

@@ -436,7 +436,7 @@ def lm_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     per decode iteration inside the multistep scan (measured ~3 ms/iter at
     B=16 on v5e — HALF the decode step). Engine init stores the transposed
     copy once (+65 MB HBM); the math is identical."""
-    w = params.get("lm_head")
+    w = params.get("lm_head_t", params.get("lm_head"))
     if w is None:
         w = params["embed"].T  # tied, untransposed (tests/parity paths)
     return linear_f32(hidden, w)
@@ -525,5 +525,8 @@ def forward_step_window(
 
 
 def num_parameters(params: Params) -> int:
-    leaves = jax.tree_util.tree_leaves(params)
+    # lm_head_t is a transposed serving copy of the tied embedding
+    # (core/quantize_model.materialize_lm_head) — not extra parameters
+    counted = {k: v for k, v in params.items() if k != "lm_head_t"}
+    leaves = jax.tree_util.tree_leaves(counted)
     return int(sum(np.prod(l.shape) for l in leaves))

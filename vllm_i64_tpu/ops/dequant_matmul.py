@@ -45,6 +45,18 @@ def w8a8_enabled() -> bool:
     return _W8A8
 
 
+def int8_dot_rescale(xq: jax.Array, xs: jax.Array, w: QTensor) -> jax.Array:
+    """(q(x) @ w.q) rescaled by activation-row x weight-column scales.
+
+    The ONE implementation of the W8A8 epilogue (int32 accumulator ->
+    f32 * xs * w.s), shared by int8_int8_matmul and the fused-SwiGLU W8A8
+    branch so the rescale semantics cannot diverge."""
+    acc = jax.lax.dot_general(
+        xq, w.q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * xs * w.s.astype(jnp.float32)[None, :]
+
+
 def int8_int8_matmul(x: jax.Array, w: QTensor) -> jax.Array:
     """y = x @ dequant(w) computed as (q(x) @ w.q) * (row_scale * col_scale).
 
@@ -56,10 +68,7 @@ def int8_int8_matmul(x: jax.Array, w: QTensor) -> jax.Array:
     orig = x.shape
     x2 = x.reshape(-1, orig[-1])
     xq, xs = quantize_activations_int8(x2)  # (M, K) i8, (M, 1) f32
-    acc = jax.lax.dot_general(
-        xq, w.q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    out = acc.astype(jnp.float32) * xs * w.s.astype(jnp.float32)[None, :]
+    out = int8_dot_rescale(xq, xs, w)
     return out.astype(x.dtype).reshape(*orig[:-1], w.q.shape[-1])
 
 

@@ -122,18 +122,14 @@ def fused_swiglu(x: jax.Array, gate_w, up_w, *,
         # double-rate int8 path (ref: quantization.py:227-286
         # `int8_fused_gate_up_native`). XLA fuses the rescale+silu+mul
         # epilogue into the matmul outputs.
+        from .dequant_matmul import int8_dot_rescale
         from .quant import quantize_activations_int8
 
         orig = x.shape
         x2 = x.reshape(-1, orig[-1])
-        xq, xs = quantize_activations_int8(x2)
-        dims = (((1,), (0,)), ((), ()))
-        g = jax.lax.dot_general(
-            xq, gate_w.q, dims, preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * xs * gate_w.s.astype(jnp.float32)[None, :]
-        u = jax.lax.dot_general(
-            xq, up_w.q, dims, preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * xs * up_w.s.astype(jnp.float32)[None, :]
+        xq, xs = quantize_activations_int8(x2)  # quantize x ONCE, 2 GEMMs
+        g = int8_dot_rescale(xq, xs, gate_w)
+        u = int8_dot_rescale(xq, xs, up_w)
         out = (jax.nn.silu(g) * u).astype(x.dtype)
         return out.reshape(*orig[:-1], gate_w.q.shape[-1])
 

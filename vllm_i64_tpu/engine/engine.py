@@ -426,8 +426,12 @@ class Engine:
         with self._lock:
             ok = self.scheduler.cancel(rid)
             if ok:
-                self._release_request(rid)
-                self._procs_by_rid.pop(rid, None)
+                # full purge: cancel callers (HTTP /v1/cancel, async futures)
+                # never pick up a result, so leaving per-request state for a
+                # later _result_for leaks it forever (found by tools/tpu_soak
+                # — 1 _params_by_rid entry per cancel). wait_for on a
+                # cancelled rid raises KeyError, which callers expect.
+                self._purge_request(rid)
             return ok
 
     def _release_slot(self, rid: int) -> None:

@@ -42,6 +42,7 @@ def cmd_serve(args) -> None:
     _setup_logging(args.log_json)
     _select_platform(args.platform)
 
+    import jax
     import jax.numpy as jnp
 
     from .api import Server
@@ -90,10 +91,13 @@ def cmd_serve(args) -> None:
         print("error: specify a model or --no-model", file=sys.stderr)
         sys.exit(1)
 
+    block_size = args.block_size or (
+        128 if jax.default_backend() not in ("cpu",) else 16)
     ecfg = EngineConfig(
         max_batch_size=args.max_batch_size,
         max_seq_len=args.max_seq_len,
         max_kv_blocks=args.max_kv_blocks,
+        kv_block_size=block_size,
         max_prefill_tokens=args.chunk_size,
         enable_prefix_caching=not args.no_prefix_caching,
         dtype=args.dtype,
@@ -349,6 +353,11 @@ def main() -> None:
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--chunk-size", type=int, default=512,
                    help="chunked prefill token budget")
+    p.add_argument("--block-size", type=int, default=0,
+                   help="KV cache block size in tokens; 0 = auto "
+                        "(128 on TPU — the decode page gather is "
+                        "slab-count-bound and 128 halves it vs 16 — "
+                        "16 on CPU, matching the reference)")
     p.add_argument("--log-json", action="store_true")
     p.add_argument("--api-key", default=None)
     p.add_argument("--rate-limit", type=int, default=0)

@@ -218,6 +218,18 @@ class LoRAManager:
         for layer, ab in layers.items():
             delta = (jnp.asarray(ab["A"], jnp.float32)
                      @ jnp.asarray(ab["B"], jnp.float32)) * scaling
+            target_shape = (
+                (out.shape[1], col_range[1] - col_range[0])
+                if col_range is not None else tuple(out.shape[1:]))
+            if tuple(delta.shape) != target_shape:
+                # e.g. an expert-weight adapter against the fused
+                # flat-expert/shared layout — the reference never supports
+                # LoRA on stacked expert weights either (auto_wrap only
+                # wraps nn.Linear); skip rather than crash the merge
+                logger.warning(
+                    "LoRA delta %s does not match target %s at layer %d — "
+                    "skipping", delta.shape, target_shape, layer)
+                continue
             if col_range is not None:
                 out = out.at[layer, :, col_range[0]:col_range[1]].add(
                     delta.astype(out.dtype))

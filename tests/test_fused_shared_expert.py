@@ -123,6 +123,42 @@ def test_engine_greedy_identical_fused_vs_unfused():
         assert a == b
 
 
+def test_gate_up_fusion_exact_both_paths():
+    """fuse_gate_up_params: one concatenated gate|up weight must be
+    bit-exact vs separate weights under W8A8 (single int8 GEMM + split)
+    AND under weight-only dequant (weight split, two GEMMs)."""
+    from vllm_i64_tpu.core.quantize_model import fuse_gate_up_params
+    from vllm_i64_tpu.ops import dequant_matmul as dm
+
+    params = quantize_params(cdm.init_params(CFG, jax.random.PRNGKey(5)), CFG, "int8")
+    base_p = fuse_shared_expert_params(params, CFG)
+    fused_p = fuse_gate_up_params(base_p)
+    assert "gate_up" in fused_p["layers"]["mlp"]
+
+    ids = jnp.asarray([[3, 7, 11, 200]], jnp.int32)
+    sl = jnp.array([4], jnp.int32)
+    for w8a8 in (False, True):
+        dm.set_w8a8(w8a8)
+        try:
+            a = _logits(base_p, CFG, ids, sl)
+            b = _logits(fused_p, CFG, ids, sl)
+        finally:
+            dm.set_w8a8(False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_applies_gate_up_only_with_w8a8():
+    params = quantize_params(cdm.init_params(CFG, jax.random.PRNGKey(6)), CFG, "int8")
+    kw = dict(max_batch_size=2, max_seq_len=32, kv_block_size=4,
+              max_kv_blocks=32, max_prefill_tokens=16,
+              decode_batch_buckets=(2,), prefill_batch_buckets=(2,),
+              prefill_token_buckets=(16,), quantization="int8")
+    on = Engine(params, CFG, EngineConfig(w8a8=True, **kw))
+    off = Engine(params, CFG, EngineConfig(w8a8=False, **kw))
+    assert "gate_up" in on.runner.params["layers"]["mlp"]
+    assert "gate_up" not in off.runner.params["layers"]["mlp"]
+
+
 def test_fusion_composes_with_fuse_qkv():
     params = quantize_params(cdm.init_params(CFG, jax.random.PRNGKey(4)), CFG, "int8")
     both = fuse_shared_expert_params(fuse_qkv_params(params), CFG)

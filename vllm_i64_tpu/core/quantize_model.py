@@ -124,6 +124,43 @@ def fuse_qkv_params(params):
     return out
 
 
+def fuse_gate_up_params(params):
+    """Concatenate the MLP gate and up projections into one ``gate_up``
+    weight of doubled width (ref analog: quantization.py:227-286
+    `int8_fused_gate_up_native` — one GEMM for gate+up).
+
+    Under W8A8 both GEMMs share the same quantized activations, so a single
+    int8 GEMM over the concatenated columns replaces two kernel launches
+    per layer; fused_swiglu splits the (N, 2W) product in-register. Apply
+    AFTER quantize_params / fuse_shared_expert_params (flat 2-D layouts
+    only); float stacked or int4 layouts are left unfused."""
+    from ..ops.quant import QTensor
+
+    layers = params.get("layers", {})
+    mlp = layers.get("mlp") if isinstance(layers, dict) else None
+    if not mlp or "gate" not in mlp or "gate_up" in mlp:
+        return params
+    gate, up = mlp["gate"], mlp["up"]
+
+    if isinstance(gate, QTensor) and isinstance(up, QTensor) \
+            and gate.q.ndim == 3:
+        fused = QTensor(jnp.concatenate([gate.q, up.q], axis=-1),
+                        jnp.concatenate([gate.s, up.s], axis=-1))
+    elif not isinstance(gate, QTensor) and getattr(gate, "ndim", 0) == 3:
+        fused = jnp.concatenate([gate, up], axis=-1)
+    else:
+        return params
+
+    out = dict(params)
+    new_layers = dict(layers)
+    new_mlp = dict(mlp)
+    new_mlp["gate_up"] = fused
+    del new_mlp["gate"], new_mlp["up"]
+    new_layers["mlp"] = new_mlp
+    out["layers"] = new_layers
+    return out
+
+
 def materialize_lm_head(params, cfg: ModelConfig):
     """Store the tied-embedding logits weight as a transposed copy.
 

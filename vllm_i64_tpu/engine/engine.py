@@ -167,6 +167,13 @@ class Engine:
                 from ..core.quantize_model import fuse_shared_expert_params
 
                 params = fuse_shared_expert_params(params, self.model_config)
+            if ec.w8a8 and mesh is None:
+                # gate+up share one int8 GEMM under W8A8 (both halves use
+                # the same quantized activations); without W8A8 the split
+                # would re-slice the weights per layer per step instead
+                from ..core.quantize_model import fuse_gate_up_params
+
+                params = fuse_gate_up_params(params)
             if mesh is None:
                 from ..core.quantize_model import materialize_lm_head
 

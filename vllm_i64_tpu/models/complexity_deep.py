@@ -233,20 +233,26 @@ def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Ar
     b, t, h = hidden.shape
     x = hidden.reshape(b * t, h)
     mp = p["mlp"]
+    # gate+up concatenated into one weight (fuse_gate_up_params): the
+    # swiglu entry splits it; up_w=None signals the combined layout
+    gate_w = mp.get("gate_up", mp.get("gate"))
+    up_w = None if "gate_up" in mp else mp.get("up")
     if cfg.use_token_routed_mlp and cfg.num_experts > 1:
         # shared expert folded into the flat gate/up/down weights
         # (core/quantize_model.fuse_shared_expert_params): detected by the
         # extra trailing columns beyond the routed E*I width
         fused_cols = 0
         if cfg.shared_expert and "shared_gate" not in mp:
-            w_cols = _flat_mlp_width(mp["gate"])
+            w_cols = _flat_mlp_width(gate_w)
+            if "gate_up" in mp:
+                w_cols //= 2
             if w_cols > cfg.intermediate_size:
                 fused_cols = w_cols - cfg.intermediate_size
         out = token_routed_mlp(
             x,
             token_ids.reshape(-1),
-            gate_w=mp["gate"],
-            up_w=mp["up"],
+            gate_w=gate_w,
+            up_w=up_w,
             down_w=mp["down"],
             topk_table=mp["route_table"],
             num_experts=cfg.num_experts,
@@ -262,7 +268,7 @@ def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Ar
             shared_fused_cols=fused_cols,
         )
     else:
-        out = dense_swiglu_mlp(x, mp["gate"], mp["up"], mp["down"])
+        out = dense_swiglu_mlp(x, gate_w, up_w, mp["down"])
     return out.reshape(b, t, h)
 
 

@@ -107,8 +107,34 @@ def fused_swiglu(x: jax.Array, gate_w, up_w, *,
     """SiLU(x @ gate) * (x @ up) for int8 QTensor or float weights.
 
     Pallas on TPU for aligned int8 shapes, XLA-fused fallback elsewhere.
+    ``up_w=None`` means ``gate_w`` holds the CONCATENATED [gate|up] columns
+    (core/quantize_model.fuse_gate_up_params): under W8A8 both halves ride
+    one int8 GEMM and the product splits in-register; other paths split the
+    weight and proceed as two GEMMs.
     """
     from .dequant_matmul import w8a8_enabled
+
+    if up_w is None:
+        w = gate_w.q.shape[-1] // 2 if isinstance(gate_w, QTensor) \
+            else gate_w.shape[-1] // 2
+        if w8a8_enabled() and isinstance(gate_w, QTensor) \
+                and gate_w.q.ndim == 2 and gate_w.q.dtype == jnp.int8:
+            from .dequant_matmul import int8_dot_rescale
+            from .quant import quantize_activations_int8
+
+            orig = x.shape
+            x2 = x.reshape(-1, orig[-1])
+            xq, xs = quantize_activations_int8(x2)
+            gu = int8_dot_rescale(xq, xs, gate_w)  # ONE GEMM for gate+up
+            out = (jax.nn.silu(gu[:, :w]) * gu[:, w:]).astype(x.dtype)
+            return out.reshape(*orig[:-1], w)
+        if isinstance(gate_w, QTensor):
+            gate_w, up_w = (
+                QTensor(gate_w.q[..., :w], gate_w.s[..., :w]),
+                QTensor(gate_w.q[..., w:], gate_w.s[..., w:]),
+            )
+        else:
+            gate_w, up_w = gate_w[..., :w], gate_w[..., w:]
 
     if (
         not force_pallas

@@ -203,21 +203,43 @@ def test_engine_logprobs_returned():
 def test_beam_searcher_prefers_high_prob_path():
     bs = BeamSearcher(num_beams=2, max_length=4, eos_token_id=None)
     bs.init_beams([])
-    logits = np.full((2, 5), -10.0, np.float32)
+    # single live init beam: the first expansion must produce num_beams
+    # DISTINCT continuations (the reference's identical-copies init
+    # collapsed to n duplicate greedy decodes — fixed here)
+    logits = np.full((1, 5), -10.0, np.float32)
     logits[:, 3] = 5.0
     logits[:, 1] = 4.0
     bs.step(logits)
-    # init beams are identical, so the first step duplicates the best token
-    # across beams (reference behaves the same, sampling.py:700-720)
     tokens = {tuple(b.token_ids) for b in bs.beams}
-    assert tokens == {(3,)}
-    # second step diversifies: beams now extend with 3 and 1
+    assert tokens == {(3,), (1,)}
+    # second step: each beam extends with its own best continuation
     logits2 = np.full((2, 5), -10.0, np.float32)
     logits2[0, 3] = 5.0
     logits2[1, 1] = 4.0
+    # beam order is by score: beams[0] is (3,), beams[1] is (1,)
+    assert bs.beams[0].token_ids == [3]
     bs.step(logits2)
     tokens2 = {tuple(b.token_ids) for b in bs.beams}
-    assert (3, 3) in tokens2 and (3, 1) in tokens2
+    assert (3, 3) in tokens2 and (1, 1) in tokens2
+
+
+def test_beam_search_no_duplicate_beams_and_sane_ranking():
+    """Beams stay distinct, and completed hypotheses of different lengths
+    compare on a single length normalization of the RAW cumulative
+    log-prob (the per-step normalization compounded it)."""
+    bs = BeamSearcher(num_beams=3, max_length=6, eos_token_id=0)
+    bs.init_beams([9])
+    rng = np.random.default_rng(0)
+    while not bs.is_done:
+        logits = rng.standard_normal((len(bs.beams), 8)).astype(np.float32)
+        bs.step(logits)
+    live = [b for b in bs.beams if b.token_ids]
+    assert len({tuple(b.token_ids) for b in live}) == len(live)
+    best = bs.get_best()
+    assert best.token_ids[0] == 9
+    # raw score is a genuine sum of per-token log-probs: strictly negative
+    # for any multi-token continuation of finite-probability tokens
+    assert best.score < 0.0
 
 
 def test_beam_searcher_eos_completes():

@@ -188,7 +188,13 @@ class AdminMixin:
             rid = int(rid)
         except ValueError:
             return _error("request_id must be an integer")
-        ok = self.engine.cancel_request(rid) if self.engine else False
+        if self.engine is None:
+            return web.json_response({"cancelled": False, "request_id": rid})
+        # cancel contends on the engine lock, which step() holds across a
+        # device dispatch (or a multi-second bucket compile) — run off-loop
+        # so the whole HTTP server doesn't stall behind it
+        loop = asyncio.get_running_loop()
+        ok = await loop.run_in_executor(None, self.engine.cancel_request, rid)
         return web.json_response({"cancelled": bool(ok), "request_id": rid})
 
     async def handle_ws_completions(self, request: web.Request) -> web.WebSocketResponse:
@@ -215,25 +221,41 @@ class AdminMixin:
                 continue
             req = CompletionRequest.from_body(body, prompt)
             req._prompt_token_ids = self._encode(prompt)
+            err = req.validate(
+                max_seq_len=self.engine.engine_config.max_seq_len,
+                prompt_tokens=len(req._prompt_token_ids))
+            if err:
+                await ws.send_json({"error": err})
+                continue
             output_ids = []
             prev = ""
             finish = "length"
-            async for item in self.async_engine.generate_stream(
-                req._prompt_token_ids,
-                sampling_params=req.to_sampling_params(tokenizer=self.tokenizer),
-                cache_namespace=self._cache_namespace(api_key, req.user),
-            ):
-                if isinstance(item, tuple) and item[0] == "__done__":
-                    finish = item[1]
-                    break
-                output_ids.append(item)
-                full = self._decode(output_ids)
-                delta = full[len(prev):]
-                prev = full
-                if delta:
-                    await ws.send_json({"token": delta})
+            t0 = time.perf_counter()
+            try:
+                async for item in self.async_engine.generate_stream(
+                    req._prompt_token_ids,
+                    sampling_params=req.to_sampling_params(
+                        tokenizer=self.tokenizer),
+                    cache_namespace=self._cache_namespace(api_key, req.user),
+                ):
+                    if isinstance(item, tuple) and item[0] == "__done__":
+                        finish = item[1]
+                        break
+                    output_ids.append(item)
+                    full = self._decode(output_ids)
+                    delta = full[len(prev):]
+                    prev = full
+                    if delta:
+                        await ws.send_json({"token": delta})
+            except Exception as exc:  # noqa: BLE001 — surface, keep socket
+                await ws.send_json({"error": str(exc)})
+                continue
             await ws.send_json({"done": True, "finish_reason": finish,
                                 "text": prev})
+            self._usage_tracker.record(
+                api_key or "", len(req._prompt_token_ids), len(output_ids))
+            self._latency_tracker.record(
+                "/v1/ws/completions", (time.perf_counter() - t0) * 1000)
         return ws
 
     async def handle_openapi(self, request: web.Request) -> web.Response:

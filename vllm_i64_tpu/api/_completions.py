@@ -219,6 +219,7 @@ class CompletionsMixin:
         output_ids: List[int] = []
         prev_text = ""
         finish_reason = "length"
+        t_start = time.perf_counter()
         priority = -self._priority_manager.get_priority(api_key, req.priority)
         soft_kw = {}
         if req._soft is not None:
@@ -251,6 +252,17 @@ class CompletionsMixin:
         else:
             yield chunk({"index": 0, "text": "", "finish_reason": finish_reason})
         yield "data: [DONE]\n\n"
+        # streamed traffic must be visible to /v1/usage, /v1/metrics and
+        # /v1/logs just like non-streamed responses
+        endpoint = "/v1/chat/completions" if chat else "/v1/completions"
+        latency_ms = (time.perf_counter() - t_start) * 1000
+        self._usage_tracker.record(api_key or "", len(prompt_ids),
+                                   len(output_ids))
+        self._latency_tracker.record(endpoint, latency_ms)
+        self._request_logger.log_request(
+            endpoint=endpoint, status=200, latency_ms=latency_ms,
+            prompt_tokens=len(prompt_ids), completion_tokens=len(output_ids),
+            api_key=api_key, request_id=stream_id)
 
     async def _write_sse(self, request: web.Request, gen) -> web.StreamResponse:
         response = web.StreamResponse()
@@ -319,6 +331,14 @@ class CompletionsMixin:
                 repetition_penalty=req.repetition_penalty,
                 frequency_penalty=req.frequency_penalty,
                 presence_penalty=req.presence_penalty, seed=req.seed,
+                # every field that changes the RESPONSE must be in the
+                # fingerprint, or requests differing only here would share
+                # a cache entry and receive each other's outputs
+                stop=repr(req.stop), min_tokens=req.min_tokens,
+                response_format=repr(req.response_format),
+                logit_bias=repr(req.logit_bias), logprobs=req.logprobs,
+                best_of=req.best_of,
+                suppress_first=repr(req.suppress_first_tokens),
             )
             if pre_tokenized is not None:
                 # decoded text may collide with a literal text prompt that
@@ -465,6 +485,11 @@ class CompletionsMixin:
             return _error("Internal server error", "server_error", 500)
 
     def _chat_stop_sequences(self, stop) -> Optional[list]:
-        """Chat default stops: the template's role markers end a turn."""
+        """Chat default stops: the template's role markers end a turn.
+
+        A bare string is ONE stop sequence (OpenAI string form), never
+        iterated character-by-character."""
+        if isinstance(stop, str):
+            stop = [stop]
         stops = list(stop) if stop else []
         return stops or None

@@ -25,6 +25,16 @@ def compute_partition(api_key: Optional[str], user_id: Optional[str], n: int = 6
     return int.from_bytes(digest[:4], "big") % n
 
 
+def _as_stop_list(stop):
+    """OpenAI allows `stop` as a bare string or a list of strings; a bare
+    string must become ONE sequence, not be iterated character-by-character."""
+    if stop is None:
+        return None
+    if isinstance(stop, str):
+        return [stop]
+    return list(stop)
+
+
 @dataclass
 class CompletionRequest:
     prompt: str
@@ -71,7 +81,7 @@ class CompletionRequest:
             min_tokens=body.get("min_tokens", 0),
             stream=body.get("stream", False),
             response_format=body.get("response_format"),
-            stop=body.get("stop"),
+            stop=_as_stop_list(body.get("stop")),
             n=body.get("n", 1),
             best_of=body.get("best_of", 1),
             logprobs=body.get("logprobs"),

@@ -297,8 +297,11 @@ def make_param_arrays(params_list: List[SamplingParams], requests) -> dict:
         out["rep_pen"][i] = p.repetition_penalty
         out["freq_pen"][i] = p.frequency_penalty
         out["pres_pen"][i] = p.presence_penalty
+        # fold arbitrary user seeds into int32 deterministically — a raw
+        # assignment of seed >= 2**31 raises OverflowError inside the step,
+        # failing every in-flight request from one malformed request
         out["seeds"][i] = (
-            p.seed if p.seed is not None
+            int(p.seed) & 0x7FFFFFFF if p.seed is not None
             else int(_UNSEEDED_RNG.integers(0, 2**31 - 1))
         )
         out["gen_index"][i] = req.num_generated
@@ -415,11 +418,19 @@ def sample_host(
 
 @dataclass
 class BeamHypothesis:
-    """Integer token sequence + float log-prob score."""
+    """Integer token sequence + float log-prob score.
+
+    ``score`` is the RAW cumulative log-prob — applying the GNMT length
+    normalization to the running score would compound it every step
+    (score_L = ((lp1/f1 + lp2)/f2 + ...) instead of (sum lp)/f_L).
+    ``norm_score`` is the length-normalized value, set when the hypothesis
+    completes (or computed on demand for live beams in get_best).
+    """
 
     token_ids: List[int]
     score: float
     is_finished: bool = False
+    norm_score: Optional[float] = None
 
 
 class BeamSearcher:
@@ -443,7 +454,12 @@ class BeamSearcher:
 
     def init_beams(self, initial_token_ids: Optional[List[int]] = None):
         prefix = list(initial_token_ids or [])
-        self.beams = [BeamHypothesis(list(prefix), 0.0) for _ in range(self.num_beams)]
+        # ONE live beam: num_beams identical zero-score copies would each
+        # contribute identical candidate rows, so every beam would pick the
+        # same top token forever and the search collapses to n duplicate
+        # greedy decodes. The first step() expands this beam into
+        # num_beams DISTINCT continuations.
+        self.beams = [BeamHypothesis(list(prefix), 0.0)]
         self.completed = []
 
     def step(self, logits_per_beam: np.ndarray) -> List[List[int]]:
@@ -472,18 +488,16 @@ class BeamSearcher:
         for idx in top:
             if len(new_beams) >= self.num_beams:
                 break
-            score = float(all_scores[idx])
+            score = float(all_scores[idx])  # raw cumulative log-prob
             token_id = int(all_tokens[idx])
             bi = beam_idx[int(idx)]
             new_ids = self.beams[bi].token_ids + [token_id]
-            length_factor = ((5.0 + len(new_ids)) / 6.0) ** self.length_penalty
-            hyp = BeamHypothesis(new_ids, score / length_factor)
-            if self.eos_token_id is not None and token_id == self.eos_token_id:
+            hyp = BeamHypothesis(new_ids, score)
+            if (self.eos_token_id is not None
+                    and token_id == self.eos_token_id) \
+                    or len(new_ids) >= self.max_length:
                 hyp.is_finished = True
-                self.completed.append(hyp)
-                continue
-            if len(new_ids) >= self.max_length:
-                hyp.is_finished = True
+                hyp.norm_score = score / self._length_factor(len(new_ids))
                 self.completed.append(hyp)
                 continue
             new_beams.append(hyp)
@@ -491,6 +505,9 @@ class BeamSearcher:
             new_beams.append(BeamHypothesis([], NEG_INF, is_finished=True))
         self.beams = new_beams
         return [b.token_ids for b in self.beams]
+
+    def _length_factor(self, length: int) -> float:
+        return ((5.0 + length) / 6.0) ** self.length_penalty
 
     @property
     def is_done(self) -> bool:
@@ -500,7 +517,13 @@ class BeamSearcher:
         candidates = self.completed + [b for b in self.beams if not b.is_finished]
         if not candidates:
             candidates = self.beams
-        return max(candidates, key=lambda h: h.score)
+
+        def norm(h: BeamHypothesis) -> float:
+            if h.norm_score is not None:
+                return h.norm_score
+            return h.score / self._length_factor(max(len(h.token_ids), 1))
+
+        return max(candidates, key=norm)
 
 
 def compute_logprobs_host(

@@ -169,6 +169,12 @@ class Scheduler:
         )
 
         self._pending: List[Tuple[int, int, int, Request]] = []
+        # count of heap entries whose request is still PENDING — the heap
+        # keeps stale (cancelled/admitted) entries for lazy removal, and
+        # num_pending is polled per admission iteration and per has_work
+        # check, so an O(heap) scan made scheduling O(pending^2) under
+        # backlog
+        self._pending_count = 0
         self.running: List[Request] = []
         self.finished: List[Request] = []
 
@@ -200,6 +206,7 @@ class Scheduler:
         )
         self._requests[rid] = req
         heapq.heappush(self._pending, (req.priority, req.arrival_step, rid, req))
+        self._pending_count += 1
         return rid
 
     def add_prefilled_request(
@@ -253,6 +260,9 @@ class Scheduler:
             self.running.remove(req)
             self.blocks.free(req.kv_block_ids)
             req.kv_block_ids = []
+        elif req.state == RequestState.PENDING:
+            # heap entry stays for lazy removal; account for it now
+            self._pending_count -= 1
         req.state = RequestState.FINISHED
         req.finish_reason = "cancelled"
         self.finished.append(req)
@@ -262,6 +272,7 @@ class Scheduler:
         while self._pending:
             _, _, _, req = heapq.heappop(self._pending)
             if req.state == RequestState.PENDING:
+                self._pending_count -= 1
                 return req
         return None
 
@@ -285,11 +296,13 @@ class Scheduler:
                 self._pending[i] = self._pending[-1]
                 self._pending.pop()
                 heapq.heapify(self._pending)
+                if req.state == RequestState.PENDING:
+                    self._pending_count -= 1
                 return
 
     @property
     def num_pending(self) -> int:
-        return sum(1 for *_, r in self._pending if r.state == RequestState.PENDING)
+        return self._pending_count
 
     @property
     def has_work(self) -> bool:
@@ -333,6 +346,7 @@ class Scheduler:
                 self._pending,
                 (victim.priority, victim.arrival_step, victim.request_id, victim),
             )
+            self._pending_count += 1
             logger.info(
                 "preempted request %d (saved %d generated tokens)",
                 victim.request_id,
@@ -494,7 +508,15 @@ class Scheduler:
     def update_after_step(
         self, batch: ScheduledBatch, new_tokens: Dict[int, int]
     ) -> None:
-        """Advance prefill progress; append sampled tokens; grow KV blocks."""
+        """Advance prefill progress; append sampled tokens; grow KV blocks.
+
+        Two phases: ALL sampled tokens are applied before any block growth.
+        _grow_blocks can preempt a lower-priority peer of the SAME batch;
+        if that peer's token had not been appended yet, its preemption
+        snapshot would miss a token the engine already streamed to the
+        client, and the restored request would re-sample that position
+        (streamed text and final output diverge)."""
+        sampled = []
         for seq in batch.seqs:
             req = seq.request
             if req.state != RequestState.RUNNING:
@@ -504,8 +526,14 @@ class Scheduler:
             if seq.needs_sample and req.request_id in new_tokens:
                 req.output_token_ids.append(int(new_tokens[req.request_id]))
                 self._register_prefix(req)
-                # one decoded token also lives in KV next step; ensure capacity
-                self._grow_blocks(req)
+                sampled.append(req)
+        for req in sampled:
+            # preempted by an earlier row's growth: token is in the saved
+            # snapshot, KV is gone — nothing to grow
+            if req.state != RequestState.RUNNING:
+                continue
+            # one decoded token also lives in KV next step; ensure capacity
+            self._grow_blocks(req)
 
     @property
     def _max_blocks_per_seq(self) -> int:

@@ -105,3 +105,80 @@ def test_preempted_peer_keeps_its_sampled_token():
             return  # exercised the preemption-mid-update path
     # preemption may not trigger with these sizes on every platform; the
     # invariant above still ran on every step
+
+
+def test_spec_rejection_sampling_is_target_faithful():
+    """With a deterministic draft, P(output=d) must equal q(d) — resampling
+    the full distribution on rejection gave q + (1-q)q."""
+    from vllm_i64_tpu.core.speculative import SpeculativeDecoder
+
+    rng = np.random.default_rng(0)
+    v = 8
+    logits = np.full(v, -10.0, np.float32)
+    logits[3] = 0.0
+    logits[5] = 0.0  # q(3) = q(5) ~= 0.5 each
+    sd = SpeculativeDecoder.__new__(SpeculativeDecoder)
+    sd._rng = np.random.default_rng(0)
+    sd.total_drafted = 0
+    sd.total_accepted = 0
+    params = SamplingParams(temperature=1.0)
+    hits = 0
+    n = 3000
+    for _ in range(n):
+        out, _ = sd.accept(np.array([3]), np.stack([logits, logits]),
+                           params=params)
+        if out[0] == 3:
+            hits += 1
+    frac = hits / n
+    assert 0.45 < frac < 0.55, f"draft-token frequency {frac} biased"
+
+
+def test_loader_converts_hf_prefixed_expert_keys():
+    from vllm_i64_tpu.core.loader import convert_framework_weights
+
+    sd = {}
+    for layer in range(2):
+        for e in range(2):
+            sd[f"model.layers.{layer}.mlp.experts.{e}.gate_proj.weight"] = (
+                np.zeros((8, 4), np.float32))
+            sd[f"model.layers.{layer}.mlp.experts.{e}.up_proj.weight"] = (
+                np.zeros((8, 4), np.float32))
+            sd[f"model.layers.{layer}.mlp.experts.{e}.down_proj.weight"] = (
+                np.zeros((4, 8), np.float32))
+    out = convert_framework_weights(sd)
+    assert "layers.0.mlp.gate_proj_w" in out
+    assert out["layers.0.mlp.gate_proj_w"].shape == (2, 4, 8)
+
+
+def test_disaggregated_requests_honor_stop_token_ids():
+    """Per-request processors must flow through the disaggregated path."""
+    import jax
+
+    from vllm_i64_tpu import EngineConfig, ModelConfig
+    from vllm_i64_tpu.models import complexity_deep as cdm
+    from vllm_i64_tpu.parallel.disaggregated import (
+        DecodeWorker,
+        DisaggregatedCoordinator,
+        PrefillWorker,
+    )
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=64,
+                      num_experts=1, shared_expert=False,
+                      use_token_routed_mlp=False)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=32, kv_block_size=4,
+                        max_kv_blocks=32, max_prefill_tokens=16,
+                        decode_batch_buckets=(2,), prefill_batch_buckets=(2,),
+                        prefill_token_buckets=(8, 16))
+    coord = DisaggregatedCoordinator(
+        PrefillWorker(params, cfg, ecfg), DecodeWorker(params, cfg, ecfg))
+    # find the greedy token, then use it as a stop id: only 1 token emitted
+    free = coord.generate([1, 2, 3], SamplingParams(
+        temperature=0.0, max_tokens=6))
+    assert len(free.output_tokens) == 6
+    stop_tok = free.output_tokens[1]
+    stopped = coord.generate([1, 2, 3], SamplingParams(
+        temperature=0.0, max_tokens=6, stop_token_ids=[stop_tok]))
+    assert len(stopped.output_tokens) < 6

@@ -144,8 +144,12 @@ class ContextManager:
             cand = systems + ([summary] if summary else []) + recent_msgs
             prompt, ids = self._measure(cand)
             if len(ids) > budget and summary:
-                # shrink the summary budget by the overflow until it fits
-                b = sum_budget
+                # shrink the summary budget by the overflow until it fits —
+                # starting BELOW sum_budget: the first probe at sum_budget
+                # would exactly repeat the summarize+measure already done
+                # above (a full binary-search-per-message pass on the
+                # request critical path)
+                b = sum_budget - max(8, len(ids) - budget)
                 while b >= 8:
                     summary, n_sum, n_drop = self._summarize(older_msgs, b)
                     cand = systems + ([summary] if summary else []) + recent_msgs

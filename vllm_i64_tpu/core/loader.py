@@ -165,8 +165,13 @@ def load_state_dict(checkpoint_path: str) -> StateDict:
 # Framework-format conversion
 # ---------------------------------------------------------------------------
 
+# optional "model." prefix: conversion runs BEFORE _KeyView strips it, and
+# standard HF checkpoints carry it on every key — an anchored match without
+# it silently skipped conversion and loaded MoE models with no expert
+# weights at all
 _EXPERT_RE = re.compile(
-    r"(layers\.\d+)\.mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)\.weight"
+    r"(?:model\.)?(layers\.\d+)\.mlp\.experts\.(\d+)"
+    r"\.(gate_proj|up_proj|down_proj)\.weight"
 )
 
 

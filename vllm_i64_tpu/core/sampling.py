@@ -343,13 +343,17 @@ def apply_penalties_host(
     return logits
 
 
-def sample_host(
+def filtered_probs_host(
     logits: np.ndarray,  # (V,) f32
     params: SamplingParams,
     past_tokens: Optional[List[int]] = None,
-    rng: Optional[np.random.Generator] = None,
-) -> int:
-    """Single-row host sampler with identical semantics (complex path)."""
+) -> np.ndarray:
+    """The exact post-filter distribution sample_host draws from.
+
+    Exposed so speculative decoding's acceptance test and rejection
+    correction use the SAME distribution as the final sampler — acceptance
+    from an unfiltered softmax while correcting from the filtered one
+    biases outputs toward the draft model."""
     logits = np.asarray(logits, dtype=np.float64).copy()
     v = logits.shape[-1]
 
@@ -367,7 +371,9 @@ def sample_host(
                 logits[int(tid)] += bias
 
     if params.temperature == 0.0:
-        return int(np.argmax(logits))
+        probs = np.zeros(v, np.float64)
+        probs[int(np.argmax(logits))] = 1.0
+        return probs
 
     if params.temperature != 1.0:
         logits = logits / params.temperature
@@ -399,16 +405,31 @@ def sample_host(
         mask[order] = mask_sorted
         logits[mask] = NEG_INF
 
+    probs = _np_softmax(logits)
+    if not np.isfinite(probs).all() or probs.sum() <= 0:
+        out = np.zeros(v, np.float64)
+        out[int(np.argmax(logits))] = 1.0
+        return out
+    return probs
+
+
+def sample_host(
+    logits: np.ndarray,  # (V,) f32
+    params: SamplingParams,
+    past_tokens: Optional[List[int]] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> int:
+    """Single-row host sampler with identical semantics (complex path)."""
+    probs = filtered_probs_host(logits, params, past_tokens=past_tokens)
+    if probs.max() >= 1.0:  # deterministic (greedy / degenerate): no rng
+        return int(np.argmax(probs))
     if rng is None:
         rng = (
             np.random.default_rng(params.seed)
             if params.seed is not None
             else np.random.default_rng()
         )
-    probs = _np_softmax(logits)
-    if not np.isfinite(probs).all() or probs.sum() <= 0:
-        return int(np.argmax(logits))
-    return int(rng.choice(v, p=probs))
+    return int(rng.choice(probs.shape[-1], p=probs))
 
 
 # ---------------------------------------------------------------------------

@@ -236,13 +236,28 @@ class SpeculativeDecoder:
                     continue
                 accepted.append(t)
                 break
-            probs = _softmax(target_logits[i] / params.temperature)
-            if self._rng.random() < float(probs[d]):
+            # speculative sampling with a DETERMINISTIC (greedy) draft:
+            # accept d w.p. q(d) under the SAME filtered distribution the
+            # sampler uses, and on rejection draw from the residual
+            # norm(q with d excluded) — resampling the full distribution
+            # would return d again w.p. q(d), biasing output toward the
+            # draft (P(d) = q(d) + (1-q(d))q(d) instead of q(d))
+            from .sampling import filtered_probs_host
+
+            q = filtered_probs_host(target_logits[i], params,
+                                    past_tokens=past_tokens)
+            if self._rng.random() < float(q[d]):
                 accepted.append(d)
                 continue
-            accepted.append(sample_host(target_logits[i], params,
-                                        past_tokens=past_tokens,
-                                        rng=self._rng))
+            resid = q.copy()
+            resid[d] = 0.0
+            mass = resid.sum()
+            if mass <= 0.0:
+                accepted.append(int(np.argmax(np.where(
+                    np.arange(q.shape[-1]) == d, -np.inf, q))))
+            else:
+                accepted.append(int(self._rng.choice(
+                    q.shape[-1], p=resid / mass)))
             break
         else:
             # all drafts accepted -> bonus token from the target's last row

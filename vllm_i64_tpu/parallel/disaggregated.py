@@ -86,6 +86,13 @@ class PrefillWorker:
         t = len(prompt)
         bs = self.ecfg.kv_block_size
         nblocks = -(-t // bs)
+        if nblocks > len(self._scratch_blocks) or t > self.ecfg.max_seq_len:
+            # a truncated block table would let later positions overwrite
+            # earlier blocks and ship corrupt KV downstream — fail loudly
+            # (the engine's normal admission path validates prompt length)
+            raise ValueError(
+                f"prompt of {t} tokens exceeds the prefill worker's "
+                f"max_seq_len ({self.ecfg.max_seq_len})")
         block_ids = self._scratch_blocks[:nblocks]
 
         req = Request(request_id=0, prompt_token_ids=prompt,
@@ -140,7 +147,21 @@ class DecodeWorker:
         KVTransfer.import_blocks(
             self.engine.runner, pr.kv_blocks,
             req.kv_block_ids[:n_prefill_blocks])
-        self.engine._params_by_rid[rid] = pr.sampling_params
+        # full per-request engine setup — stop sequences / JSON constraints
+        # / min_tokens live in _procs_by_rid and timeouts in _deadlines;
+        # writing only _params_by_rid silently dropped them for
+        # disaggregated requests
+        eng = self.engine
+        sp = pr.sampling_params
+        eng._params_by_rid[rid] = sp
+        procs = eng._build_processors(sp, eng.model_config.eos_token_id)
+        if procs:
+            eng._procs_by_rid[rid] = procs
+        timeout = eng.engine_config.request_timeout_s or None
+        if timeout:
+            import time as _time
+
+            eng._deadlines[rid] = _time.monotonic() + timeout
         return rid
 
     def decode_step(self) -> Dict[int, List[int]]:
@@ -170,6 +191,7 @@ class DisaggregatedCoordinator:
         self._next_submit = 0
         self._thread: Optional[threading.Thread] = None
         self._running = False
+        self._prefill_errors: Dict[int, Exception] = {}
 
     # -- submission ----------------------------------------------------------
 
@@ -208,9 +230,20 @@ class DisaggregatedCoordinator:
                 self._ready_q.put((item.submit_id, pr))
             except Exception as exc:  # pragma: no cover
                 logger.error("prefill failed: %s", exc, exc_info=True)
+                # surface to the waiter — a silently dropped request would
+                # spin generate() to max_steps and die on an unrelated
+                # KeyError
+                self._prefill_errors[item.submit_id] = exc
 
     def process_prefills_sync(self) -> int:
-        """Synchronous prefill drain (tests / no-thread mode)."""
+        """Synchronous prefill drain (tests / no-thread mode).
+
+        A no-op while the background prefill thread runs: both paths call
+        run_prefill on the SAME PrefillWorker, whose scratch blocks are
+        shared — concurrent prefills would interleave KV writes and ship
+        corrupted context to the decode worker."""
+        if self._running:
+            return 0
         n = 0
         while not self._prefill_q.empty():
             item = self._prefill_q.get_nowait()
@@ -256,9 +289,17 @@ class DisaggregatedCoordinator:
         sid = self.add_request(prompt_token_ids, sampling_params)
         steps = 0
         while sid not in self._results and steps < max_steps:
+            if sid in self._prefill_errors:
+                self._pending_meta.pop(sid, None)
+                raise RuntimeError(
+                    "prefill failed for this request"
+                ) from self._prefill_errors.pop(sid)
             self.process_prefills_sync()
             self.step()
             steps += 1
+        if sid not in self._results:
+            raise TimeoutError(
+                f"request {sid} did not finish within {max_steps} steps")
         return self._results.pop(sid)
 
     def get_stats(self) -> dict:

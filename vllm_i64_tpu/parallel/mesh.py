@@ -199,8 +199,21 @@ def validate_divisibility(cfg: ModelConfig, pcfg: ParallelConfig) -> None:
             raise ValueError(
                 f"num_experts ({cfg.num_experts}) not divisible by ep={pcfg.ep}"
             )
-        if (cfg.expert_intermediate_size // 1) % pcfg.tp != 0:
+        if cfg.expert_intermediate_size % pcfg.tp != 0:
             raise ValueError(
                 f"expert_intermediate_size ({cfg.expert_intermediate_size}) "
                 f"not divisible by tp={pcfg.tp}"
             )
+        if cfg.shared_expert:
+            s = cfg.resolved_shared_intermediate_size
+            if s % pcfg.tp != 0:
+                raise ValueError(
+                    f"shared_intermediate_size ({s}) not divisible by "
+                    f"tp={pcfg.tp}")
+    else:
+        # dense MLP shards gate/up on the intermediate axis — catch the
+        # mismatch here with a clear error instead of deep inside GSPMD
+        if cfg.intermediate_size % pcfg.tp != 0:
+            raise ValueError(
+                f"intermediate_size ({cfg.intermediate_size}) not divisible "
+                f"by tp={pcfg.tp}")

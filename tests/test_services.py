@@ -122,7 +122,8 @@ def test_sandbox_timeout():
 def test_tools_fs_roundtrip(tmp_path):
     from vllm_i64_tpu.agentics.tools import execute_tool_call, get_tools
 
-    tools = get_tools()
+    # fs tools are confined to the workdir root (default '.')
+    tools = get_tools(workdir=str(tmp_path))
     wr = execute_tool_call(tools, {"function": {
         "name": "write_file",
         "arguments": json.dumps({"path": str(tmp_path / "x.txt"),
@@ -167,7 +168,8 @@ async def test_agent_loop_with_fake_client(tmp_path):
                        for m in messages)
             return ChatMessage(content="The answer is 42.")
 
-    agent = Agent(client=FakeClient(), verbose=False)
+    agent = Agent(client=FakeClient(), verbose=False,
+                  workdir=str(tmp_path))
     out = await agent.arun("find the answer")
     assert out == "The answer is 42."
 

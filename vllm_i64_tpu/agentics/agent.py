@@ -39,10 +39,11 @@ class Agent:
         max_tokens: int = 1024,
         verbose: bool = True,
         tools: Optional[Dict[str, Tool]] = None,
+        workdir: Optional[str] = ".",
     ):
         self.client = client or Client(base_url=base_url, api_key=api_key)
         self.tools = tools or get_tools(allow_shell=allow_shell,
-                                        client=self.client)
+                                        client=self.client, workdir=workdir)
         self.openai_tools = tools_to_openai(self.tools)
         self.max_steps = max_steps
         self.temperature = temperature

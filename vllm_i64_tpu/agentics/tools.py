@@ -14,6 +14,23 @@ from typing import Callable, Dict, List, Optional
 MAX_RESULT_CHARS = 8000
 
 
+def _resolve_in_root(raw: str, root: Optional[Path]) -> Path:
+    """Confine a tool path to the workspace root.
+
+    Without confinement the fs tools gave arbitrary filesystem write even
+    with allow_shell=False — writing ~/.ssh/authorized_keys is
+    shell-equivalent. Paths resolve relative to root; absolute paths and
+    .. escapes outside it are rejected."""
+    p = Path(raw).expanduser()
+    if root is None:
+        return p
+    base = root.resolve()
+    resolved = (base / p).resolve() if not p.is_absolute() else p.resolve()
+    if resolved != base and base not in resolved.parents:
+        raise PermissionError(f"path escapes the workspace root: {raw}")
+    return resolved
+
+
 @dataclass
 class Tool:
     name: str
@@ -28,22 +45,31 @@ def _clip(text: str) -> str:
     return text
 
 
-def _read_file(args: dict) -> str:
-    path = Path(args["path"])
+def _read_file(args: dict, root: Optional[Path] = None) -> str:
+    try:
+        path = _resolve_in_root(args["path"], root)
+    except PermissionError as exc:
+        return f"error: {exc}"
     if not path.is_file():
         return f"error: {path} is not a file"
     return _clip(path.read_text(encoding="utf-8", errors="replace"))
 
 
-def _write_file(args: dict) -> str:
-    path = Path(args["path"])
+def _write_file(args: dict, root: Optional[Path] = None) -> str:
+    try:
+        path = _resolve_in_root(args["path"], root)
+    except PermissionError as exc:
+        return f"error: {exc}"
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(args.get("content", ""), encoding="utf-8")
     return f"wrote {len(args.get('content', ''))} chars to {path}"
 
 
-def _list_dir(args: dict) -> str:
-    path = Path(args.get("path", "."))
+def _list_dir(args: dict, root: Optional[Path] = None) -> str:
+    try:
+        path = _resolve_in_root(args.get("path", "."), root)
+    except PermissionError as exc:
+        return f"error: {exc}"
     if not path.is_dir():
         return f"error: {path} is not a directory"
     rows = []
@@ -53,18 +79,24 @@ def _list_dir(args: dict) -> str:
     return "\n".join(rows) or "(empty)"
 
 
-def _search_files(args: dict) -> str:
-    root = Path(args.get("path", "."))
+def _search_files(args: dict, root: Optional[Path] = None) -> str:
+    try:
+        base = _resolve_in_root(args.get("path", "."), root)
+    except PermissionError as exc:
+        return f"error: {exc}"
     pattern = args["pattern"]
-    hits = [str(p) for p in root.rglob(pattern)][:100]
+    hits = [str(p) for p in base.rglob(pattern)][:100]
     return "\n".join(hits) or "(no matches)"
 
 
-def _grep(args: dict) -> str:
-    root = Path(args.get("path", "."))
+def _grep(args: dict, root: Optional[Path] = None) -> str:
+    try:
+        base = _resolve_in_root(args.get("path", "."), root)
+    except PermissionError as exc:
+        return f"error: {exc}"
     rx = re.compile(args["pattern"])
     out: List[str] = []
-    files = [root] if root.is_file() else list(root.rglob("*"))
+    files = [base] if base.is_file() else list(base.rglob("*"))
     for p in files:
         if not p.is_file() or p.stat().st_size > 1 << 20:
             continue
@@ -104,20 +136,30 @@ def _schema(**props) -> Dict:
             "required": list(props)}
 
 
-def get_tools(allow_shell: bool = False, client=None) -> Dict[str, Tool]:
+def get_tools(allow_shell: bool = False, client=None,
+              workdir: Optional[str] = ".") -> Dict[str, Tool]:
+    """Build the tool registry. ``workdir`` confines every fs tool (None
+    disables confinement — only for trusted callers)."""
+    import functools
+
+    root = Path(workdir) if workdir is not None else None
+
+    def fs(fn):
+        return functools.partial(fn, root=root)
+
     tools = {
         "read_file": Tool("read_file", "Read a text file",
-                          _schema(path="file path"), _read_file),
+                          _schema(path="file path"), fs(_read_file)),
         "write_file": Tool("write_file", "Write content to a file",
                            _schema(path="file path", content="file content"),
-                           _write_file),
+                           fs(_write_file)),
         "list_dir": Tool("list_dir", "List a directory",
-                         _schema(path="directory path"), _list_dir),
+                         _schema(path="directory path"), fs(_list_dir)),
         "search_files": Tool("search_files", "Find files by glob pattern",
                              _schema(path="root dir", pattern="glob"),
-                             _search_files),
+                             fs(_search_files)),
         "grep": Tool("grep", "Regex search file contents",
-                     _schema(path="file or dir", pattern="regex"), _grep),
+                     _schema(path="file or dir", pattern="regex"), fs(_grep)),
     }
     if allow_shell:
         tools["shell"] = Tool("shell", "Run a shell command (30s timeout)",

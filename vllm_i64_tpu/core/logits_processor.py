@@ -105,6 +105,23 @@ class RegexLogitsProcessor(LogitsProcessor):
             eos_token_id = tokenizer.eos_token_id
         self.eos_token_id = int(eos_token_id)
         self._generated_text = ""
+        # TRUE prefix-viability needs partial matching, which stdlib `re`
+        # lacks: `re.match(pattern, text)` answers the WRONG question (it
+        # tests whether a match STARTS at 0, so '1' under '[0-9]{5}' looked
+        # dead and every fixed-length pattern truncated after one token,
+        # while 'abX' under 'ab' looked alive and ran unconstrained)
+        try:
+            import regex as _regex
+
+            self._partial = _regex.compile(pattern)
+        except ImportError:  # pragma: no cover — regex ships with the env
+            self._partial = None
+
+    def _prefix_viable(self, text: str) -> bool:
+        if self._partial is not None:
+            return self._partial.fullmatch(text, partial=True) is not None
+        # conservative fallback: never force EOS on uncertainty
+        return True
 
     def __call__(self, logits: np.ndarray, generated_ids: List[int]) -> np.ndarray:
         if self.tokenizer is not None and generated_ids:
@@ -117,11 +134,7 @@ class RegexLogitsProcessor(LogitsProcessor):
             return logits
 
         if self.tokenizer is not None and self._generated_text:
-            partial = re.match(self.pattern.pattern, self._generated_text, re.DOTALL)
-            if partial is None and not any(
-                re.fullmatch(self.pattern.pattern, self._generated_text + c, re.DOTALL)
-                for c in self._PROBE_CHARS
-            ):
+            if not self._prefix_viable(self._generated_text):
                 logits = np.full_like(logits, NEG_INF)
                 logits[self.eos_token_id] = 0.0
         return logits
@@ -134,25 +147,46 @@ class ChoiceLogitsProcessor(LogitsProcessor):
     """Constrain output to one of N fixed strings via a token trie
     (ref: logits_processor.py:183-222)."""
 
-    def __init__(self, choices: List[str], tokenizer=None):
+    def __init__(self, choices: List[str], tokenizer=None, eos_token_id: int = 0):
         self.choices = choices
         self._choice_ids: List[List[int]] = []
         if tokenizer is not None:
             self._choice_ids = [list(tokenizer.encode(c)) for c in choices]
+            if getattr(tokenizer, "eos_token_id", None) is not None:
+                eos_token_id = tokenizer.eos_token_id
+        self.eos_token_id = int(eos_token_id)
 
     def __call__(self, logits: np.ndarray, generated_ids: List[int]) -> np.ndarray:
         if not self._choice_ids:
             return logits
         pos = len(generated_ids)
+        gen = list(generated_ids)
         allowed: Set[int] = set()
+        completed = False
         for seq in self._choice_ids:
-            if pos < len(seq) and list(generated_ids) == seq[:pos]:
+            if pos < len(seq) and gen == seq[:pos]:
                 allowed.add(seq[pos])
+            elif pos >= len(seq) and gen[: len(seq)] == seq:
+                completed = True
+        if completed and not allowed:
+            # a full choice is generated and no longer choice continues it:
+            # force EOS — passing logits through here let the model append
+            # arbitrary text after the chosen string
+            mask = np.full_like(logits, NEG_INF)
+            mask[self.eos_token_id] = 0.0
+            return logits + mask
         if allowed:
             mask = np.full_like(logits, NEG_INF)
             for tid in allowed:
                 if tid < logits.shape[-1]:
                     mask[tid] = 0.0
+            logits = logits + mask
+        elif pos > 0:
+            # generated ids diverged from every choice (shouldn't happen
+            # when this processor ran from step 0; defensive): end cleanly
+            # rather than silently dropping the constraint
+            mask = np.full_like(logits, NEG_INF)
+            mask[self.eos_token_id] = 0.0
             logits = logits + mask
         return logits
 

@@ -18,9 +18,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("vllm_i64_tpu.vision")
 
 Params = Dict[str, Any]
 
@@ -51,10 +55,16 @@ class VisionConfig:
 
 def preprocess_images(images: np.ndarray, image_size: int = 224) -> np.ndarray:
     """(N, H, W, 3) uint8/float -> (N, size, size, 3) f32 CLIP-normalized."""
-    x = jnp.asarray(images, jnp.float32)
+    arr = np.asarray(images)
+    is_int = np.issubdtype(arr.dtype, np.integer)
+    x = jnp.asarray(arr, jnp.float32)
     if x.ndim == 3:
         x = x[None]
-    if x.max() > 2.0:
+    if is_int:
+        # dtype decides, not a value heuristic — a near-black uint8 image
+        # whose max is <= 2 must still scale by 255
+        x = x / 255.0
+    elif float(x.max()) > 2.0:
         x = x / 255.0
     n = x.shape[0]
     x = jax.image.resize(x, (n, image_size, image_size, 3), method="bilinear")
@@ -158,27 +168,88 @@ def vision_encode(params: Params, cfg: VisionConfig,
 
 def load_vision_tower(state_dict: Dict[str, np.ndarray],
                       cfg: VisionConfig, dtype=jnp.float32) -> Params:
-    """Assemble tower params from a CLIP-layout checkpoint; missing keys
-    keep their random init (partial-load tolerant like the reference's
-    from-pretrained path)."""
+    """Assemble tower params from a CLIP-layout checkpoint.
+
+    Loads patch/pos embeddings, EVERY transformer block (per-layer
+    ``blocks.{i}.*`` keys stacked onto the layer axis), the pre-LN, and
+    the projector — the previous loader silently kept random init for
+    everything but the patch embedding, which produced garbage soft
+    tokens that looked like a successful load. Missing keys keep their
+    init but are WARNED about with a count."""
     params = init_vision_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    h = cfg.hidden_size
+    loaded = []
+    missing = []
 
     def take(key, target_shape, transpose=False):
         w = state_dict.get(key)
         if w is None:
+            missing.append(key)
             return None
         w = np.asarray(w, np.float32)
         if transpose:
             w = w.T
         if w.shape != tuple(target_shape):
+            missing.append(f"{key} (shape {w.shape} != {tuple(target_shape)})")
             return None
-        return jnp.asarray(w, dtype)
+        loaded.append(key)
+        return w
 
-    pe = take("patch_embed.weight", (cfg.patch_dim, cfg.hidden_size),
-              transpose=True)
+    pe = take("patch_embed.weight", (cfg.patch_dim, h), transpose=True)
     if pe is not None:
-        params["patch_embed"] = pe
-    pos = take("pos_embed", (cfg.num_patches, cfg.hidden_size))
+        params["patch_embed"] = jnp.asarray(pe, dtype)
+    pos = take("pos_embed", (cfg.num_patches, h))
     if pos is not None:
-        params["pos_embed"] = pos
+        params["pos_embed"] = jnp.asarray(pos, dtype)
+    for name, shape in (("pre_ln_w", (h,)), ("pre_ln_b", (h,))):
+        w = take(f"pre_ln.{'weight' if name.endswith('_w') else 'bias'}",
+                 shape)
+        if w is not None:
+            params[name] = jnp.asarray(w, dtype)
+
+    # per-layer block weights -> stacked (L, ...) arrays. Linear weights
+    # are stored torch-style (out, in) and transpose to x @ w orientation.
+    mlp = h * cfg.mlp_ratio
+    spec = {
+        "ln1_w": ("ln1.weight", (h,), False),
+        "ln1_b": ("ln1.bias", (h,), False),
+        "qkv": ("attn.qkv.weight", (h, 3 * h), True),
+        "qkv_b": ("attn.qkv.bias", (3 * h,), False),
+        "proj": ("attn.proj.weight", (h, h), True),
+        "proj_b": ("attn.proj.bias", (h,), False),
+        "ln2_w": ("ln2.weight", (h,), False),
+        "ln2_b": ("ln2.bias", (h,), False),
+        "fc1": ("mlp.fc1.weight", (h, mlp), True),
+        "fc1_b": ("mlp.fc1.bias", (mlp,), False),
+        "fc2": ("mlp.fc2.weight", (mlp, h), True),
+        "fc2_b": ("mlp.fc2.bias", (h,), False),
+    }
+    blocks = dict(params["blocks"])
+    for pkey, (ckpt_suffix, shape, transpose) in spec.items():
+        rows = [take(f"blocks.{i}.{ckpt_suffix}", shape, transpose)
+                for i in range(cfg.num_layers)]
+        if all(r is not None for r in rows):
+            blocks[pkey] = jnp.asarray(np.stack(rows), dtype)
+    params["blocks"] = blocks
+
+    proj = dict(params["proj_out"])
+    for pkey, ckpt, shape, transpose in (
+        ("w1", "projector.0.weight", (h, cfg.llm_hidden_size), True),
+        ("b1", "projector.0.bias", (cfg.llm_hidden_size,), False),
+        ("w2", "projector.2.weight",
+         (cfg.llm_hidden_size, cfg.llm_hidden_size), True),
+        ("b2", "projector.2.bias", (cfg.llm_hidden_size,), False),
+    ):
+        if pkey not in proj:
+            continue
+        w = take(ckpt, shape, transpose)
+        if w is not None:
+            proj[pkey] = jnp.asarray(w, dtype)
+    params["proj_out"] = proj
+
+    if missing:
+        logger.warning(
+            "vision tower: loaded %d tensors, %d missing/mismatched kept "
+            "random init (first few: %s)", len(loaded), len(missing),
+            missing[:5])
     return params

@@ -11,7 +11,12 @@ def chunk_text(text: str, chunk_size: int = 200, overlap: int = 50) -> List[str]
     step = max(1, chunk_size - overlap)
     chunks = []
     for i in range(0, len(words), step):
-        chunk = " ".join(words[i:i + chunk_size])
+        window = words[i:i + chunk_size]
+        if i > 0 and i + len(window) <= i - step + chunk_size:
+            # tail window fully contained in the previous chunk — indexing
+            # it duplicates content and crowds top-k retrieval
+            break
+        chunk = " ".join(window)
         if chunk.strip():
             chunks.append(chunk)
     return chunks

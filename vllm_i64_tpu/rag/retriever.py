@@ -72,6 +72,23 @@ class Retriever:
     def load(cls, directory: str, embedder: Optional[Embedder] = None) -> "Retriever":
         obj = cls(embedder=embedder)
         obj.index = VectorIndex.load(directory)
+        if (obj.embedder is not None and obj.index is not None
+                and obj.index.dim and obj.embedder.dim != obj.index.dim):
+            from .embedder import HashingEmbedder
+
+            if isinstance(obj.embedder, HashingEmbedder):
+                # hashing is stateless — adapt its dim to the saved index
+                # instead of crashing on the first query
+                logger.info(
+                    "adapting hashing embedder dim %d -> saved index dim %d",
+                    obj.embedder.dim, obj.index.dim)
+                obj.embedder = HashingEmbedder(dim=obj.index.dim)
+            else:
+                raise ValueError(
+                    f"embedder dim {obj.embedder.dim} != saved index dim "
+                    f"{obj.index.dim} — the index was built with a "
+                    f"different embedder; rebuild it or load with the "
+                    f"matching one")
         return obj
 
     @classmethod

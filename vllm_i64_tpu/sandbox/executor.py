@@ -28,7 +28,14 @@ BLOCKED_MODULES: Set[str] = frozenset({
     "http", "urllib", "requests", "httpx", "aiohttp", "ftplib", "smtplib",
     "poplib", "imaplib", "telnetlib", "xmlrpc", "socketserver",
     "pickle", "shelve", "marshal", "tempfile", "mmap", "sysconfig", "_thread",
-    "pathlib", "glob",
+    "pathlib", "glob", "io", "builtins", "inspect",
+})
+
+_BLOCKED_ATTRS = frozenset({
+    "__closure__", "__globals__", "__subclasses__", "__bases__", "__mro__",
+    "__code__", "__builtins__", "__import__", "__getattribute__",
+    "__reduce__", "__reduce_ex__", "__loader__", "__spec__", "gi_frame",
+    "f_globals", "f_builtins", "cr_frame",
 })
 
 _ALLOWED_BUILTIN_NAMES = [
@@ -64,18 +71,27 @@ def validate_code(code: str) -> Optional[str]:
                 return f"Blocked call: {fn.id}()"
             if isinstance(fn, ast.Attribute) and fn.attr == "__import__":
                 return "Blocked call: __import__()"
+        elif isinstance(node, ast.Attribute):
+            # introspection escape hatches: function closures/globals reach
+            # the real __import__; __subclasses__ walks to os._wrap_close
+            if node.attr in _BLOCKED_ATTRS:
+                return f"Blocked attribute: {node.attr}"
+        elif isinstance(node, ast.Constant) and isinstance(node.value, str):
+            if node.value in _BLOCKED_ATTRS:
+                return f"Blocked name in string literal: {node.value!r}"
     return None
 
 
 _PREAMBLE = """\
 import builtins as _b
 _blocked = {blocked!r}
-_orig_import = _b.__import__
-def _safe_import(name, *a, **k):
-    if name.split('.')[0] in _blocked:
-        raise ImportError(f"module '{{name}}' is blocked in the sandbox")
-    return _orig_import(name, *a, **k)
-_b.__import__ = _safe_import
+def _mk(orig, blocked):
+    def _safe_import(name, *a, **k):
+        if name.split('.')[0] in blocked:
+            raise ImportError(f"module '{{name}}' is blocked in the sandbox")
+        return orig(name, *a, **k)
+    return _safe_import
+_b.__import__ = _mk(_b.__import__, _blocked)
 for _name in ("exec", "eval", "compile", "open", "input", "breakpoint"):
     if hasattr(_b, _name):
         def _make_stub(n):
@@ -83,7 +99,9 @@ for _name in ("exec", "eval", "compile", "open", "input", "breakpoint"):
                 raise RuntimeError(f"{{n}}() is blocked in the sandbox")
             return _stub
         setattr(_b, _name, _make_stub(_name))
-del _b, _name
+# leave NO module-level handle to the original import or the factory —
+# user code shares this module's globals
+del _b, _name, _blocked, _mk, _make_stub
 """
 
 
@@ -139,19 +157,28 @@ class Sandbox:
                 "w", suffix=".py", delete=False) as f:
             f.write(program)
             path = f.name
+        out_f = tempfile.NamedTemporaryFile("wb", delete=False)
+        err_f = tempfile.NamedTemporaryFile("wb", delete=False)
         try:
+            # stdout/stderr go to FILES: RLIMIT_FSIZE bounds them in the
+            # child, so a print-flood cannot balloon the SERVER's memory
+            # the way an unbounded pipe buffered by subprocess.run did
             proc = subprocess.run(
                 [sys.executable, "-I", path],
-                capture_output=True,
+                stdout=out_f, stderr=err_f,
                 timeout=self.timeout_s,
                 preexec_fn=self._limits() if os.name == "posix" else None,
                 env={"PATH": "", "PYTHONDONTWRITEBYTECODE": "1"},
                 cwd=tempfile.gettempdir(),
             )
-            stdout = proc.stdout[: self.max_output_bytes].decode(
-                "utf-8", errors="replace")
-            stderr = proc.stderr[: self.max_output_bytes].decode(
-                "utf-8", errors="replace")
+            out_f.close()
+            err_f.close()
+            with open(out_f.name, "rb") as f:
+                stdout = f.read(self.max_output_bytes).decode(
+                    "utf-8", errors="replace")
+            with open(err_f.name, "rb") as f:
+                stderr = f.read(self.max_output_bytes).decode(
+                    "utf-8", errors="replace")
             return ExecResult(ok=proc.returncode == 0, stdout=stdout,
                               stderr=stderr, returncode=proc.returncode,
                               error=None if proc.returncode == 0 else "nonzero exit")
@@ -160,7 +187,8 @@ class Sandbox:
         except Exception as exc:
             return ExecResult(ok=False, error=str(exc))
         finally:
-            try:
-                os.unlink(path)
-            except OSError:
-                pass
+            for p in (path, out_f.name, err_f.name):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass

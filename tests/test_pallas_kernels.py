@@ -227,7 +227,7 @@ def test_long_context_prefill_dispatches_to_pallas(key, monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(ppa, "paged_prefill_attention_pallas", spy)
-    monkeypatch.setattr(attn, "_use_pallas_decode", lambda: True)
+    monkeypatch.setattr(attn, "_use_pallas_prefill", lambda: True)
     # decode fast path is t==1 only; prefill branch must trigger here
     got = attn.paged_attention(q, kc, vc, bt, pos, ctx)
     assert called.get("yes"), "pallas prefill branch did not trigger"

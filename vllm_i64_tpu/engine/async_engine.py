@@ -95,6 +95,21 @@ class AsyncEngine:
     async def cancel_request(self, rid: int) -> None:
         loop = asyncio.get_running_loop()
         await loop.run_in_executor(None, self.engine.cancel_request, rid)
+        # resolve the waiter here: the engine PURGES cancelled requests, so
+        # they never reach scheduler.finished and _deliver would never see
+        # them — without this the future hangs forever, _targets/_t0 leak,
+        # and active_requests never decrements (eventually rejecting all
+        # new requests as 'queue full'). Stream generators pop their own
+        # _targets entry before cancelling, so this is a no-op for them.
+        target = self._targets.pop(rid, None)
+        self._t0.pop(rid, None)
+        self._first_token_sent.discard(rid)
+        if isinstance(target, asyncio.Future):
+            if not target.done():
+                target.cancel()
+            self.active_requests -= 1
+        elif isinstance(target, asyncio.Queue):
+            await target.put((DONE, "cancelled"))
 
     # -- submission --------------------------------------------------------------
 
@@ -242,40 +257,58 @@ class AsyncEngine:
                 for tok in toks:
                     await target.put(int(tok))
 
-        # resolve finished scheduler requests (snapshot: _result_for purges
-        # consumed requests from the live finished list)
-        finished_ids = set()
-        for req in list(self.engine.scheduler.finished):
-            rid = req.request_id
-            finished_ids.add(rid)
+        # resolve finished scheduler requests. ALL scheduler mutation
+        # (consuming results, purging, rebuilding the finished list) runs
+        # under engine._lock in a worker thread — cancel_request /
+        # _sweep_timeouts mutate the same structures from other threads,
+        # and an unlocked list rebuild here could drop a concurrently
+        # finished request without ever resolving its future.
+        loop = asyncio.get_running_loop()
+        now = time.perf_counter()
+
+        def consume_finished():
+            with self.engine._lock:
+                resolved = []
+                finished_ids = set()
+                for req in list(self.engine.scheduler.finished):
+                    rid = req.request_id
+                    finished_ids.add(rid)
+                    if rid in self._targets:
+                        t0 = self._t0.get(rid, now)
+                        gen = self.engine._result_for(
+                            req, req.num_generated, (now - t0) * 1000)
+                        resolved.append((rid, gen))
+                    else:
+                        self.engine._release_request(rid)
+                self.engine.scheduler.finished = [
+                    r for r in self.engine.scheduler.finished
+                    if r.request_id not in finished_ids
+                ]
+                return resolved, finished_ids
+
+        resolved, finished_ids = await loop.run_in_executor(
+            None, consume_finished)
+        for rid in finished_ids:
+            self._first_token_sent.discard(rid)
+            self._t0.pop(rid, None)
+        for rid, gen in resolved:
             target = self._targets.pop(rid, None)
-            if target is None:
-                self._t0.pop(rid, None)
-                continue
-            elapsed = (time.perf_counter() - self._t0.pop(rid, time.perf_counter())) * 1000
-            gen = self.engine._result_for(req, req.num_generated, elapsed)
             if isinstance(target, asyncio.Future):
                 if not target.done():
                     target.set_result(gen)
                 self.active_requests -= 1
-            else:
+            elif isinstance(target, asyncio.Queue):
                 await target.put((DONE, gen.finish_reason))
 
-        for rid in finished_ids:
-            self._first_token_sent.discard(rid)
-            self.engine._release_request(rid)
-        self.engine.scheduler.finished = [
-            r for r in self.engine.scheduler.finished
-            if r.request_id not in finished_ids
-        ]
-
-        # resolve merged secondaries
+        # resolve merged secondaries; entries whose client is GONE (stream
+        # disconnected — no target will ever come) are deleted too, or the
+        # dict grows and is rescanned forever
         for rid, gen in list(self.engine.merged_finished.items()):
             target = self._targets.pop(rid, None)
-            if target is None:
-                continue
             del self.engine.merged_finished[rid]
             self._t0.pop(rid, None)
+            if target is None:
+                continue
             if isinstance(target, asyncio.Future):
                 if not target.done():
                     target.set_result(gen)
@@ -293,13 +326,17 @@ class AsyncEngine:
         def reap():
             with self.engine._lock:
                 reqs = list(sched.running)
+                sched.running.clear()
                 for req in reqs:
                     sched.blocks.free(req.kv_block_ids)
                     req.kv_block_ids = []
                     req.state = RequestState.FINISHED
                     req.finish_reason = "error"
-                    self.engine._release_request(req.request_id)
-                sched.running.clear()
+                    # FULL purge: these requests never reach _result_for
+                    # (their futures get set_exception below), so anything
+                    # short of a purge leaks _params_by_rid/_procs_by_rid/
+                    # scheduler._requests on every crash-recovery sweep
+                    self.engine._purge_request(req.request_id)
                 return reqs
 
         loop = asyncio.get_running_loop()

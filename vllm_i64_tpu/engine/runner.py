@@ -88,6 +88,7 @@ class ModelRunner:
             from ..ops import attention as _attn
 
             _attn._PALLAS_DECODE = False
+            _attn._PALLAS_PREFILL = False  # single-device program
 
         # W8A8 is a module-level flag captured when a program traces; setting
         # it before every dispatch (see _sync_w8a8) keeps multiple engines
@@ -479,7 +480,8 @@ class ModelRunner:
             return out
 
         bt = np.zeros((b, mb), np.int32)
-        bt[:b_actual, : block_tables.shape[1]] = block_tables[:, :mb]
+        w = min(block_tables.shape[1], mb)
+        bt[:b_actual, :w] = block_tables[:, :w]
 
         padded_args = {
             k: pad1(v) if v.ndim == 1 else v for k, v in sample_args.items()

@@ -44,6 +44,18 @@ _PALLAS_KV_WRITE = False
 # crossover on v5e is flat up to 2k (9.1 vs 9.6 ms at B=4 T=512); beyond it
 # the kernel's O(T*d) memory wins outright
 _PALLAS_PREFILL_MIN_T = 1024
+# long-context flash prefill has its own switch — gating it on the decode
+# kernel's experiment flag (default False) made the feature dead code
+_PALLAS_PREFILL = True
+
+
+def _use_pallas_prefill() -> bool:
+    if not _PALLAS_PREFILL:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _use_pallas_decode() -> bool:
@@ -180,7 +192,7 @@ def paged_attention(
         and sliding_window is None
         and hkv_d % 128 == 0
         and k_cache.shape[1] % 8 == 0
-        and _use_pallas_decode()
+        and _use_pallas_prefill()
     ):
         from .prefill_attention_pallas import paged_prefill_attention_pallas
 

@@ -93,8 +93,12 @@ def ep_all_to_all_routed_experts(
     )[:, 0]  # rank of pair among its destination's pairs
     keep = pos < cap
 
-    # slot p lands at send[dest[p], pos[p]]
-    flat_slot = jnp.where(keep, dest.astype(jnp.int32) * cap + pos, p)
+    # slot p lands at send[dest[p], pos[p]]; dropped (over-capacity) pairs
+    # get the out-of-range sentinel d*cap so mode="drop" discards them —
+    # index p is always a LIVE slot (d*cap >= P) and would mis-dispatch the
+    # pair to the wrong device/expert
+    flat_slot = jnp.where(
+        keep, dest.astype(jnp.int32) * cap + pos, jnp.int32(d * cap))
     inv = jnp.full((d * cap,), -1, jnp.int32).at[flat_slot].set(
         jnp.arange(p, dtype=jnp.int32), mode="drop"
     )  # (D*C,) -> pair index or -1

@@ -72,8 +72,10 @@ def _rmsnorm_quant_kernel(x_ref, w_ref, q_ref, s_ref, *, eps: float):
     var = jnp.mean(x * x, axis=-1, keepdims=True)
     y = x * jax.lax.rsqrt(var + eps) * w_ref[:].astype(jnp.float32)
     amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(y / scale), -127, 127)
+    # identical semantics to quant.quantize_activations_int8 — W8A8
+    # numerics must not depend on which kernel dispatched
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(y / scale), -128, 127)
     q_ref[:] = q.astype(jnp.int8)
     s_ref[:] = scale.astype(jnp.float32)
 

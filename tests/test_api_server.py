@@ -419,3 +419,46 @@ async def test_chat_image_rejected_without_vision():
         assert "vision" in (await r.json())["error"]["message"]
     finally:
         await client.close()
+
+
+async def test_ws_invalid_request_reports_error_frame():
+    """Invalid WS requests must produce an {"error": ...} frame and keep
+    the socket alive, not kill the connection."""
+    client = await make_client(make_server())
+    try:
+        ws = await client.ws_connect("/v1/ws/completions")
+        await ws.send_json({"prompt": "abc", "max_tokens": 0})
+        msg = await ws.receive_json()
+        assert "error" in msg and "max_tokens" in msg["error"]
+        # socket still works for a valid request afterwards
+        await ws.send_json({"prompt": "abc", "max_tokens": 2,
+                            "temperature": 0.0})
+        saw_done = False
+        async for m in ws:
+            data = json.loads(m.data)
+            if data.get("done"):
+                saw_done = True
+                break
+        assert saw_done
+        await ws.close()
+    finally:
+        await client.close()
+
+
+async def test_streaming_records_usage_and_logs():
+    """Streamed completions must be visible to /v1/usage and /v1/logs."""
+    client = await make_client(make_server())
+    try:
+        resp = await client.post("/v1/completions", json={
+            "prompt": "abcd", "max_tokens": 3, "temperature": 0.0,
+            "stream": True})
+        assert resp.status == 200
+        body = await resp.text()
+        assert "data: [DONE]" in body
+        usage = await (await client.get("/v1/usage")).json()
+        assert usage["total"]["completion_tokens"] >= 3
+        logs = await (await client.get("/v1/logs")).json()
+        assert any(e.get("endpoint") == "/v1/completions"
+                   for e in logs.get("entries", logs.get("logs", [])))
+    finally:
+        await client.close()

@@ -159,6 +159,8 @@ class CompletionsMixin:
                               api_key: Optional[str],
                               endpoint: str = "/v1/completions") -> CompletionResponse:
         t0 = time.monotonic()
+        prom = getattr(self, "_prometheus", None)
+        prom_t0 = prom.on_request_start() if prom else None
         prompt_ids = req._prompt_token_ids
         ns = self._cache_namespace(api_key, req.user)
         priority = -self._priority_manager.get_priority(api_key, req.priority)
@@ -177,6 +179,9 @@ class CompletionsMixin:
         if req._context_metrics is not None:
             resp.context_metrics = req._context_metrics
         latency_ms = (time.monotonic() - t0) * 1000
+        if prom:
+            prom.on_request_end(prom_t0, len(prompt_ids),
+                                len(result.output_tokens))
         self._usage_tracker.record(api_key or "", len(prompt_ids),
                                    len(result.output_tokens))
         self._latency_tracker.record(endpoint, latency_ms)
@@ -220,6 +225,8 @@ class CompletionsMixin:
         prev_text = ""
         finish_reason = "length"
         t_start = time.perf_counter()
+        prom = getattr(self, "_prometheus", None)
+        prom_t0 = prom.on_request_start() if prom else None
         priority = -self._priority_manager.get_priority(api_key, req.priority)
         soft_kw = {}
         if req._soft is not None:
@@ -256,6 +263,8 @@ class CompletionsMixin:
         # /v1/logs just like non-streamed responses
         endpoint = "/v1/chat/completions" if chat else "/v1/completions"
         latency_ms = (time.perf_counter() - t_start) * 1000
+        if prom:
+            prom.on_request_end(prom_t0, len(prompt_ids), len(output_ids))
         self._usage_tracker.record(api_key or "", len(prompt_ids),
                                    len(output_ids))
         self._latency_tracker.record(endpoint, latency_ms)

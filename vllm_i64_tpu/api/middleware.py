@@ -71,7 +71,8 @@ def make_auth_middleware(api_key: str):
         if request.path.startswith("/v1/"):
             header = request.headers.get("Authorization", "")
             provided = header[7:] if header.startswith("Bearer ") else None
-            if provided is None or not hmac.compare_digest(provided, api_key):
+            if provided is None or not hmac.compare_digest(
+                    provided.encode("utf-8"), api_key.encode("utf-8")):
                 return web.json_response(
                     {"error": {"message": "Invalid API key",
                                "type": "authentication_error"}},
@@ -97,10 +98,18 @@ def make_rate_limit_middleware(limiter: TokenBucketRateLimiter):
 
 
 def make_load_shed_middleware(get_load_fn, max_pending: int):
-    """503 when the engine queue is saturated (ref: :137-150)."""
+    """503 when the engine queue is saturated (ref: :137-150).
+
+    Inference POSTs only: cancel must stay reachable to SHED load, and
+    the monitoring endpoints must stay readable to diagnose it."""
     @web.middleware
     async def load_shed(request, handler):
-        if request.path.startswith("/v1/") and get_load_fn() >= max_pending:
+        sheddable = (
+            request.method == "POST"
+            and request.path.startswith("/v1/")
+            and not request.path.startswith("/v1/cancel")
+        )
+        if sheddable and get_load_fn() >= max_pending:
             return web.json_response(
                 {"error": {"message": "Server overloaded, try again later",
                            "type": "overloaded_error"}},

@@ -209,8 +209,14 @@ class PriorityManager:
         self._priorities[api_key] = priority
 
     def get_priority(self, api_key: Optional[str], request_priority: int = 0) -> int:
-        key_prio = self._priorities.get(api_key, 0) if api_key else 0
-        return max(key_prio, request_priority)
+        """Admin-assigned key priority DOMINATES the request body's.
+
+        max() made negative (deprioritizing) assignments a no-op and let
+        any client outrank admin assignments by sending a large body
+        priority."""
+        if api_key and api_key in self._priorities:
+            return self._priorities[api_key]
+        return request_priority
 
     def get_all(self) -> Dict[str, int]:
         return dict(self._priorities)

@@ -54,7 +54,12 @@ def bench_continuous_batching(engine, prompts, sampling_params,
     while engine.scheduler.has_work:
         t0 = time.perf_counter()
         result = engine.step()
-        step_times.append((time.perf_counter() - t0) * 1000)
+        step_ms = (time.perf_counter() - t0) * 1000
+        emitted = sum(len(t) for t in result.values())
+        if emitted:
+            # per-TOKEN latency of token-producing steps — raw step times
+            # would count pure prefill-chunk steps as "inter-token" latency
+            step_times.append(step_ms / emitted)
         now = time.perf_counter()
         for rid, toks in result.items():
             if toks and rid in rid_set and rid not in first_token_at:

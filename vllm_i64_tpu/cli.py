@@ -51,8 +51,14 @@ def cmd_serve(args) -> None:
     from .core.tokenizer import load_tokenizer_or_fallback
     from .engine import Engine
 
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-             "float16": jnp.bfloat16}[args.dtype]
+    if args.dtype == "float16":
+        # TPU matmul units have no fp16 path worth using; serve in bf16 —
+        # LOUDLY, and make the KV cache follow the substituted dtype so
+        # weights and cache agree
+        logger.warning("--dtype float16 is served as bfloat16 on TPU "
+                       "(no efficient fp16 path); KV cache follows")
+        args.dtype = "bfloat16"
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
 
     params = None
     model_cfg = None
@@ -315,7 +321,9 @@ def cmd_estimate(args) -> None:
     print("  fits on:")
     for size, name in _TPU_SIZES:
         ok = required <= size
-        shards = max(1, -(-int(required) // size))
+        import math
+
+        shards = max(1, math.ceil(required / size))
         note = "" if ok else f" (needs {shards} chips, tp/ep sharded)"
         print(f"    [{'OK' if ok else 'NO'}] {name} ({size} GB HBM){note}")
 

@@ -26,12 +26,23 @@ DEFAULT_TEMPLATE = (
 )
 
 
+def _raise_exception(message: str = "template error"):
+    raise ValueError(f"chat template: {message}")
+
+
 class ChatTemplate:
     def __init__(self, template_str: str):
-        from jinja2 import Template
+        # HF-compat environment: real checkpoint templates reference
+        # bos_token/eos_token, call raise_exception(), and use |tojson —
+        # a bare jinja2.Template silently rendered undefined vars as ""
+        # (corrupting the prompt) or raised at render time
+        from jinja2 import Environment
 
+        env = Environment()
+        env.filters.setdefault("tojson", lambda v, **kw: json.dumps(v, **kw))
+        env.globals["raise_exception"] = _raise_exception
         self.source = template_str
-        self.template = Template(template_str)
+        self.template = env.from_string(template_str)
 
     def apply(
         self,
@@ -39,10 +50,19 @@ class ChatTemplate:
         add_generation_prompt: bool = True,
         **extra,
     ) -> str:
+        ctx = {
+            # common HF template globals; callers may override via extra
+            "bos_token": "",
+            "eos_token": "",
+            "unk_token": "",
+            "pad_token": "",
+            "tools": None,
+        }
+        ctx.update(extra)
         return self.template.render(
             messages=messages,
             add_generation_prompt=add_generation_prompt,
-            **extra,
+            **ctx,
         )
 
     @staticmethod

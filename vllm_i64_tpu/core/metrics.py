@@ -86,11 +86,25 @@ class PrometheusMetrics:
     # -- hooks -------------------------------------------------------------------
 
     def attach(self, async_engine) -> None:
-        """Wire TTFT/ITL observation into an AsyncEngine."""
+        """Wire TTFT/ITL observation + per-step engine gauges into an
+        AsyncEngine (the ONLY call site — everything must hook here or it
+        exports permanently-zero series)."""
         if not self.enabled:
             return
-        async_engine.on_ttft = self.ttft.observe
-        async_engine.on_itl = self.itl.observe
+        engine = async_engine.engine
+
+        def _ttft(v: float) -> None:
+            self.ttft.observe(v)
+            # queue wait before processing ~ TTFT minus the first step's
+            # compute; the admission wait dominates it under load
+            self.queue_time.observe(v)
+
+        def _itl(v: float) -> None:
+            self.itl.observe(v)
+            self.update_engine_gauges(engine)
+
+        async_engine.on_ttft = _ttft
+        async_engine.on_itl = _itl
 
     def on_request_start(self) -> float:
         if self.enabled:

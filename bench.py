@@ -55,7 +55,30 @@ def main() -> None:
                         "(one gate/up/down GEMM set per layer)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
+    p.add_argument("--watchdog-s", type=int, default=1800,
+                   help="abort if the timed run hasn't STARTED by this "
+                        "deadline — device calls through a dead remote "
+                        "tunnel hang forever with no timeout (0 = off)")
     args = p.parse_args()
+
+    # watchdog: a dead TPU tunnel makes the first jax call hang forever;
+    # fail fast with a diagnostic instead of wedging the harness
+    import os
+    import threading
+
+    _progress = {"timed_run_started": False}
+    if args.watchdog_s:
+        def _watchdog():
+            import time as _t
+
+            _t.sleep(args.watchdog_s)
+            if not _progress["timed_run_started"]:
+                log(f"[bench] WATCHDOG: timed run not reached within "
+                    f"{args.watchdog_s}s — device/tunnel likely hung; "
+                    f"aborting")
+                os._exit(3)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
 
@@ -164,6 +187,7 @@ def main() -> None:
     engine.total_tokens_generated = 0
 
     # Timed run: continuous batching over all requests
+    _progress["timed_run_started"] = True
     first_token_at = {}
     t_start = time.perf_counter()
     rids = [engine.add_request(pr, sp) for pr in prompts]

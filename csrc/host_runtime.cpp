@@ -126,6 +126,7 @@ void pool_touch(void* h, const int32_t* ids, int32_t n) {
   Pool* p = static_cast<Pool*>(h);
   for (int32_t i = 0; i < n; i++) {
     int32_t bid = ids[i];
+    if (bid <= 0 || bid >= p->num_blocks) continue;  // bounds guard
     if (p->ref[bid] == 0 && p->in_free[bid]) p->ll_remove(bid);
     p->ref[bid]++;
   }
@@ -137,7 +138,8 @@ void pool_free(void* h, const int32_t* ids, int32_t n) {
   released.reserve(n);
   for (int32_t i = 0; i < n; i++) {
     int32_t bid = ids[i];
-    if (bid <= 0 || p->ref[bid] <= 0) continue;  // double-free guard
+    if (bid <= 0 || bid >= p->num_blocks || p->ref[bid] <= 0)
+      continue;  // bounds + double-free guard
     if (--p->ref[bid] == 0) released.push_back(bid);
   }
   for (auto it = released.rbegin(); it != released.rend(); ++it)
@@ -173,7 +175,11 @@ int32_t pool_get_cached(void* h, uint64_t digest) {
 }
 
 int32_t pool_num_free(void* h) { return static_cast<Pool*>(h)->num_free; }
-int32_t pool_ref(void* h, int32_t bid) { return static_cast<Pool*>(h)->ref[bid]; }
+int32_t pool_ref(void* h, int32_t bid) {
+  Pool* p = static_cast<Pool*>(h);
+  if (bid < 0 || bid >= p->num_blocks) return 0;
+  return p->ref[bid];
+}
 int64_t pool_cache_hits(void* h) { return static_cast<Pool*>(h)->cache_hits; }
 int64_t pool_cache_queries(void* h) { return static_cast<Pool*>(h)->cache_queries; }
 int64_t pool_cached_blocks(void* h) {

@@ -94,8 +94,64 @@ def main() -> None:
     from vllm_i64_tpu.models import complexity_deep as cdm
     from vllm_i64_tpu.models.presets import get_preset
 
-    dev = jax.devices()[0]
-    log(f"[bench] device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    # --- device acquisition with retry/backoff -------------------------
+    # The remote device tunnel has documented multi-minute outage epochs;
+    # a single un-retried jax.devices() call must not decide whether the
+    # round has a perf number. Retry with backoff inside the watchdog
+    # budget; on final failure emit a parseable JSON error line (stdout)
+    # so the harness always records a structured result.
+    acquire_budget_s = (
+        0 if args.cpu else max(60, (args.watchdog_s or 1800) - 300))
+    dev = jax.devices()[0] if args.cpu else None
+    t_acq = time.perf_counter()
+    attempt = 0
+    backoff = 15.0
+    last_err = None
+    while time.perf_counter() - t_acq < acquire_budget_s:
+        attempt += 1
+        try:
+            # jax.devices() can HANG (not raise) through a dead tunnel —
+            # probe in a subprocess with a hard timeout so we can retry.
+            import subprocess
+
+            probe_timeout = max(30, min(
+                180, acquire_budget_s - (time.perf_counter() - t_acq)))
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices()[0]; "
+                 "print(d.platform, getattr(d, 'device_kind', '?'))"],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                dev = jax.devices()[0]  # tunnel proven up; bind in-process
+                break
+            last_err = (r.stderr or r.stdout).strip()[-300:]
+        except subprocess.TimeoutExpired:
+            last_err = (
+                f"jax.devices() probe timed out after {probe_timeout:.0f}s")
+        except Exception as e:  # pragma: no cover - depends on tunnel state
+            last_err = repr(e)[-300:]
+        wait = min(backoff, acquire_budget_s - (time.perf_counter() - t_acq))
+        if wait <= 0:
+            break
+        log(f"[bench] device acquisition attempt {attempt} failed "
+            f"({last_err}); retrying in {wait:.0f}s")
+        time.sleep(wait)
+        backoff = min(backoff * 1.6, 120.0)
+    if dev is None:
+        print(json.dumps({
+            "metric": "tokens_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "tok/s",
+            "vs_baseline": 0.0,
+            "error": "device_unavailable",
+            "detail": f"backend unavailable after {attempt} attempts over "
+                      f"{time.perf_counter()-t_acq:.0f}s: {last_err}",
+        }))
+        sys.exit(0)
+    log(f"[bench] device: {dev.platform} {getattr(dev, 'device_kind', '?')} "
+        f"(acquired after {attempt} attempt(s), "
+        f"{time.perf_counter()-t_acq:.0f}s)")
 
     cfg = get_preset(args.model)
     if args.tiny:

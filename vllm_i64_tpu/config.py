@@ -180,6 +180,13 @@ class EngineConfig:
     # auto-upgrade the KV cache to fp8 when block usage crosses 70%
     # (ref: kv_cache.py maybe_enable_fp8 :819-831)
     kv_fp8_auto: bool = False
+    # KV swap on preemption: save the victim's KV blocks to host memory and
+    # restore them verbatim at re-admission instead of preempting-and-
+    # recomputing (ref: kv_cache.py enable_swap/swap_out/swap_in :711-813,
+    # engine pinning i64_engine.py:822-828). Bounded by kv_swap_max_mb;
+    # over-budget victims fall back to recompute.
+    enable_kv_swap: bool = False
+    kv_swap_max_mb: int = 512
 
     # Compilation buckets (static shapes replace CUDA graphs;
     # ref analog: core/cuda_graph.py batch-size buckets {1..64})

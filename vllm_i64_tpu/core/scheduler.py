@@ -67,6 +67,10 @@ class Request:
 
     # preemption save slots
     _saved: Optional[Tuple[List[int], int]] = field(default=None, repr=False)
+    # KV swap save slot: (handle, nblocks, prefill_done, restore_extra,
+    # cached_prefix_len) — set when the victim's blocks were swapped to host
+    # instead of discarded (ref: kv_cache.py:711-813)
+    _swapped: Optional[tuple] = field(default=None, repr=False)
 
     # per-tenant prefix-cache namespace (sha256[:16] of api key)
     cache_namespace: Optional[bytes] = field(default=None, repr=False)
@@ -154,12 +158,19 @@ class Scheduler:
         max_prefill_tokens: int = 512,
         enable_preemption: bool = True,
         enable_prefix_caching: bool = True,
+        kv_swap=None,
     ):
         self.max_batch_size = max_batch_size
         self.max_seq_len = max_seq_len
         self.kv_block_size = kv_block_size
         self.max_prefill_tokens = max_prefill_tokens
         self.enable_preemption = enable_preemption
+        # Optional KV swap store (ref: kv_cache.py enable_swap/swap_out/
+        # swap_in :711-813): an object with swap_out(block_ids)->handle|None,
+        # swap_in(handle, target_block_ids), discard(handle). When set,
+        # preemption saves the victim's KV to host instead of discarding it,
+        # and re-admission restores the blocks verbatim — no re-prefill.
+        self.kv_swap = kv_swap
 
         from .native import make_block_pool
 
@@ -263,6 +274,9 @@ class Scheduler:
         elif req.state == RequestState.PENDING:
             # heap entry stays for lazy removal; account for it now
             self._pending_count -= 1
+        if req._swapped is not None and self.kv_swap is not None:
+            self.kv_swap.discard(req._swapped[0])
+            req._swapped = None
         req.state = RequestState.FINISHED
         req.finish_reason = "cancelled"
         self.finished.append(req)
@@ -332,6 +346,20 @@ class Scheduler:
                 continue
             victim.state = RequestState.PREEMPTED
             victim._saved = (list(victim.output_token_ids), victim.prefill_done)
+            # swap-instead-of-discard: save the victim's KV block contents
+            # on the host so re-admission restores them verbatim (no
+            # re-prefill). swap_out returns None when over its memory
+            # budget — then fall back to preempt-and-recompute.
+            if self.kv_swap is not None and victim.kv_block_ids:
+                handle = self.kv_swap.swap_out(victim.kv_block_ids)
+                if handle is not None:
+                    victim._swapped = (
+                        handle,
+                        len(victim.kv_block_ids),
+                        victim.prefill_done,
+                        victim.restore_extra,
+                        victim.cached_prefix_len,
+                    )
             self.blocks.free(victim.kv_block_ids)
             victim.kv_block_ids = []
             victim.output_token_ids = []
@@ -438,6 +466,11 @@ class Scheduler:
                 reused_blocks, reused_tokens = self._match_prefix(req)
 
             nblocks = -(-tokens_needed // self.kv_block_size) - len(reused_blocks)
+            if req._swapped is not None:
+                # swapped restore needs exactly the block count it held at
+                # preemption (which already includes decode growth headroom)
+                nblocks = req._swapped[1]
+                reused_blocks, reused_tokens = [], 0
             blocks = self.blocks.allocate(nblocks)
             if blocks is None and self._preempt_for(nblocks, req.priority):
                 blocks = self.blocks.allocate(nblocks)
@@ -448,7 +481,22 @@ class Scheduler:
             self._remove_pending(req)
             req.kv_block_ids = reused_blocks + blocks
             req.state = RequestState.RUNNING
-            if req._saved is not None:
+            if req._swapped is not None:
+                # restore the swapped KV verbatim into the new physical
+                # blocks; scheduler state resumes exactly where it left off
+                # (block table ids are rebuilt from kv_block_ids each step,
+                # so the physical relocation is invisible to the device
+                # program). No re-prefill happens.
+                handle, _, prefill_done, restore_extra, cached = req._swapped
+                self.kv_swap.swap_in(handle, blocks)
+                saved_out, _ = req._saved
+                req.output_token_ids = saved_out
+                req.prefill_done = prefill_done
+                req.restore_extra = restore_extra
+                req.cached_prefix_len = cached
+                req._swapped = None
+                req._saved = None
+            elif req._saved is not None:
                 saved_out, saved_prefill = req._saved
                 req.output_token_ids = saved_out
                 req.prefill_done = 0  # KV gone — must re-prefill prompt (+ saved out)

@@ -179,6 +179,14 @@ class Engine:
 
                 params = materialize_lm_head(params, self.model_config)
             self.runner = ModelRunner(params, self.model_config, ec, mesh=mesh)
+            if ec.enable_kv_swap:
+                # preemption saves KV to host instead of discarding it
+                # (ref: kv_cache.py:711-813; see core/kv_swap.py)
+                from ..core.kv_swap import RunnerKVSwap
+
+                self.scheduler.kv_swap = RunnerKVSwap(
+                    self.runner, ec.kv_swap_max_mb * 1024 * 1024
+                )
 
         # hot-swap LoRA adapters (enabled via enable_lora(); ref:
         # i64_engine.py:402-454)

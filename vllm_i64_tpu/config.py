@@ -71,6 +71,17 @@ class ModelConfig:
     shared_output_scale: float = 1.0
     routed_output_scale: float = 1.0
     routing_strategy: str = "modulo_cyclic"
+    # MoE execution backend:
+    #   "masked_dense" — every device computes its E/ep_size local experts
+    #     for ALL tokens with the routing folded into a weight mask (default;
+    #     optimal for the E=4 production models).
+    #   "ep_a2a" — expert-parallel dispatch: each device computes only the
+    #     capacity-bounded (route, token) pairs destined for its local
+    #     experts, combined with one psum over the ep/tp mesh axes (servable
+    #     integration of ops/ep_dispatch.py; ref semantics:
+    #     token_routed_i64/layer.py:229-299). Requires a mesh; wins for
+    #     many-expert configs when ep_size > top_k * capacity_factor.
+    moe_backend: str = "masked_dense"
 
     # Attention features
     use_qk_norm: bool = True

@@ -89,6 +89,11 @@ class ModelRunner:
 
             _attn._PALLAS_DECODE = False
             _attn._PALLAS_PREFILL = False  # single-device program
+            # the ep_a2a MoE backend opens a shard_map over these axes
+            # inside the layer body (ops/ep_dispatch.ep_routed_experts)
+            from ..ops import ep_dispatch as _epd
+
+            _epd.set_ep_mesh(mesh)
 
         # W8A8 is a module-level flag captured when a program traces; setting
         # it before every dispatch (see _sync_w8a8) keeps multiple engines

@@ -229,6 +229,43 @@ def _flat_mlp_width(w) -> int:
     return w.shape[-1] if getattr(w, "ndim", 0) == 2 else 0
 
 
+def _ep_mlp_block(mp: Params, cfg: ModelConfig, x: jax.Array, token_ids: jax.Array):
+    """Token-routed MLP with expert-parallel dispatch
+    (ModelConfig.moe_backend == "ep_a2a"; ops/ep_dispatch.ep_routed_experts).
+    The routed experts run capacity-bounded on their owning devices and
+    combine via psum; the shared expert and output scales are dense/local,
+    composed here exactly as in ops/moe.token_routed_mlp's tail
+    (ref: token_routed_mlp.py:164-186)."""
+    from ..ops.ep_dispatch import ep_routed_experts
+    from ..ops.fused_swiglu import fused_swiglu
+    from ..ops.linear import linear
+
+    routed = ep_routed_experts(
+        x,
+        token_ids.reshape(-1),
+        gate_w=mp["gate"],
+        up_w=mp["up"],
+        down_w=mp["down"],
+        topk_table=mp["route_table"],
+        num_experts=cfg.num_experts,
+        vocab_size=cfg.vocab_size,
+        primary_weight=cfg.primary_weight,
+    )
+    if mp.get("shared_gate") is None:
+        return cfg.routed_output_scale * routed
+    shared = linear(
+        fused_swiglu(x, mp["shared_gate"], mp["shared_up"]), mp["shared_down"]
+    )
+    if (mp.get("shared_gate_scalar") is not None
+            and mp.get("routed_gate_scalar") is not None):
+        return (
+            mp["shared_gate_scalar"].astype(x.dtype) * shared
+            + mp["routed_gate_scalar"].astype(x.dtype) * routed
+        )
+    return (cfg.routed_output_scale * routed
+            + cfg.shared_output_scale * shared)
+
+
 def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Array):
     b, t, h = hidden.shape
     x = hidden.reshape(b * t, h)
@@ -238,6 +275,8 @@ def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Ar
     gate_w = mp.get("gate_up", mp.get("gate"))
     up_w = None if "gate_up" in mp else mp.get("up")
     if cfg.use_token_routed_mlp and cfg.num_experts > 1:
+        if cfg.moe_backend == "ep_a2a":
+            return _ep_mlp_block(mp, cfg, x, token_ids).reshape(b, t, h)
         # shared expert folded into the flat gate/up/down weights
         # (core/quantize_model.fuse_shared_expert_params): detected by the
         # extra trailing columns beyond the routed E*I width

@@ -32,7 +32,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .moe import compute_routes, _acc_dtype
+from .moe import (
+    _acc_dtype,
+    _expert_einsum_in,
+    _expert_einsum_out,
+    compute_routes,
+)
 
 
 def _mix_weights(k: int, primary_weight: float, dtype) -> jax.Array:
@@ -155,6 +160,159 @@ def ep_all_to_all_routed_experts(
     return routed.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Servable EP path (ModelConfig.moe_backend == "ep_a2a")
+# ---------------------------------------------------------------------------
+
+# Mesh for the serving EP path. The model functions are pure and meshless;
+# the runner sets this at init (same idiom as the W8A8 module flag) so the
+# layer body can open a shard_map over the ep/tp axes at trace time.
+_EP_MESH = None
+
+
+def set_ep_mesh(mesh) -> None:
+    global _EP_MESH
+    _EP_MESH = mesh
+
+
+def get_ep_mesh():
+    return _EP_MESH
+
+
+def ep_routed_experts(
+    x: jax.Array,  # (N, H) tokens, replicated over ep/tp
+    token_ids: jax.Array,  # (N,)
+    *,
+    gate_w,  # flat QTensor (H, E*I) or float stacked (E, H, I)
+    up_w,
+    down_w,  # flat QTensor (E*I, H) or float stacked (E, I, H)
+    topk_table: jax.Array,  # (K, vocab) replicated, bit-exact
+    num_experts: int,
+    vocab_size: int,
+    primary_weight: float,
+    capacity_factor: float = 1.5,
+    mesh=None,
+) -> jax.Array:
+    """Routed-expert output (N, H), computed expert-parallel over the mesh.
+
+    The SERVABLE integration of all-to-all EP dispatch semantics
+    (ref: token_routed_i64/layer.py:229-299). In this engine every device
+    holds every token row (the step program replicates the batch over the
+    ep/tp axes), so the general a2a exchange degenerates: "dispatch" is each
+    device *selecting* the (route, token) pairs destined for its local
+    experts — capacity-bounded exactly like the a2a form — and the reverse
+    exchange + top-k combine degenerate to ONE psum over ep/tp riding ICI.
+
+    Per-device compute: C = ceil(K*N/D * capacity_factor) rows against the
+    E/D local experts, vs masked-dense's N rows against E/D experts — the
+    EP path wins when ep_size > top_k * capacity_factor (see DESIGN.md for
+    the measured crossover). tp composes: the flat E*I axis shards over
+    (ep, tp) jointly, and the psum covers both axes.
+    """
+    mesh = mesh or _EP_MESH
+    if mesh is None:
+        raise ValueError("ep_routed_experts requires a mesh "
+                         "(runner sets it via set_ep_mesh)")
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from .quant import QTensor
+
+    flat = isinstance(gate_w, QTensor) and gate_w.q.ndim == 2
+    if not flat and (isinstance(gate_w, QTensor) or getattr(gate_w, "ndim", 0) != 3):
+        raise ValueError(
+            "ep_a2a moe backend needs float stacked (E, H, I) or flat "
+            f"int8 (H, E*I) expert weights, got {type(gate_w).__name__}")
+
+    ep_in_mesh = "ep" in mesh.axis_names
+    tp_in_mesh = "tp" in mesh.axis_names
+    ep_axes = tuple(a for a, on in (("ep", ep_in_mesh), ("tp", tp_in_mesh)) if on)
+    d_ep = mesh.shape.get("ep", 1)
+
+    n, h = x.shape
+    acc_t = _acc_dtype(x.dtype)
+    k = topk_table.shape[0]
+    p = k * n
+    cap = max(1, int(-(-p // max(d_ep, 1)) * capacity_factor))
+
+    def local_fn(x, token_ids, topk_table, *weights):
+        e_local = num_experts // max(d_ep, 1)
+        my = jax.lax.axis_index("ep") if ep_in_mesh else jnp.int32(0)
+
+        routes = compute_routes(topk_table, token_ids, vocab_size)  # (K, N)
+        mix = _mix_weights(k, primary_weight, acc_t)  # (K,)
+        flat_e = routes.reshape(p)
+        flat_tok = jnp.tile(jnp.arange(n, dtype=jnp.int32), k)
+        flat_w = jnp.repeat(mix, n)
+        dest = flat_e // e_local
+
+        # select MY pairs into capacity slots (over-capacity pairs drop,
+        # same fixed-shape discipline as the a2a form above)
+        mine = dest == my
+        pos = jnp.cumsum(mine.astype(jnp.int32)) - 1
+        slot = jnp.where(mine & (pos < cap), pos, jnp.int32(cap))
+        inv = jnp.full((cap,), -1, jnp.int32).at[slot].set(
+            jnp.arange(p, dtype=jnp.int32), mode="drop")
+        valid = inv >= 0
+        inv_safe = jnp.maximum(inv, 0)
+
+        rows = jnp.where(valid[:, None], x[flat_tok[inv_safe]], 0)  # (C, H)
+        le = jnp.where(valid, flat_e[inv_safe] % e_local, 0)
+        w_slot = jnp.where(valid, flat_w[inv_safe], 0.0).astype(acc_t)
+        mask = jax.nn.one_hot(le, e_local, dtype=acc_t) * w_slot[:, None]
+
+        if flat:
+            from .fused_swiglu import fused_swiglu
+            from .linear import linear
+
+            gq, gs, uq, us, dq, ds = weights
+            gate_l, up_l, down_l = QTensor(gq, gs), QTensor(uq, us), QTensor(dq, ds)
+            inter = fused_swiglu(rows, gate_l, up_l)  # (C, local_flat)
+            i_size = inter.shape[-1] // e_local
+            inter = (inter.astype(acc_t)
+                     * jnp.repeat(mask, i_size, axis=1)).astype(rows.dtype)
+            out_rows = linear(inter, down_l)  # (C, H)
+        else:
+            gate_l, up_l, down_l = weights
+            gate = _expert_einsum_in(rows, gate_l)  # (C, e_local, I_local)
+            up = _expert_einsum_in(rows, up_l)
+            inter = jax.nn.silu(gate.astype(acc_t)) * up.astype(acc_t)
+            inter = (inter * mask[:, :, None]).astype(rows.dtype)
+            out_rows = _expert_einsum_out(inter, down_l)  # (C, H)
+
+        tok_slot = jnp.where(valid, flat_tok[inv_safe], n)
+        routed = jnp.zeros((n + 1, h), acc_t).at[tok_slot].add(
+            out_rows.astype(acc_t), mode="drop")[:n]
+        for ax in ep_axes:
+            routed = jax.lax.psum(routed, ax)
+        return routed.astype(x.dtype)
+
+    ep = "ep" if ep_in_mesh else None
+    tp = "tp" if tp_in_mesh else None
+    if flat:
+        flat_spec = (
+            (ep, tp) if (ep and tp) else (ep or tp)
+        )  # E*I axis shards over ep (outer) then tp (inner)
+        weights = (gate_w.q, gate_w.s, up_w.q, up_w.s, down_w.q, down_w.s)
+        w_specs = (
+            P(None, flat_spec), P(flat_spec),
+            P(None, flat_spec), P(flat_spec),
+            P(flat_spec, None), P(None),
+        )
+    else:
+        weights = (gate_w, up_w, down_w)
+        w_specs = (P(ep, None, tp), P(ep, None, tp), P(ep, tp, None))
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), *w_specs),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(x, token_ids, topk_table, *weights)
+
+
 def make_ep_routed_mlp(mesh, cfg, axis_name: str = "ep",
                        capacity_factor: float = 1.5):
     """shard_map wrapper: (x (N,H) replicated, token_ids, full expert stacks
@@ -165,7 +323,7 @@ def make_ep_routed_mlp(mesh, cfg, axis_name: str = "ep",
     local (E/D, ...) shard inside.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def fn(x, token_ids, gate_w, up_w, down_w, topk_table):
         return ep_all_to_all_routed_experts(
@@ -184,5 +342,5 @@ def make_ep_routed_mlp(mesh, cfg, axis_name: str = "ep",
         mesh=mesh,
         in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )

@@ -36,10 +36,14 @@ def test_prefill_worker_produces_first_token_and_kv(setup):
     pr = pw.run_prefill(prompt, SamplingParams(temperature=0.0, max_tokens=4))
     assert 0 <= pr.first_token < cfg.vocab_size
     assert pr.prompt_len == 5
-    assert len(pr.kv_blocks) == 2  # ceil(5/4)
-    k0, v0 = next(iter(pr.kv_blocks.values()))
-    assert k0.shape[0] == cfg.num_hidden_layers
-    assert np.abs(k0).sum() > 0  # real KV content
+    assert pr.num_blocks == 2  # ceil(5/4)
+    # KV stays on device end-to-end: export is a device gather, not numpy
+    import jax as _jax
+
+    assert isinstance(pr.kv_k, _jax.Array)
+    assert pr.kv_k.shape[0] == cfg.num_hidden_layers
+    assert pr.kv_k.shape[1] == 2
+    assert float(np.abs(np.asarray(pr.kv_k)).sum()) > 0  # real KV content
 
 
 def test_prefill_first_token_matches_plain_engine(setup):
@@ -120,3 +124,46 @@ def test_decode_worker_rejects_when_full(setup):
     pr2 = pw.run_prefill(list(range(5, 14)),
                          SamplingParams(temperature=0.0, max_tokens=4))
     assert dw.receive_and_add_request(pr2) is None  # no room
+
+
+def test_disjoint_device_groups_bit_exact(setup):
+    """Prefill on devices[0:4], decode on devices[4:8]: the KV crosses the
+    group boundary device-to-device and the continuation is bit-exact vs a
+    single-engine run (VERDICT r1 item 3)."""
+    from vllm_i64_tpu.parallel.mesh import ParallelConfig, make_mesh
+
+    params, cfg, ecfg = setup
+    devs = jax.devices()
+    assert len(devs) >= 8
+    prefill_mesh = make_mesh(ParallelConfig(dp=1, ep=1, tp=2), devices=devs[:4])
+    decode_mesh = make_mesh(ParallelConfig(dp=1, ep=1, tp=2), devices=devs[4:8])
+
+    prompt = [5, 17, 42, 7, 9, 11, 13, 21]
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    expected = Engine(params, cfg, ecfg).generate(prompt, sp).output_tokens
+
+    coord = setup_disaggregated(
+        params, cfg, ecfg, prefill_mesh=prefill_mesh, decode_mesh=decode_mesh)
+    # the two runners really live on disjoint device sets
+    p_devs = {d for d in coord.prefill.runner.kv_k.devices()}
+    d_devs = {d for d in coord.decode.engine.runner.kv_k.devices()}
+    assert p_devs.isdisjoint(d_devs)
+    got = coord.generate(list(prompt), sp)
+    assert got.output_tokens == expected
+
+
+def test_pipelined_prefill_batch(setup):
+    """Several prompts prefill in ONE dispatch on disjoint scratch ranges;
+    every continuation matches the single-engine run."""
+    params, cfg, ecfg = setup
+    pw = PrefillWorker(params, cfg, ecfg)
+    assert pw.max_inflight > 1
+    sp = SamplingParams(temperature=0.0, max_tokens=1)
+    prompts = [[3, 7, 11, 2], [5, 17, 42, 7, 9], [8, 1, 30]]
+    prs = pw.run_prefill_batch([list(p) for p in prompts], [sp] * 3)
+    for p, pr in zip(prompts, prs):
+        expected = Engine(params, cfg, ecfg).generate(
+            p, SamplingParams(temperature=0.0, max_tokens=1)).output_tokens
+        assert pr.first_token == expected[0]
+    # slots all returned
+    assert pw._free_slots.qsize() == pw.max_inflight

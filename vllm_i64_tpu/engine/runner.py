@@ -110,11 +110,31 @@ class ModelRunner:
             model_cfg.num_key_value_heads,
             model_cfg.head_dim,
         )
-        self.kv_k = jnp.zeros(kv_shape, dtype)
-        self.kv_v = jnp.zeros(kv_shape, dtype)
-        self.counts = jnp.zeros(
-            (engine_cfg.max_batch_size, model_cfg.vocab_size), jnp.int32
-        )
+        if mesh is not None:
+            # place device state on THIS runner's mesh explicitly — two
+            # runners on disjoint device groups (disaggregated serving)
+            # must not both land on the process-default device
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import kv_cache_spec
+
+            kv_sh = NamedSharding(mesh, kv_cache_spec())
+            self.kv_k = jax.device_put(jnp.zeros(kv_shape, dtype), kv_sh)
+            self.kv_v = jax.device_put(jnp.zeros(kv_shape, dtype), kv_sh)
+            self.counts = jax.device_put(
+                jnp.zeros(
+                    (engine_cfg.max_batch_size, model_cfg.vocab_size),
+                    jnp.int32,
+                ),
+                NamedSharding(mesh, P()),
+            )
+        else:
+            self.kv_k = jnp.zeros(kv_shape, dtype)
+            self.kv_v = jnp.zeros(kv_shape, dtype)
+            self.counts = jnp.zeros(
+                (engine_cfg.max_batch_size, model_cfg.vocab_size), jnp.int32
+            )
         # FIXED base key: the sampler's per-row keys are
         # fold_in(fold_in(base, seed), gen_index). Explicit request seeds
         # must reproduce across dispatches/batches, so the base never
@@ -591,6 +611,58 @@ class ModelRunner:
 
     # -- KV swap to host (ref: kv_cache.py enable_swap/swap_out/swap_in
     # :711-813 — pinned-memory mirror; here: host numpy arrays) -------------
+
+    # -- device-to-device block export/import (disaggregated prefill/decode;
+    # ref: KVTransfer's per-layer per-block dist.send/recv loop,
+    # disaggregated.py:105-320 — here ONE gather / ONE scatter, and the
+    # arrays move between device groups via jax.device_put with NO host
+    # staging) ---------------------------------------------------------------
+
+    def _block_id_bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.num_blocks)
+
+    def export_blocks_device(self, block_ids) -> Tuple[jax.Array, jax.Array]:
+        """Gather the given physical blocks (all layers) as device arrays
+        (L, n, bs, Hkv, d). Padding slots gather the null block 0 so the
+        compiled gather is bucketed on block count."""
+        ids = np.zeros((self._block_id_bucket(len(block_ids)),), np.int32)
+        ids[: len(block_ids)] = np.asarray(block_ids, np.int32)
+        if not hasattr(self, "_export_fn"):
+            self._export_fn = jax.jit(
+                lambda ck, cv, ids: (ck[:, ids], cv[:, ids]))
+        k, v = self._export_fn(self.kv_k, self.kv_v, jnp.asarray(ids))
+        return k[:, : len(block_ids)], v[:, : len(block_ids)]
+
+    def import_blocks_device(self, k: jax.Array, v: jax.Array,
+                             target_block_ids) -> None:
+        """Scatter transferred block contents (L, n, bs, Hkv, d) into this
+        runner's paged cache. ``jax.device_put`` reshards the source arrays
+        onto this runner's devices (ICI/DCN on hardware, no host copy);
+        padding slots scatter into the null block 0 (reserved trash)."""
+        n = k.shape[1]
+        bucket = self._block_id_bucket(n)
+        ids = np.zeros((bucket,), np.int32)
+        ids[:n] = np.asarray(target_block_ids, np.int32)[:n]
+        if bucket != n:
+            pad = [(0, 0)] * k.ndim
+            pad[1] = (0, bucket - n)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+        k = jax.device_put(k, self.kv_k.sharding)
+        v = jax.device_put(v, self.kv_v.sharding)
+        if not hasattr(self, "_import_fn"):
+            self._import_fn = jax.jit(
+                lambda ck, cv, k, v, ids: (
+                    ck.at[:, ids].set(k.astype(ck.dtype)),
+                    cv.at[:, ids].set(v.astype(cv.dtype)),
+                ),
+                donate_argnums=(0, 1),
+            )
+        self.kv_k, self.kv_v = self._import_fn(
+            self.kv_k, self.kv_v, k, v, jnp.asarray(ids))
 
     def swap_out_blocks(self, block_ids) -> dict:
         """Copy the given physical blocks (all layers) to host memory.

@@ -40,88 +40,168 @@ logger = logging.getLogger("vllm_i64_tpu.disaggregated")
 class PrefillResult:
     prompt_token_ids: np.ndarray
     first_token: int
-    kv_blocks: dict  # {logical_block_idx: (k (L,bs,Hkv,d), v ...)} host copies
+    kv_k: "object"  # DEVICE array (L, nblocks, bs, Hkv, d) — prefill devices
+    kv_v: "object"
+    num_blocks: int
     prompt_len: int
     sampling_params: SamplingParams
     submitted_id: int = -1
 
 
 class KVTransfer:
-    """Move a request's KV blocks between runners.
+    """Move a request's KV blocks between runners DEVICE-TO-DEVICE.
 
-    The host copy is the CPU-test transport; on hardware the same arrays
-    move device-to-device (``jax.device_put`` onto the decode mesh rides
-    ICI/DCN without staging through host RAM)."""
+    The reference ships each (layer, block) tensor with a dist.send/recv
+    loop and int-metadata framing (ref: disaggregated.py:105-320). Here the
+    whole request's KV is ONE gather on the prefill devices and ONE scatter
+    on the decode devices; ``jax.device_put`` inside import_blocks_device
+    reshards the arrays across device groups (ICI/DCN on hardware) with no
+    host staging anywhere on the path."""
 
     @staticmethod
-    def export_blocks(runner: ModelRunner, block_ids: List[int]) -> dict:
-        return runner.swap_out_blocks(block_ids)
+    def export_blocks(runner: ModelRunner, block_ids: List[int]):
+        return runner.export_blocks_device(block_ids)
 
     @staticmethod
-    def import_blocks(runner: ModelRunner, saved: dict,
+    def import_blocks(runner: ModelRunner, pr: "PrefillResult",
                       target_block_ids: List[int]) -> None:
-        runner.swap_in_blocks(saved, target_block_ids)
+        runner.import_blocks_device(pr.kv_k, pr.kv_v, target_block_ids)
 
 
 class PrefillWorker:
     """Full-prompt forward + first-token sample on the prefill devices
-    (ref: disaggregated.py:327-455)."""
+    (ref: disaggregated.py:327-455).
+
+    Unlike the reference's strictly-sequential B=1 prefill on one scratch
+    range, this worker (a) owns SEVERAL disjoint scratch block ranges so
+    multiple prefills can be in flight on the device queue at once, and
+    (b) batches queued prompts into one bucketed prefill dispatch
+    (run_prefill_batch) — one host sync per batch, not per prompt."""
 
     def __init__(self, params, model_cfg: ModelConfig,
                  engine_cfg: EngineConfig, mesh=None):
         self.cfg = model_cfg
         self.ecfg = engine_cfg
         self.runner = ModelRunner(params, model_cfg, engine_cfg, mesh=mesh)
-        self._scratch_blocks = list(range(1, engine_cfg.max_blocks_per_seq + 1))
+        slot = engine_cfg.max_blocks_per_seq
+        n_slots = max(1, (self.runner.num_blocks - 1) // slot)
+        self._slots: List[List[int]] = [
+            list(range(1 + i * slot, 1 + (i + 1) * slot))
+            for i in range(n_slots)
+        ]
+        self._free_slots = queue.Queue()
+        for i in range(n_slots):
+            self._free_slots.put(i)
         self.prefills_done = 0
+
+    @property
+    def max_inflight(self) -> int:
+        return len(self._slots)
 
     def run_prefill(self, prompt_token_ids,
                     sampling_params: Optional[SamplingParams] = None
                     ) -> PrefillResult:
+        return self.run_prefill_batch(
+            [prompt_token_ids], [sampling_params or SamplingParams()])[0]
+
+    def run_prefill_batch(
+        self, prompts: List, params_list: List[SamplingParams]
+    ) -> List[PrefillResult]:
+        """Prefill up to max_inflight prompts in ONE bucketed dispatch.
+
+        Each prompt rents its own scratch block range; KV export gathers are
+        enqueued right behind the forward so the device pipeline runs
+        prefill -> export -> (caller's transfer) without host round-trips.
+        """
         from ..core.sampling import SamplerFeatures, make_param_arrays
         from ..core.scheduler import Request
 
-        sp = sampling_params or SamplingParams()
-        prompt = np.asarray(prompt_token_ids, np.int64)
-        t = len(prompt)
+        assert prompts, "empty prefill batch"
+        b = len(prompts)
+        cap = min(self.max_inflight, max(self.ecfg.prefill_batch_buckets))
+        if b > cap:
+            # split into dispatch-sized chunks (compiled batch buckets and
+            # scratch slots both bound one dispatch)
+            out: List[PrefillResult] = []
+            for i in range(0, b, cap):
+                out.extend(self.run_prefill_batch(
+                    prompts[i : i + cap], params_list[i : i + cap]))
+            return out
+        arrs = [np.asarray(p, np.int64) for p in prompts]
         bs = self.ecfg.kv_block_size
-        nblocks = -(-t // bs)
-        if nblocks > len(self._scratch_blocks) or t > self.ecfg.max_seq_len:
+        t_max = max(len(a) for a in arrs)
+        if t_max > self.ecfg.max_seq_len:
             # a truncated block table would let later positions overwrite
             # earlier blocks and ship corrupt KV downstream — fail loudly
             # (the engine's normal admission path validates prompt length)
             raise ValueError(
-                f"prompt of {t} tokens exceeds the prefill worker's "
+                f"prompt of {t_max} tokens exceeds the prefill worker's "
                 f"max_seq_len ({self.ecfg.max_seq_len})")
-        block_ids = self._scratch_blocks[:nblocks]
 
-        req = Request(request_id=0, prompt_token_ids=prompt,
-                      max_new_tokens=sp.max_tokens,
-                      eos_token_id=self.cfg.eos_token_id)
-        features = SamplerFeatures.for_params([sp])
-        sample_args = make_param_arrays([sp], [req])
-        tokens, _ = self.runner.execute(
-            token_ids=prompt[None, :],
-            positions=np.arange(t, dtype=np.int32)[None, :],
-            block_tables=np.asarray(block_ids, np.int32)[None, :],
-            ctx_lens=np.array([t], np.int32),
-            last_idx=np.array([t - 1], np.int32),
-            valid=np.ones((1, t), bool),
-            slot_ids=np.zeros(1, np.int32),
-            sample_mask=np.ones(1, bool),
-            sample_args=sample_args,
-            features=features,
-            kind="prefill",
-        )
-        saved = KVTransfer.export_blocks(self.runner, block_ids)
-        self.prefills_done += 1
-        return PrefillResult(
-            prompt_token_ids=prompt,
-            first_token=int(tokens[0]),
-            kv_blocks=saved,
-            prompt_len=t,
-            sampling_params=sp,
-        )
+        slot_ids = [self._free_slots.get() for _ in range(b)]
+        try:
+            mb = max(-(-len(a) // bs) for a in arrs)
+            token_ids = np.zeros((b, t_max), np.int64)
+            positions = np.zeros((b, t_max), np.int32)
+            valid = np.zeros((b, t_max), bool)
+            block_tables = np.zeros((b, mb), np.int32)
+            ctx_lens = np.zeros((b,), np.int32)
+            last_idx = np.zeros((b,), np.int32)
+            per_req_blocks: List[List[int]] = []
+            reqs = []
+            for i, a in enumerate(arrs):
+                t = len(a)
+                nb = -(-t // bs)
+                blocks = self._slots[slot_ids[i]][:nb]
+                per_req_blocks.append(blocks)
+                token_ids[i, :t] = a
+                positions[i, :t] = np.arange(t)
+                valid[i, :t] = True
+                block_tables[i, :nb] = blocks
+                ctx_lens[i] = t
+                last_idx[i] = t - 1
+                reqs.append(Request(
+                    request_id=i, prompt_token_ids=a,
+                    max_new_tokens=params_list[i].max_tokens,
+                    eos_token_id=self.cfg.eos_token_id))
+            features = SamplerFeatures.for_params(params_list)
+            sample_args = make_param_arrays(params_list, reqs)
+            tokens_dev, _ = self.runner.execute(
+                token_ids=token_ids,
+                positions=positions,
+                block_tables=block_tables,
+                ctx_lens=ctx_lens,
+                last_idx=last_idx,
+                valid=valid,
+                slot_ids=np.arange(b, dtype=np.int32),
+                sample_mask=np.ones(b, bool),
+                sample_args=sample_args,
+                features=features,
+                kind="prefill",
+                defer=True,  # no host sync until every export is enqueued
+            )
+            exports = [
+                KVTransfer.export_blocks(self.runner, blocks)
+                for blocks in per_req_blocks
+            ]
+            tokens = np.asarray(tokens_dev)[:b]  # ONE sync for the batch
+            results = []
+            for i, a in enumerate(arrs):
+                k, v = exports[i]
+                results.append(PrefillResult(
+                    prompt_token_ids=a,
+                    first_token=int(tokens[i]),
+                    kv_k=k,
+                    kv_v=v,
+                    num_blocks=len(per_req_blocks[i]),
+                    prompt_len=len(a),
+                    sampling_params=params_list[i],
+                ))
+            self.prefills_done += b
+            return results
+        finally:
+            for s in slot_ids:
+                self._free_slots.put(s)
 
 
 class DecodeWorker:
@@ -143,10 +223,8 @@ class DecodeWorker:
         if rid is None:
             return None
         req = sched.get_request(rid)
-        n_prefill_blocks = len(pr.kv_blocks)
         KVTransfer.import_blocks(
-            self.engine.runner, pr.kv_blocks,
-            req.kv_block_ids[:n_prefill_blocks])
+            self.engine.runner, pr, req.kv_block_ids[: pr.num_blocks])
         # full per-request engine setup — stop sequences / JSON constraints
         # / min_tokens live in _procs_by_rid and timeouts in _deadlines;
         # writing only _params_by_rid silently dropped them for
@@ -219,40 +297,63 @@ class DisaggregatedCoordinator:
             self._prefill_q.put(None)  # wake
             self._thread.join(timeout=10)
 
+    def _drain_batch(self, first=None) -> List[_Pending]:
+        """Pull up to one dispatch's worth of queued prefills."""
+        items = [] if first is None else [first]
+        cap = min(self.prefill.max_inflight,
+                  max(self.prefill.ecfg.prefill_batch_buckets))
+        while len(items) < cap:
+            try:
+                nxt = self._prefill_q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                continue
+            items.append(nxt)
+        return items
+
+    def _run_batch(self, items: List[_Pending]) -> None:
+        try:
+            prs = self.prefill.run_prefill_batch(
+                [it.prompt for it in items], [it.params for it in items])
+            for it, pr in zip(items, prs):
+                pr.submitted_id = it.submit_id
+                self._ready_q.put((it.submit_id, pr))
+        except Exception as exc:  # pragma: no cover
+            logger.error("prefill failed: %s", exc, exc_info=True)
+            # surface to the waiters — a silently dropped request would
+            # spin generate() to max_steps and die on an unrelated KeyError.
+            # Retry one-by-one so a single poison prompt doesn't take the
+            # whole batch down with it.
+            if len(items) == 1:
+                self._prefill_errors[items[0].submit_id] = exc
+                return
+            for it in items:
+                self._run_batch([it])
+
     def _prefill_loop(self) -> None:
         while self._running:
             item = self._prefill_q.get()
             if item is None:
                 break
-            try:
-                pr = self.prefill.run_prefill(item.prompt, item.params)
-                pr.submitted_id = item.submit_id
-                self._ready_q.put((item.submit_id, pr))
-            except Exception as exc:  # pragma: no cover
-                logger.error("prefill failed: %s", exc, exc_info=True)
-                # surface to the waiter — a silently dropped request would
-                # spin generate() to max_steps and die on an unrelated
-                # KeyError
-                self._prefill_errors[item.submit_id] = exc
+            # batch every prompt waiting right now into one dispatch
+            self._run_batch(self._drain_batch(item))
 
     def process_prefills_sync(self) -> int:
         """Synchronous prefill drain (tests / no-thread mode).
 
         A no-op while the background prefill thread runs: both paths call
-        run_prefill on the SAME PrefillWorker, whose scratch blocks are
-        shared — concurrent prefills would interleave KV writes and ship
-        corrupted context to the decode worker."""
+        run_prefill_batch on the SAME PrefillWorker and would contend for
+        its scratch slots."""
         if self._running:
             return 0
         n = 0
         while not self._prefill_q.empty():
-            item = self._prefill_q.get_nowait()
-            if item is None:
-                continue
-            pr = self.prefill.run_prefill(item.prompt, item.params)
-            pr.submitted_id = item.submit_id
-            self._ready_q.put((item.submit_id, pr))
-            n += 1
+            items = self._drain_batch()
+            if not items:
+                break
+            self._run_batch(items)
+            n += len(items)
         return n
 
     def step(self) -> Dict[int, List[int]]:
@@ -316,7 +417,20 @@ def setup_disaggregated(params, model_cfg: ModelConfig,
                         prefill_mesh=None, decode_mesh=None
                         ) -> DisaggregatedCoordinator:
     """Build the two workers + coordinator (ref: disaggregated.py:996-1142).
-    Separate meshes place the workers on disjoint device sets."""
-    prefill = PrefillWorker(params, model_cfg, engine_cfg, mesh=prefill_mesh)
-    decode = DecodeWorker(params, model_cfg, engine_cfg, mesh=decode_mesh)
+
+    Separate meshes place the workers on DISJOINT device sets — the
+    prefill group computes prompts while the decode group batches decodes,
+    and KV crosses the group boundary device-to-device (KVTransfer). Each
+    group gets its own sharded copy of the weights."""
+    def place(mesh):
+        if mesh is None:
+            return params
+        from .mesh import shard_params
+
+        return shard_params(params, model_cfg, mesh)
+
+    prefill = PrefillWorker(place(prefill_mesh), model_cfg, engine_cfg,
+                            mesh=prefill_mesh)
+    decode = DecodeWorker(place(decode_mesh), model_cfg, engine_cfg,
+                          mesh=decode_mesh)
     return DisaggregatedCoordinator(prefill, decode)

@@ -1,0 +1,390 @@
+"""Cross-host continuous batching: per-host engines + a host-0 request router.
+
+The reference's multi-host story is a torchrun broadcast loop where rank 0
+drives every other rank's forward in lockstep (ref: vllm_i64/parallel/
+worker.py:127-182). The TPU-native generalization here is *data-parallel
+serving*: every host runs its OWN engine (continuous batching over its local
+chips' mesh), and host 0 routes requests to the least-loaded host — the
+cross-host scaling mode of BASELINE.json config 5.
+
+Control plane: newline-delimited JSON over TCP (requests are host-level
+control traffic, not tensor traffic — tensors never cross hosts in this
+mode). Worker addresses are exchanged through the jax.distributed runtime
+itself (multihost_utils.process_allgather), so the same binary started on
+every host self-assembles: host 0 becomes the router + HTTP server, other
+hosts become engine workers.
+
+Proven by a real 2-process CPU jax.distributed test
+(tests/test_cross_host.py) — which the reference never had for its own
+multi-host path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import socket
+import threading
+import time
+from typing import Dict, List, Optional
+
+logger = logging.getLogger("vllm_i64_tpu.cross_host")
+
+_JSON_PRIMITIVES = (bool, int, float, str, type(None))
+
+
+def params_to_wire(sp) -> dict:
+    """SamplingParams -> JSON-safe dict (primitive fields + simple lists)."""
+    out = {}
+    for f in dataclasses.fields(sp):
+        v = getattr(sp, f.name)
+        if isinstance(v, _JSON_PRIMITIVES):
+            out[f.name] = v
+        elif isinstance(v, (list, tuple)) and all(
+            isinstance(x, _JSON_PRIMITIVES) for x in v
+        ):
+            out[f.name] = list(v)
+        elif isinstance(v, dict) and all(
+            isinstance(x, _JSON_PRIMITIVES) for x in v.values()
+        ):
+            out[f.name] = v
+    return out
+
+
+def params_from_wire(d: dict):
+    from ..core.sampling import SamplingParams
+
+    known = {f.name for f in dataclasses.fields(SamplingParams)}
+    return SamplingParams(**{k: v for k, v in d.items() if k in known})
+
+
+class _LineConn:
+    """Blocking newline-JSON connection."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self._rfile = sock.makefile("r", encoding="utf-8")
+        self._lock = threading.Lock()
+
+    def request(self, obj: dict) -> dict:
+        with self._lock:
+            self.sock.sendall((json.dumps(obj) + "\n").encode())
+            line = self._rfile.readline()
+        if not line:
+            raise ConnectionError("worker connection closed")
+        return json.loads(line)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class HostWorker:
+    """A non-zero host: runs its engine loop and answers router commands.
+
+    Protocol (one JSON object per line, request/response):
+      {"op": "add", "sid": int, "prompt": [ids], "params": {...}} -> {"ok": 1}
+      {"op": "poll"} -> {"events": [{"sid", "tokens", "finished",
+                                     "finish_reason"}...]}
+      {"op": "stats"} -> {"stats": {...}}
+      {"op": "stop"} -> {"ok": 1}       (drains and exits serve_forever)
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(4)
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._sid_to_rid: Dict[int, int] = {}
+        self._emitted: Dict[int, List[int]] = {}
+        self._finished: Dict[int, str] = {}
+        self._step_thread = threading.Thread(
+            target=self._engine_loop, daemon=True)
+        self._step_thread.start()
+
+    # -- engine side ---------------------------------------------------------
+
+    def _engine_loop(self) -> None:
+        while not self._stop.is_set():
+            if not self.engine.scheduler.has_work:
+                time.sleep(0.002)
+                continue
+            result = self.engine.step()
+            with self._lock:
+                for rid, toks in result.items():
+                    sid = self._rid_to_sid.get(rid)
+                    if sid is None:
+                        continue
+                    self._emitted.setdefault(sid, []).extend(toks)
+                for sid, rid in list(self._sid_to_rid.items()):
+                    req = self.engine.scheduler.get_request(rid)
+                    if req is not None and req.is_finished:
+                        self._finished[sid] = req.finish_reason or "stop"
+                        del self._sid_to_rid[sid]
+
+    @property
+    def _rid_to_sid(self) -> Dict[int, int]:
+        return {rid: sid for sid, rid in self._sid_to_rid.items()}
+
+    # -- protocol side -------------------------------------------------------
+
+    def serve_forever(self) -> None:
+        """Accept router connections until a stop command arrives."""
+        self._srv.settimeout(0.5)
+        conns: List[threading.Thread] = []
+        while not self._stop.is_set():
+            try:
+                sock, _ = self._srv.accept()
+            except socket.timeout:
+                continue
+            t = threading.Thread(target=self._serve_conn, args=(sock,),
+                                 daemon=True)
+            t.start()
+            conns.append(t)
+        self._srv.close()
+
+    def _serve_conn(self, sock: socket.socket) -> None:
+        rfile = sock.makefile("r", encoding="utf-8")
+        try:
+            for line in rfile:
+                try:
+                    msg = json.loads(line)
+                    resp = self._handle(msg)
+                except Exception as exc:  # protocol robustness
+                    resp = {"error": repr(exc)[:200]}
+                sock.sendall((json.dumps(resp) + "\n").encode())
+                if msg.get("op") == "stop":
+                    break
+        finally:
+            sock.close()
+
+    def _handle(self, msg: dict) -> dict:
+        op = msg.get("op")
+        if op == "add":
+            sp = params_from_wire(msg.get("params", {}))
+            rid = self.engine.add_request(list(msg["prompt"]), sp)
+            with self._lock:
+                self._sid_to_rid[int(msg["sid"])] = rid
+            return {"ok": 1}
+        if op == "poll":
+            with self._lock:
+                events = []
+                for sid in list(self._emitted.keys() | self._finished.keys()):
+                    events.append({
+                        "sid": sid,
+                        "tokens": self._emitted.pop(sid, []),
+                        "finished": sid in self._finished,
+                        "finish_reason": self._finished.pop(sid, None),
+                    })
+            return {"events": events}
+        if op == "stats":
+            st = self.engine.get_stats()
+            return {"stats": {k: v for k, v in st.items()
+                              if isinstance(v, (int, float))}}
+        if op == "stop":
+            self._stop.set()
+            return {"ok": 1}
+        return {"error": f"unknown op {op!r}"}
+
+
+class WorkerClient:
+    """Router-side handle to one remote HostWorker."""
+
+    def __init__(self, addr: str):
+        host, port = addr.rsplit(":", 1)
+        sock = socket.create_connection((host, int(port)), timeout=30)
+        self.addr = addr
+        self.conn = _LineConn(sock)
+        self.outstanding = 0
+
+    def add(self, sid: int, prompt: List[int], params) -> None:
+        r = self.conn.request({
+            "op": "add", "sid": sid, "prompt": list(map(int, prompt)),
+            "params": params_to_wire(params),
+        })
+        if "error" in r:
+            raise RuntimeError(f"worker {self.addr}: {r['error']}")
+        self.outstanding += 1
+
+    def poll(self) -> List[dict]:
+        r = self.conn.request({"op": "poll"})
+        events = r.get("events", [])
+        self.outstanding -= sum(1 for e in events if e.get("finished"))
+        return events
+
+    def stats(self) -> dict:
+        return self.conn.request({"op": "stats"}).get("stats", {})
+
+    def stop(self) -> None:
+        try:
+            self.conn.request({"op": "stop"})
+        except (ConnectionError, OSError):
+            pass
+        self.conn.close()
+
+
+@dataclasses.dataclass
+class _RoutedRequest:
+    sid: int
+    target: int  # -1 = local engine, else worker index
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+    finish_reason: Optional[str] = None
+
+
+class CrossHostRouter:
+    """Host-0 request router over the local engine + remote host workers.
+
+    Routing policy: least outstanding requests (the reference coordinator
+    is a fixed 2-role split; this generalizes to N hosts)."""
+
+    def __init__(self, local_engine=None, worker_addrs: Optional[List[str]] = None):
+        self.local_engine = local_engine
+        self.workers = [WorkerClient(a) for a in (worker_addrs or [])]
+        if local_engine is None and not self.workers:
+            raise ValueError("router needs a local engine or remote workers")
+        self._local_outstanding = 0
+        self._sid_to_req: Dict[int, _RoutedRequest] = {}
+        self._sid_to_local_rid: Dict[int, int] = {}
+        self._next_sid = 0
+        self._lock = threading.Lock()
+
+    # -- routing -------------------------------------------------------------
+
+    def _pick_target(self) -> int:
+        loads = []
+        if self.local_engine is not None:
+            loads.append((self._local_outstanding, -1))
+        loads.extend((w.outstanding, i) for i, w in enumerate(self.workers))
+        return min(loads)[1]
+
+    def add_request(self, prompt_token_ids, sampling_params) -> int:
+        with self._lock:
+            sid = self._next_sid
+            self._next_sid += 1
+            target = self._pick_target()
+            rr = _RoutedRequest(sid=sid, target=target)
+            self._sid_to_req[sid] = rr
+            if target == -1:
+                rid = self.local_engine.add_request(
+                    list(prompt_token_ids), sampling_params)
+                self._sid_to_local_rid[sid] = rid
+                self._local_outstanding += 1
+            else:
+                self.workers[target].add(sid, prompt_token_ids, sampling_params)
+        return sid
+
+    # -- progress ------------------------------------------------------------
+
+    def step(self) -> None:
+        """One pump: local engine step (if it has work) + remote polls."""
+        if self.local_engine is not None and self.local_engine.scheduler.has_work:
+            result = self.local_engine.step()
+            with self._lock:
+                rid_to_sid = {r: s for s, r in self._sid_to_local_rid.items()}
+                for rid, toks in result.items():
+                    sid = rid_to_sid.get(rid)
+                    if sid is not None:
+                        self._sid_to_req[sid].tokens.extend(toks)
+                for sid, rid in list(self._sid_to_local_rid.items()):
+                    req = self.local_engine.scheduler.get_request(rid)
+                    if req is not None and req.is_finished:
+                        rr = self._sid_to_req[sid]
+                        rr.finished = True
+                        rr.finish_reason = req.finish_reason or "stop"
+                        del self._sid_to_local_rid[sid]
+                        self._local_outstanding -= 1
+        for w in self.workers:
+            for ev in w.poll():
+                rr = self._sid_to_req.get(int(ev["sid"]))
+                if rr is None:
+                    continue
+                rr.tokens.extend(ev.get("tokens", []))
+                if ev.get("finished"):
+                    rr.finished = True
+                    rr.finish_reason = ev.get("finish_reason")
+
+    def generate(self, prompt_token_ids, sampling_params,
+                 timeout_s: float = 120.0):
+        sid = self.add_request(prompt_token_ids, sampling_params)
+        deadline = time.monotonic() + timeout_s
+        rr = self._sid_to_req[sid]
+        while not rr.finished:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"request {sid} did not finish")
+            self.step()
+            time.sleep(0.001)
+        return self._sid_to_req.pop(sid)
+
+    def get_stats(self) -> dict:
+        out = {
+            "hosts": 1 + len(self.workers),
+            "local_outstanding": self._local_outstanding,
+            "workers": [
+                {"addr": w.addr, "outstanding": w.outstanding}
+                for w in self.workers
+            ],
+        }
+        if self.local_engine is not None:
+            out["local"] = self.local_engine.get_stats()
+        return out
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            w.stop()
+
+
+# ---------------------------------------------------------------------------
+# Self-assembly through the jax.distributed runtime
+# ---------------------------------------------------------------------------
+
+
+def exchange_worker_addrs(worker_port: int, host_ip: str = "127.0.0.1"):
+    """All-gather every host's worker address through the jax runtime.
+
+    Returns the ordered list of "ip:port" for processes 1..N-1 (host 0
+    routes and serves HTTP; it contributes a placeholder). Uses a device
+    collective under the hood, so it exercises the same runtime the step
+    programs run on."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    ip_parts = [int(x) for x in host_ip.split(".")]
+    mine = np.asarray(ip_parts + [worker_port], dtype=np.int32)
+    gathered = multihost_utils.process_allgather(mine)  # (n_hosts, 5)
+    addrs = []
+    for row in np.asarray(gathered)[1:]:
+        addrs.append(f"{row[0]}.{row[1]}.{row[2]}.{row[3]}:{row[4]}")
+    return addrs
+
+
+def launch_cross_host(engine_factory, host_ip: str = "127.0.0.1",
+                      with_local_engine: bool = True):
+    """Role split after jax.distributed is initialized
+    (ref: worker.py:97-121 rank-0 serves, ranks>0 compute).
+
+    Host 0: returns a CrossHostRouter wired to every other host's worker
+    (plus its own local engine when with_local_engine).
+    Hosts >0: this call BLOCKS serving the engine worker until the router
+    sends a stop command, then returns None."""
+    import jax
+
+    if jax.process_count() == 1:
+        return CrossHostRouter(local_engine=engine_factory())
+
+    if jax.process_index() == 0:
+        addrs = exchange_worker_addrs(0, host_ip)  # placeholder port
+        local = engine_factory() if with_local_engine else None
+        return CrossHostRouter(local_engine=local, worker_addrs=addrs)
+
+    worker = HostWorker(engine_factory(), host=host_ip)
+    exchange_worker_addrs(worker.port, host_ip)
+    worker.serve_forever()
+    return None

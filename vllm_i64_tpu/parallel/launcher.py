@@ -56,3 +56,20 @@ def is_serving_host() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def launch_cross_host_serving(engine_factory, run_server=None):
+    """Cross-host continuous batching role split (ref: worker.py:97-121,
+    generalized): after init_distributed, host 0 builds a CrossHostRouter
+    over every other host's engine worker (parallel/cross_host.py) and runs
+    the HTTP server against it; hosts >0 block serving their engine until
+    the router shuts them down. Returns the router on host 0, None on
+    worker hosts."""
+    from .cross_host import launch_cross_host
+
+    router = launch_cross_host(engine_factory)
+    if router is None:
+        return None  # worker host finished serving
+    if run_server is not None:
+        run_server(router)
+    return router

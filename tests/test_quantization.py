@@ -171,11 +171,28 @@ def test_convert_quantized_state_dict(rng):
         "layers.0.self_attn.q_proj.scales": np.ones((1, 64), np.float32),
         "norm.weight": np.ones(16, np.float32),
     }
-    out = convert_quantized_state_dict(sd, cfg)
+    out = convert_quantized_state_dict(sd, cfg, direct=False)
     assert "layers.0.self_attn.q_proj.weight" in out
     assert out["layers.0.self_attn.q_proj.weight"].shape == (64, 128)
     assert "layers.0.self_attn.q_proj.qweight" not in out
     assert "norm.weight" in out
+
+    # direct path (default): still-int4 Q4Parts in (in, out) orientation,
+    # bit-identical under dequant to the float conversion
+    from vllm_i64_tpu.core.awq_gptq import Q4Parts
+
+    out_d = convert_quantized_state_dict(sd, cfg)
+    parts = out_d["layers.0.self_attn.q_proj.weight"]
+    assert isinstance(parts, Q4Parts)
+    assert parts.shape == (128, 64)
+    gs = parts.group_size
+    high = (parts.packed >> 4) & 0xF
+    low = parts.packed & 0xF
+    qq = np.stack([high, low], axis=1).reshape(128, 64).astype(np.float32)
+    w_direct = ((qq.reshape(-1, gs, 64) - parts.zeros[:, None])
+                * parts.scales[:, None]).reshape(128, 64)
+    np.testing.assert_array_equal(
+        w_direct, out["layers.0.self_attn.q_proj.weight"].T)
 
 
 def test_detect_quant_config(tmp_path):

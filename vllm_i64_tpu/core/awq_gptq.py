@@ -108,15 +108,79 @@ def dequantize_awq_gptq(
     return ((wg - z[:, None]) * scales[:, None]).reshape(n_in, n_out)
 
 
+@dataclass
+class Q4Parts:
+    """Unpacked-but-still-int4 weight in the serving Q4Tensor layout
+    (numpy, logical x@w orientation (in, out)): the DIRECT int4 load path
+    that skips the dequant->requant round-trip (ref: the reference serves
+    its internal INT4 format straight from the AWQ/GPTQ unpack,
+    core/quantization.py:307-421)."""
+
+    packed: np.ndarray  # (in // 2, out) uint8, row 2i high nibble, 2i+1 low
+    scales: np.ndarray  # (groups, out) f32
+    zeros: np.ndarray  # (groups, out) f32, dequant-ready
+    group_size: int
+
+    @property
+    def shape(self):
+        half, out = self.packed.shape[-2:]
+        return (*self.packed.shape[:-2], half * 2, out)
+
+    @property
+    def ndim(self):  # stacking code treats it like an array
+        return self.packed.ndim + 0
+
+
+def unpack_to_q4_parts(
+    qweight: np.ndarray,
+    scales: np.ndarray,
+    qzeros: Optional[np.ndarray],
+    g_idx: Optional[np.ndarray],
+    cfg: QuantConfig,
+) -> Optional[Q4Parts]:
+    """Unpack AWQ/GPTQ int4 into the native Q4Tensor component layout
+    WITHOUT dequantizing. Returns None when the shape can't align
+    (odd input dim or input not divisible by the group size) — the caller
+    falls back to the float conversion for that tensor.
+
+    Bit-exactness: Q4Tensor dequant is (q - z) * s per input-axis group —
+    the identical formula dequantize_awq_gptq applies — so serving these
+    parts yields bit-identical logits to loading the float conversion."""
+    if cfg.bits != 4:
+        return None
+    w = _unpack_nibbles_rows(qweight)  # (in, out) uint8
+    n_in, n_out = w.shape
+    scales = np.asarray(scales, np.float32)
+    groups = scales.shape[0]
+    if n_in % 2 or groups == 0 or n_in % groups:
+        return None
+    gs = n_in // groups
+    if qzeros is not None:
+        z = _unpack_nibbles_cols(qzeros).astype(np.float32)
+        z = np.clip(z + 1.0, 0, 15)  # restore the packing's -1 offset
+    else:
+        z = np.full((groups, n_out), 8.0, np.float32)
+    if g_idx is not None and cfg.desc_act:
+        w = w[np.argsort(np.asarray(g_idx))]
+    packed = (w[0::2].astype(np.uint8) << 4) | w[1::2].astype(np.uint8)
+    return Q4Parts(packed=packed, scales=scales, zeros=z, group_size=gs)
+
+
 def convert_quantized_state_dict(
-    sd: Dict[str, np.ndarray], cfg: QuantConfig
+    sd: Dict[str, np.ndarray], cfg: QuantConfig, direct: bool = True
 ) -> Dict[str, np.ndarray]:
-    """Replace {prefix}.qweight/qzeros/scales/g_idx groups with a plain
-    float {prefix}.weight in torch (out, in) orientation."""
+    """Replace {prefix}.qweight/qzeros/scales/g_idx groups with either a
+    direct-served ``Q4Parts`` (already (in, out) oriented; default) or a
+    plain float {prefix}.weight in torch (out, in) orientation.
+
+    direct=True avoids the dequant->requant double rounding entirely; a
+    tensor whose shape can't align to the Q4 layout falls back to float
+    for that tensor alone."""
     prefixes = sorted({k[: -len("qweight")] for k in sd
                        if k.endswith(".qweight")})
     out: Dict[str, np.ndarray] = {}
     consumed = set()
+    n_direct = 0
     for prefix in prefixes:
         qweight = sd.get(prefix + "qweight")
         scales = sd.get(prefix + "scales")
@@ -125,8 +189,16 @@ def convert_quantized_state_dict(
             continue
         qzeros = sd.get(prefix + "qzeros")
         g_idx = sd.get(prefix + "g_idx")
-        w = dequantize_awq_gptq(qweight, scales, qzeros, g_idx, cfg)
-        out[prefix + "weight"] = w.T  # torch (out, in)
+        parts = (
+            unpack_to_q4_parts(qweight, scales, qzeros, g_idx, cfg)
+            if direct else None
+        )
+        if parts is not None:
+            out[prefix + "weight"] = parts  # (in, out): no transpose later
+            n_direct += 1
+        else:
+            w = dequantize_awq_gptq(qweight, scales, qzeros, g_idx, cfg)
+            out[prefix + "weight"] = w.T  # torch (out, in)
         for suffix in ("qweight", "qzeros", "scales", "g_idx"):
             consumed.add(prefix + suffix)
         if prefix + "bias" in sd:
@@ -135,5 +207,6 @@ def convert_quantized_state_dict(
     for k, v in sd.items():
         if k not in consumed and k not in out:
             out[k] = v
-    logger.info("converted %d %s-quantized tensors", len(prefixes), cfg.method)
+    logger.info("converted %d %s-quantized tensors (%d served direct-int4)",
+                len(prefixes), cfg.method, n_direct)
     return out

@@ -196,15 +196,23 @@ def convert_framework_weights(sd: StateDict) -> StateDict:
             continue
         converted[name] = w
 
+    from .awq_gptq import Q4Parts
+
+    def stack_experts(emap, proj, n):
+        ws = [emap[e][proj] for e in range(n)]
+        if any(isinstance(w, Q4Parts) for w in ws):
+            if not all(isinstance(w, Q4Parts) for w in ws):
+                raise ValueError(
+                    f"{proj}: experts mix direct-int4 and float tensors")
+            return _stack_q4(ws)  # Q4Parts already (in, out) oriented
+        # torch Linear stores (out, in): gate/up are (I, H), down is (H, I)
+        return np.stack([w.T for w in ws])
+
     for layer, emap in experts.items():
         n = max(emap) + 1
-        # torch Linear stores (out, in): gate/up are (I, H), down is (H, I)
-        gate = np.stack([emap[e]["gate_proj"].T for e in range(n)])  # (E, H, I)
-        up = np.stack([emap[e]["up_proj"].T for e in range(n)])
-        down = np.stack([emap[e]["down_proj"].T for e in range(n)])  # (E, I, H)
-        converted[f"{layer}.mlp.gate_proj_w"] = gate
-        converted[f"{layer}.mlp.up_proj_w"] = up
-        converted[f"{layer}.mlp.down_proj_w"] = down
+        converted[f"{layer}.mlp.gate_proj_w"] = stack_experts(emap, "gate_proj", n)
+        converted[f"{layer}.mlp.up_proj_w"] = stack_experts(emap, "up_proj", n)
+        converted[f"{layer}.mlp.down_proj_w"] = stack_experts(emap, "down_proj", n)
     return converted
 
 
@@ -232,9 +240,23 @@ class _KeyView:
         return sorted(set(self.sd) - self.used)
 
 
+def _stack_q4(rows) -> "object":
+    """Stack per-layer/per-expert Q4Parts into one leading-axis Q4Parts."""
+    from .awq_gptq import Q4Parts
+
+    return Q4Parts(
+        packed=np.stack([r.packed for r in rows]),
+        scales=np.stack([r.scales for r in rows]),
+        zeros=np.stack([r.zeros for r in rows]),
+        group_size=rows[0].group_size,
+    )
+
+
 def _stack_layers(view: _KeyView, num_layers: int, template: str, *, transpose=False,
                   required=True, missing=None) -> Optional[np.ndarray]:
     """Collect ``template.format(i)`` for all layers and stack to (L, ...)."""
+    from .awq_gptq import Q4Parts
+
     rows = []
     for i in range(num_layers):
         w = view.take(template.format(i))
@@ -242,7 +264,15 @@ def _stack_layers(view: _KeyView, num_layers: int, template: str, *, transpose=F
             if required and missing is not None:
                 missing.append(template.format(i))
             return None
-        rows.append(w.T if transpose else w)
+        if isinstance(w, Q4Parts):
+            rows.append(w)  # already (in, out) oriented — never transpose
+        else:
+            rows.append(w.T if transpose else w)
+    if any(isinstance(r, Q4Parts) for r in rows):
+        if not all(isinstance(r, Q4Parts) for r in rows):
+            raise ValueError(
+                f"{template}: layers mix direct-int4 and float tensors")
+        return _stack_q4(rows)
     return np.stack(rows)
 
 
@@ -263,7 +293,20 @@ def build_params(
     missing: list = []
 
     def cast(x):
-        return None if x is None else jnp.asarray(np.asarray(x), dtype=dtype)
+        from ..ops.quant import Q4Tensor
+        from .awq_gptq import Q4Parts
+
+        if x is None:
+            return None
+        if isinstance(x, Q4Parts):
+            # direct int4 serve: components become a Q4Tensor leaf verbatim
+            return Q4Tensor(
+                jnp.asarray(x.packed),
+                jnp.asarray(x.scales, jnp.float32),
+                jnp.asarray(x.zeros, jnp.float32),
+                group_size=x.group_size,
+            )
+        return jnp.asarray(np.asarray(x), dtype=dtype)
 
     # --- embeddings (tied lm_head <-> embed_tokens, ref: loader.py:360-372)
     embed = view.take("embed_tokens.weight")
@@ -437,10 +480,15 @@ def load_model(
     dtype=jnp.bfloat16,
     config: Optional[ModelConfig] = None,
     strict: bool = False,
+    int4_direct: bool = True,
 ) -> Tuple[Dict[str, Any], ModelConfig, Dict[str, Any]]:
     """Load (params, config, stats) from a checkpoint path or hub id
     (ref: load_model_by_name, loader.py:535-651 — quantization is applied
-    separately by core.quantize_model)."""
+    separately by core.quantize_model).
+
+    int4_direct: serve AWQ/GPTQ checkpoints as Q4Tensor leaves without the
+    dequant->requant round-trip (bit-identical to the float conversion;
+    False forces the float path for comparison)."""
     path = Path(resolve_checkpoint_source(checkpoint))
     if config is None:
         cfg_path = path / "config.json" if path.is_dir() else path.parent / "config.json"
@@ -458,7 +506,7 @@ def load_model(
     detection = detect_quant_config(str(path))
     if detection is not None:
         _, qcfg = detection
-        sd = convert_quantized_state_dict(sd, qcfg)
+        sd = convert_quantized_state_dict(sd, qcfg, direct=int4_direct)
 
     params, stats = build_params(config, sd, dtype=dtype)
     if stats["unloaded_params"]:

@@ -54,10 +54,14 @@ def quantize_params(params, cfg: ModelConfig, method: str = "int8"):
     else:
         raise ValueError(f"unsupported quantization method: {method}")
 
+    from ..ops.quant import Q4Tensor, QTensor
+
     out = dict(params)
     layers = dict(params["layers"])
     for key in list(layers.keys()):
-        if key in _LAYER_MATMUL_KEYS:
+        if key in _LAYER_MATMUL_KEYS and not isinstance(
+            layers[key], (QTensor, Q4Tensor)
+        ):
             layers[key] = quant(layers[key])
     mlp = dict(layers["mlp"])
     routed = cfg.use_token_routed_mlp and cfg.num_experts > 1
@@ -65,6 +69,8 @@ def quantize_params(params, cfg: ModelConfig, method: str = "int8"):
         if key not in _MLP_MATMUL_KEYS:
             continue
         w = mlp[key]
+        if isinstance(w, (QTensor, Q4Tensor)):
+            continue  # already quantized (direct-int4 checkpoint load)
         if routed and key in ("gate", "up") and w.ndim == 4:
             # flat-expert layout (L, H, E*I): every MoE matmul becomes one
             # 2D dequant GEMM — the Pallas kernels read int8 straight from

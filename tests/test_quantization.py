@@ -154,8 +154,9 @@ def test_gptq_desc_act_reorder(rng):
     cfg = QuantConfig(method="gptq", bits=4, group_size=gs, desc_act=True)
     w = dequantize_awq_gptq(pack_rows_lsb(q), scales,
                             pack_cols_lsb(zeros - 1), g_idx, cfg)
-    # rows must be reordered by argsort(g_idx)
-    order = np.argsort(g_idx)
+    # rows must be reordered by STABLE argsort(g_idx) (same-group tie
+    # order is pinned; unstable sorts permute platform-dependently)
+    order = np.argsort(g_idx, kind="stable")
     np.testing.assert_allclose(
         w, (q[order].astype(np.float32).reshape(groups, gs, n_out)
             - 8.0).reshape(n_in, n_out))

@@ -100,7 +100,9 @@ def dequantize_awq_gptq(
 
     if g_idx is not None and cfg.desc_act:
         # reorder input channels into sequential group order (ref :246-273)
-        order = np.argsort(np.asarray(g_idx))
+        # stable sort: g_idx is all ties within a group, and an unstable
+        # sort would permute same-group rows platform-dependently
+        order = np.argsort(np.asarray(g_idx), kind="stable")
         w = w[order]
 
     gs = n_in // groups
@@ -161,7 +163,7 @@ def unpack_to_q4_parts(
     else:
         z = np.full((groups, n_out), 8.0, np.float32)
     if g_idx is not None and cfg.desc_act:
-        w = w[np.argsort(np.asarray(g_idx))]
+        w = w[np.argsort(np.asarray(g_idx), kind="stable")]
     packed = (w[0::2].astype(np.uint8) << 4) | w[1::2].astype(np.uint8)
     return Q4Parts(packed=packed, scales=scales, zeros=z, group_size=gs)
 

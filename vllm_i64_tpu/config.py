@@ -70,6 +70,14 @@ class ModelConfig:
     routed_gate_init: float = 1.0
     shared_output_scale: float = 1.0
     routed_output_scale: float = 1.0
+    # Routing strategy:
+    #   "modulo_cyclic" — deterministic token-id routing (token-routed MLP;
+    #     TR-HASH checkpoints overwrite the table with their exact hashes)
+    #   "learned_gate" / "learned_gate_integer" — Mixtral-style softmax
+    #     router over a learned (H, E) gate, top-k renormalized; the
+    #     integer variant uses the Q16 LUT softmax (ref: layers/moe.py
+    #     MixtralMoE :133-233). Selected when use_token_routed_mlp=False
+    #     and num_experts > 1; weights live at mlp.router.
     routing_strategy: str = "modulo_cyclic"
     # MoE execution backend:
     #   "masked_dense" — every device computes its E/ep_size local experts
@@ -129,6 +137,17 @@ class ModelConfig:
     @property
     def mu_enabled(self) -> bool:
         return self.use_mu_guidance and not self.disable_mu_guidance
+
+    @property
+    def learned_moe_enabled(self) -> bool:
+        """Mixtral-style learned-gate MoE (ref: layers/moe.py:133-233) —
+        the non-token-routed many-expert configuration."""
+        return (
+            not self.use_token_routed_mlp
+            and self.num_experts > 1
+            and self.routing_strategy in ("learned_gate",
+                                          "learned_gate_integer")
+        )
 
     @property
     def resolved_image_token_id(self) -> int:

@@ -394,6 +394,24 @@ def build_params(
                     cast(np.reshape(rg, (L,))) if rg is not None
                     else jnp.full((L,), cfg.routed_gate_init, dtype))
         layers["mlp"] = mlp
+    elif cfg.learned_moe_enabled:
+        # learned-gate MoE: stacked expert weights (from the experts.N.*
+        # conversion) + the (H, E) router (ref: layers/moe.py MixtralMoE)
+        layers["mlp"] = {
+            "gate": cast(_stack_layers(
+                view, L, "layers.{}.mlp.gate_proj_w", missing=missing)),
+            "up": cast(_stack_layers(
+                view, L, "layers.{}.mlp.up_proj_w", missing=missing)),
+            "down": cast(_stack_layers(
+                view, L, "layers.{}.mlp.down_proj_w", missing=missing)),
+            "router": cast(
+                _stack_layers(view, L, "layers.{}.mlp.router.weight",
+                              transpose=True, required=False)
+                if any(f"layers.{i}.mlp.router.weight" in view.sd
+                       for i in range(L))
+                else _stack_layers(view, L, "layers.{}.mlp.gate.weight",
+                                   transpose=True, missing=missing)),
+        }
     else:
         layers["mlp"] = {
             "gate": cast(_stack_layers(

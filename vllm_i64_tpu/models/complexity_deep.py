@@ -111,6 +111,15 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
                 mlp["shared_gate_scalar"] = jnp.full((L,), cfg.shared_gate_init, dtype)
                 mlp["routed_gate_scalar"] = jnp.full((L,), cfg.routed_gate_init, dtype)
         layers["mlp"] = mlp
+    elif cfg.learned_moe_enabled:
+        # Mixtral-style learned-gate MoE (ref: layers/moe.py:133-233):
+        # expert stacks + a small (H, E) router; no route table
+        layers["mlp"] = {
+            "gate": w((L, E, H, I)),
+            "up": w((L, E, H, I)),
+            "down": w((L, E, I, H)),
+            "router": w((L, H, E)),
+        }
     else:
         layers["mlp"] = {
             "gate": w((L, H, cfg.intermediate_size)),
@@ -305,6 +314,18 @@ def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Ar
             shared_output_gate=mp.get("shared_gate_scalar"),
             routed_output_gate=mp.get("routed_gate_scalar"),
             shared_fused_cols=fused_cols,
+        )
+    elif cfg.learned_moe_enabled:
+        from ..ops.learned_moe import learned_moe
+
+        out = learned_moe(
+            x,
+            gate_w=mp["router"],
+            expert_gate_w=mp["gate"],
+            expert_up_w=mp["up"],
+            expert_down_w=mp["down"],
+            top_k=cfg.effective_top_k,
+            integer_mode=cfg.routing_strategy == "learned_gate_integer",
         )
     else:
         out = dense_swiglu_mlp(x, gate_w, up_w, mp["down"])

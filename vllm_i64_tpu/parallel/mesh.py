@@ -99,6 +99,13 @@ def _layer_specs(cfg: ModelConfig) -> dict:
                 mlp["shared_gate_scalar"] = P()
                 mlp["routed_gate_scalar"] = P()
         specs["mlp"] = mlp
+    elif cfg.learned_moe_enabled:
+        specs["mlp"] = {
+            "gate": P(None, "ep", None, "tp"),
+            "up": P(None, "ep", None, "tp"),
+            "down": P(None, "ep", "tp", None),
+            "router": P(),  # tiny (H, E) gate — replicate
+        }
     else:
         specs["mlp"] = {
             "gate": P(None, None, "tp"),
@@ -194,7 +201,8 @@ def validate_divisibility(cfg: ModelConfig, pcfg: ParallelConfig) -> None:
         raise ValueError(
             f"num_attention_heads ({cfg.num_attention_heads}) not divisible by tp={pcfg.tp}"
         )
-    if cfg.use_token_routed_mlp and cfg.num_experts > 1:
+    if (cfg.use_token_routed_mlp or cfg.learned_moe_enabled) \
+            and cfg.num_experts > 1:
         if cfg.num_experts % pcfg.ep != 0:
             raise ValueError(
                 f"num_experts ({cfg.num_experts}) not divisible by ep={pcfg.ep}"

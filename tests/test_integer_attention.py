@@ -1,0 +1,163 @@
+"""End-to-end integer attention path (VERDICT r1 missing item 5).
+
+The reference composes float QK^T scores + Q7/Q16 LUT integer softmax +
+float V multiply (ref: attention.py naive_integer_* :265-466). Here the
+same composition is selectable via ModelConfig.use_integer_attention and
+runs in every attention backend (varlen, paged gather, deferred window),
+parity-checked against the reference's torch implementation.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vllm_i64_tpu.config import EngineConfig, ModelConfig
+from vllm_i64_tpu.core.sampling import SamplingParams
+from vllm_i64_tpu.engine import Engine
+from vllm_i64_tpu.models import complexity_deep as cdm
+from vllm_i64_tpu.ops.attention import (
+    paged_attention,
+    varlen_self_attention,
+    write_kv,
+)
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+try:
+    from vllm_i64.layers.attention import naive_integer_varlen_attention
+except Exception:  # pragma: no cover
+    naive_integer_varlen_attention = None
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("vocab_size", 128)
+    kw.setdefault("hidden_size", 64)
+    kw.setdefault("intermediate_size", 128)
+    kw.setdefault("num_hidden_layers", 2)
+    kw.setdefault("num_attention_heads", 4)
+    kw.setdefault("num_key_value_heads", 2)
+    kw.setdefault("max_position_embeddings", 128)
+    kw.setdefault("num_experts", 4)
+    kw.setdefault("top_k", 2)
+    kw.setdefault("use_integer_attention", True)
+    return ModelConfig(**kw)
+
+
+@pytest.mark.skipif(naive_integer_varlen_attention is None,
+                    reason="reference tree not importable")
+def test_varlen_integer_matches_reference():
+    """Our integer-softmax varlen attention vs the reference's
+    naive_integer_varlen_attention on identical inputs (CPU float path +
+    softmax_integer both sides)."""
+    rng = np.random.default_rng(0)
+    t, hq, hkv, d = 12, 4, 2, 16
+    q = rng.standard_normal((t, hq, d)).astype(np.float32) * 0.5
+    k = rng.standard_normal((t, hkv, d)).astype(np.float32) * 0.5
+    v = rng.standard_normal((t, hkv, d)).astype(np.float32) * 0.5
+
+    ref = naive_integer_varlen_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        tokens_per_seq=[t], num_kv_groups=hq // hkv,
+    ).numpy()
+
+    got = np.asarray(varlen_self_attention(
+        jnp.asarray(q)[None], jnp.asarray(k)[None], jnp.asarray(v)[None],
+        jnp.asarray([t], jnp.int32), integer_softmax=True,
+    ))[0]
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(naive_integer_varlen_attention is None,
+                    reason="reference tree not importable")
+def test_varlen_integer_matches_reference_multi_seq():
+    rng = np.random.default_rng(1)
+    lens = [5, 9]
+    hq, hkv, d = 4, 2, 16
+    total = sum(lens)
+    q = rng.standard_normal((total, hq, d)).astype(np.float32) * 0.5
+    k = rng.standard_normal((total, hkv, d)).astype(np.float32) * 0.5
+    v = rng.standard_normal((total, hkv, d)).astype(np.float32) * 0.5
+    ref = naive_integer_varlen_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+        tokens_per_seq=lens, num_kv_groups=2,
+    ).numpy()
+
+    off = 0
+    for n in lens:
+        got = np.asarray(varlen_self_attention(
+            jnp.asarray(q[off:off + n])[None],
+            jnp.asarray(k[off:off + n])[None],
+            jnp.asarray(v[off:off + n])[None],
+            jnp.asarray([n], jnp.int32), integer_softmax=True,
+        ))[0]
+        np.testing.assert_allclose(got, ref[off:off + n],
+                                   rtol=2e-5, atol=2e-5)
+        off += n
+
+
+def test_paged_integer_matches_varlen_integer():
+    """The paged gather backend with integer softmax must agree with the
+    cache-free varlen backend on the same sequence."""
+    rng = np.random.default_rng(2)
+    t, hq, hkv, d, bs = 8, 4, 2, 16, 4
+    q = jnp.asarray(rng.standard_normal((1, t, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, t, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, t, hkv, d)).astype(np.float32))
+
+    want = varlen_self_attention(q, k, v, jnp.asarray([t], jnp.int32),
+                                 integer_softmax=True)
+
+    nb = 4
+    kc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    vc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    bt = jnp.asarray([[1, 2]], jnp.int32)
+    positions = jnp.arange(t, dtype=jnp.int32)[None]
+    kc, vc = write_kv(kc, vc, k, v, bt, positions,
+                      jnp.ones((1, t), bool))
+    got = paged_attention(q, kc, vc, bt, positions,
+                          jnp.asarray([t], jnp.int32), integer_softmax=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_integer_attention_differs_from_float():
+    """The flag must actually change the computation (Q7 quantization is
+    visible at fp32 precision)."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((1, 6, 4, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 6, 2, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 6, 2, 16)).astype(np.float32))
+    sl = jnp.asarray([6], jnp.int32)
+    a = np.asarray(varlen_self_attention(q, k, v, sl))
+    b = np.asarray(varlen_self_attention(q, k, v, sl, integer_softmax=True))
+    assert not np.array_equal(a, b)
+    np.testing.assert_allclose(a, b, atol=0.05)  # but still close
+
+
+def test_engine_serves_integer_attention():
+    """Full engine generation under use_integer_attention: multistep
+    deferred-window decode and single-step paths agree (both integer)."""
+    cfg = tiny_cfg()
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+
+    def run(multistep):
+        ecfg = EngineConfig(
+            max_batch_size=2, max_seq_len=64, kv_block_size=8,
+            max_kv_blocks=32, max_prefill_tokens=32,
+            dtype="float32", kv_cache_dtype="float32",
+            decode_batch_buckets=(1, 2), prefill_batch_buckets=(1, 2),
+            prefill_token_buckets=(16,), multistep_decode=multistep,
+            decode_chaining=False, enable_request_merging=False,
+        )
+        return Engine(params, cfg, ecfg).generate(
+            list(range(3, 12)),
+            SamplingParams(temperature=0.0, max_tokens=6)).output_tokens
+
+    single = run(1)
+    multi = run(4)
+    assert len(single) == 6
+    assert single == multi

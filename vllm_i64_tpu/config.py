@@ -94,6 +94,10 @@ class ModelConfig:
     # Attention features
     use_qk_norm: bool = True
     sliding_window: Optional[int] = None
+    # Integer attention (ref: attention.py naive_integer_* :265-466): float
+    # scores and V multiply, but the softmax runs through the Q7->Q16 LUT
+    # integer softmax with -1e4 masks — the bit-exactness experiment path.
+    use_integer_attention: bool = False
 
     # Mu-guidance (learnable equilibrium vector threaded between layers)
     use_mu_guidance: bool = False

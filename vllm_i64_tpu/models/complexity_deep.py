@@ -208,6 +208,7 @@ def _attention_block(
             win_v_l, v.astype(win_v_l.dtype), idx)
         out = paged_attention_window(
             q, k_cache, v_cache, block_tables, ctx0, win_k_l, win_v_l, k_idx,
+            integer_softmax=cfg.use_integer_attention,
         )
         new_kv = (win_k_l, win_v_l)
     elif kv_layer is not None:
@@ -218,11 +219,13 @@ def _attention_block(
         out = paged_attention(
             q, k_cache, v_cache, block_tables, positions, ctx_lens,
             sliding_window=cfg.sliding_window,
+            integer_softmax=cfg.use_integer_attention,
         )
         new_kv = (k_cache, v_cache)
     else:
         out = varlen_self_attention(
-            q, k, v, seq_lens, sliding_window=cfg.sliding_window
+            q, k, v, seq_lens, sliding_window=cfg.sliding_window,
+            integer_softmax=cfg.use_integer_attention,
         )
 
     out = out.reshape(b, t, hq * d)

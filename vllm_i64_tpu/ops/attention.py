@@ -148,6 +148,22 @@ def gather_kv(
     return k.reshape(b, mb * bs, hkv, d), v.reshape(b, mb * bs, hkv, d)
 
 
+
+def _attn_softmax(scores: jax.Array, integer: bool) -> jax.Array:
+    """Safe fp32 softmax, or the Q7/Q16 LUT integer softmax (the reference's
+    integer attention keeps scores and V in float and swaps ONLY the softmax:
+    ref attention.py:265-466 naive_integer_* + moe.py softmax_integer).
+    The integer path pairs with -1e4 masks (Q7: -1e4*128 clamps to the LUT
+    minimum; -inf would overflow the int32 quantize)."""
+    if integer:
+        from .integer import softmax_integer
+
+        return softmax_integer(scores, axis=-1)
+    smax = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
+    unnorm = jnp.exp(scores - smax)
+    return unnorm / jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+
+
 def paged_attention(
     q: jax.Array,  # (B, T, Hq, d) — T=1 for decode
     k_cache: jax.Array,  # (NB, bs, Hkv, d)
@@ -158,6 +174,7 @@ def paged_attention(
     *,
     scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    integer_softmax: bool = False,
 ) -> jax.Array:
     """Causal attention of q against the cached history (which must already
     contain the current tokens — write_kv runs first, matching ref
@@ -172,6 +189,7 @@ def paged_attention(
     if (
         t == 1
         and sliding_window is None
+        and not integer_softmax
         and hkv_d % 128 == 0
         and k_cache.shape[1] % 8 == 0
         and _use_pallas_decode()
@@ -190,6 +208,7 @@ def paged_attention(
         t >= _PALLAS_PREFILL_MIN_T
         and t % 128 == 0
         and sliding_window is None
+        and not integer_softmax
         and hkv_d % 128 == 0
         and k_cache.shape[1] % 8 == 0
         and _use_pallas_prefill()
@@ -221,13 +240,10 @@ def paged_attention(
     if sliding_window is not None:
         mask &= (q_pos[:, :, None] - k_pos[:, None, :]) < sliding_window
 
-    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    fill = jnp.float32(-1e4) if integer_softmax else NEG_INF
+    scores = jnp.where(mask[:, None, None, :, :], scores, fill)
     # Safe softmax: fully-masked (padding) rows produce zeros, not NaN.
-    smax = jnp.max(scores, axis=-1, keepdims=True)
-    smax = jnp.maximum(smax, -1e30)
-    unnorm = jnp.exp(scores - smax)
-    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
-    probs = unnorm / jnp.maximum(denom, 1e-30)
+    probs = _attn_softmax(scores, integer_softmax)
 
     out = jnp.einsum(
         "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
@@ -247,6 +263,7 @@ def paged_attention_window(
     k_idx: jax.Array,  # scalar i32 — current iteration within the window
     *,
     scale: Optional[float] = None,
+    integer_softmax: bool = False,
 ) -> jax.Array:
     """Decode attention with deferred KV writes.
 
@@ -272,22 +289,20 @@ def paged_attention_window(
     scores_h = jnp.einsum(
         "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
+    fill = jnp.float32(-1e4) if integer_softmax else NEG_INF
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     mask_h = k_pos < ctx0[:, None]  # strictly historical
-    scores_h = jnp.where(mask_h[:, None, None, None, :], scores_h, NEG_INF)
+    scores_h = jnp.where(mask_h[:, None, None, None, :], scores_h, fill)
 
     scores_w = jnp.einsum(
         "bthgd,bjhd->bhgtj", qg, win_k, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
     j_pos = jnp.arange(kwin, dtype=jnp.int32)
     mask_w = j_pos <= k_idx  # (K,) — causal within the window
-    scores_w = jnp.where(mask_w[None, None, None, None, :], scores_w, NEG_INF)
+    scores_w = jnp.where(mask_w[None, None, None, None, :], scores_w, fill)
 
     scores = jnp.concatenate([scores_h, scores_w], axis=-1)
-    smax = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
-    unnorm = jnp.exp(scores - smax)
-    denom = jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
-    probs = unnorm / denom
+    probs = _attn_softmax(scores, integer_softmax)
 
     out = jnp.einsum(
         "bhgts,bshd->bthgd", probs[..., :s].astype(v.dtype), v,
@@ -368,6 +383,7 @@ def varlen_self_attention(
     *,
     scale: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    integer_softmax: bool = False,
 ) -> jax.Array:
     """Cache-free causal self-attention (ref naive_varlen_attention
     :123-187) for standalone model forward / parity tests."""
@@ -391,10 +407,9 @@ def varlen_self_attention(
         jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) < seq_lens[:, None]
     )[:, None, :]
 
-    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-    smax = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
-    unnorm = jnp.exp(scores - smax)
-    probs = unnorm / jnp.maximum(jnp.sum(unnorm, axis=-1, keepdims=True), 1e-30)
+    fill = jnp.float32(-1e4) if integer_softmax else NEG_INF
+    scores = jnp.where(mask[:, None, None, :, :], scores, fill)
+    probs = _attn_softmax(scores, integer_softmax)
     out = jnp.einsum(
         "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,

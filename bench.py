@@ -46,6 +46,11 @@ def main() -> None:
                         "--no-w8a8 for weight-only dequant)")
     p.add_argument("--chain", action=argparse.BooleanOptionalAction,
                    default=True, help="pipelined multistep window chaining")
+    p.add_argument("--fused-norm-quant", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="fuse rmsnorm + int8 activation quant into one "
+                        "kernel feeding the W8A8 GEMMs (A/B candidate; "
+                        "numerics identical)")
     p.add_argument("--block-size", type=int, default=128,
                    help="KV cache block size in tokens (v5e sweep: 128 "
                         "more than halves decode gather time vs 16)")
@@ -202,6 +207,7 @@ def main() -> None:
         prefill_token_buckets=(args.prompt_len, max(args.prompt_len, 512)),
         multistep_decode=args.multistep,
         w8a8=args.w8a8 and args.quantization == "int8",
+        fused_norm_quant=args.fused_norm_quant,
         fuse_shared_expert=args.fuse_shared,
         decode_chaining=args.chain,
     )

@@ -211,6 +211,11 @@ class EngineConfig:
     # int8xint8 MXU matmuls (ref: quantization.py:119-224). int8-quantized
     # weights only; logits stay on the dequant path for accuracy.
     w8a8: bool = False
+    # Fuse rmsnorm + per-row int8 activation quant into one kernel feeding
+    # the W8A8 GEMMs (cuts 2 of the 4 per-layer activation quantizes;
+    # numerics identical — the kernel replicates quantize_activations_int8).
+    # Off by default pending the on-chip A/B inside the compiled step.
+    fused_norm_quant: bool = False
     # auto-upgrade the KV cache to fp8 when block usage crosses 70%
     # (ref: kv_cache.py maybe_enable_fp8 :819-831)
     kv_fp8_auto: bool = False

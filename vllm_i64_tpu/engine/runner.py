@@ -99,6 +99,8 @@ class ModelRunner:
         # it before every dispatch (see _sync_w8a8) keeps multiple engines
         # with different settings consistent in one process.
         self._w8a8 = bool(engine_cfg.w8a8)
+        self._fused_norm_quant = bool(
+            engine_cfg.fused_norm_quant and engine_cfg.w8a8)
 
         dtype = jnp.dtype(engine_cfg.kv_cache_dtype)
         num_blocks = engine_cfg.resolve_kv_blocks()
@@ -159,12 +161,13 @@ class ModelRunner:
         flag set (see _W8A8_DISPATCH_LOCK)."""
         import contextlib
 
-        from ..ops.dequant_matmul import set_w8a8
+        from ..ops.dequant_matmul import set_fused_norm_quant, set_w8a8
 
         @contextlib.contextmanager
         def scope():
             with _W8A8_DISPATCH_LOCK:
                 set_w8a8(self._w8a8)
+                set_fused_norm_quant(self._fused_norm_quant)
                 yield
 
         return scope()

@@ -232,6 +232,43 @@ def _attention_block(
     return linear(out, p["o"]), new_kv
 
 
+def _norm_maybe_quant(hidden: jax.Array, w: jax.Array, eps: float, consumer):
+    """rms_norm — fused with per-row int8 activation quant when the
+    consuming GEMM is an int8 W8A8 matmul and EngineConfig.fused_norm_quant
+    is on (ref: kernels/triton/I64_fused_rmsnorm_quant.py — norm + quant in
+    one kernel emitting (int8, scale) straight into the int8 GEMM).
+
+    Returns a float array, or a PreQuantActs marker the W8A8 GEMMs consume
+    without re-quantizing (numerics identical either way: the fused kernel
+    replicates quantize_activations_int8's scale math exactly)."""
+    from ..ops.dequant_matmul import fused_norm_quant_enabled, w8a8_enabled
+    from ..ops.quant import (
+        PreQuantActs,
+        QTensor,
+        quantize_activations_int8,
+    )
+
+    fuse = (
+        fused_norm_quant_enabled()
+        and w8a8_enabled()
+        and isinstance(consumer, QTensor)
+        and consumer.q.ndim == 2
+        and consumer.q.dtype == jnp.int8
+    )
+    if not fuse:
+        return rms_norm(hidden, w, eps)
+    b, t, h = hidden.shape
+    x2 = hidden.reshape(b * t, h)
+    if jax.default_backend() not in ("cpu",) and (b * t) % 8 == 0 \
+            and h % 128 == 0:
+        from ..ops.fused_norm import rmsnorm_quant_pallas
+
+        q, s = rmsnorm_quant_pallas(x2, w, eps)
+    else:
+        q, s = quantize_activations_int8(rms_norm(x2, w, eps))
+    return PreQuantActs(q, s, (b, t, h), hidden.dtype)
+
+
 def _flat_mlp_width(w) -> int:
     """Trailing width of a per-layer mlp weight in flat layout, else 0."""
     from ..ops.quant import QTensor
@@ -363,7 +400,8 @@ def _layer_fn(
         kv_layer = None
 
     res = hidden
-    h = rms_norm(hidden, p["input_ln"], cfg.rms_norm_eps)
+    h = _norm_maybe_quant(hidden, p["input_ln"], cfg.rms_norm_eps,
+                          p.get("qkv", p.get("q")))
     attn_out, new_kv = _attention_block(
         p, cfg, h, positions, mu_prev, kv_layer, block_tables, ctx_lens,
         seq_lens, valid, window_ctx=window_ctx,
@@ -371,7 +409,9 @@ def _layer_fn(
     hidden = res + attn_out
 
     res = hidden
-    h = rms_norm(hidden, p["post_ln"], cfg.rms_norm_eps)
+    mp = p["mlp"]
+    h = _norm_maybe_quant(hidden, p["post_ln"], cfg.rms_norm_eps,
+                          mp.get("gate_up", mp.get("gate")))
     hidden = res + _mlp_block(p, cfg, h, token_ids)
 
     mu_next = mu_prev

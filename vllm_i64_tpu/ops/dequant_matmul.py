@@ -45,6 +45,20 @@ def w8a8_enabled() -> bool:
     return _W8A8
 
 
+# Fused rmsnorm+int8-quant feeding the W8A8 GEMMs (EngineConfig.
+# fused_norm_quant); set per dispatch by the runner like the W8A8 flag.
+_FUSED_NORM_QUANT = False
+
+
+def set_fused_norm_quant(enabled: bool) -> None:
+    global _FUSED_NORM_QUANT
+    _FUSED_NORM_QUANT = bool(enabled)
+
+
+def fused_norm_quant_enabled() -> bool:
+    return _FUSED_NORM_QUANT
+
+
 def int8_dot_rescale(xq: jax.Array, xs: jax.Array, w: QTensor) -> jax.Array:
     """(q(x) @ w.q) rescaled by activation-row x weight-column scales.
 

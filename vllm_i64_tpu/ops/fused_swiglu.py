@@ -113,6 +113,7 @@ def fused_swiglu(x: jax.Array, gate_w, up_w, *,
     weight and proceed as two GEMMs.
     """
     from .dequant_matmul import w8a8_enabled
+    from .quant import PreQuantActs
 
     if up_w is None:
         w = gate_w.q.shape[-1] // 2 if isinstance(gate_w, QTensor) \
@@ -123,10 +124,15 @@ def fused_swiglu(x: jax.Array, gate_w, up_w, *,
             from .quant import quantize_activations_int8
 
             orig = x.shape
-            x2 = x.reshape(-1, orig[-1])
-            xq, xs = quantize_activations_int8(x2)
+            if isinstance(x, PreQuantActs):
+                xq, xs = x.rows()  # pre-quantized by the fused norm kernel
+                dt = x.dtype
+            else:
+                x2 = x.reshape(-1, orig[-1])
+                xq, xs = quantize_activations_int8(x2)
+                dt = x.dtype
             gu = int8_dot_rescale(xq, xs, gate_w)  # ONE GEMM for gate+up
-            out = (jax.nn.silu(gu[:, :w]) * gu[:, w:]).astype(x.dtype)
+            out = (jax.nn.silu(gu[:, :w]) * gu[:, w:]).astype(dt)
             return out.reshape(*orig[:-1], w)
         if isinstance(gate_w, QTensor):
             gate_w, up_w = (
@@ -152,13 +158,18 @@ def fused_swiglu(x: jax.Array, gate_w, up_w, *,
         from .quant import quantize_activations_int8
 
         orig = x.shape
-        x2 = x.reshape(-1, orig[-1])
-        xq, xs = quantize_activations_int8(x2)  # quantize x ONCE, 2 GEMMs
+        if isinstance(x, PreQuantActs):
+            xq, xs = x.rows()
+        else:
+            x2 = x.reshape(-1, orig[-1])
+            xq, xs = quantize_activations_int8(x2)  # quantize ONCE, 2 GEMMs
         g = int8_dot_rescale(xq, xs, gate_w)
         u = int8_dot_rescale(xq, xs, up_w)
         out = (jax.nn.silu(g) * u).astype(x.dtype)
         return out.reshape(*orig[:-1], gate_w.q.shape[-1])
 
+    if isinstance(x, PreQuantActs):
+        x = x.to_float()  # non-W8A8 consumer: identical-numerics fallback
     use_pallas = force_pallas or (
         isinstance(gate_w, QTensor)
         and isinstance(up_w, QTensor)

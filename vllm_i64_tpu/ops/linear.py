@@ -19,6 +19,16 @@ def linear(x: jax.Array, w, *, precision=None) -> jax.Array:
     path is (x @ q) * s — one MXU matmul with int8 weights loaded at
     1 byte/weight (the HBM-bandwidth win that I64_gemm.cu:1-60 gets on GPU).
     """
+    from .quant import PreQuantActs
+
+    if isinstance(x, PreQuantActs):
+        # activations pre-quantized by the fused rmsnorm+quant kernel
+        if isinstance(w, QTensor) and w.q.ndim == 2 and w.q.dtype == jnp.int8:
+            from .dequant_matmul import int8_dot_rescale
+
+            out = int8_dot_rescale(*x.rows(), w).astype(x.dtype)
+            return out.reshape(*x.shape[:-1], out.shape[-1])
+        x = x.to_float()  # non-int8 consumer: identical-numerics fallback
     if isinstance(w, QTensor):
         from .dequant_matmul import dequant_matmul, int8_int8_matmul, w8a8_enabled
 

@@ -160,6 +160,47 @@ def quantize_fp8(w: jax.Array, axis: int = -2) -> QTensor:
     return QTensor(q=q, s=jnp.squeeze(scale, axis=axis))
 
 
+@jax.tree_util.register_pytree_node_class
+class PreQuantActs:
+    """Activations already quantized to per-row int8 (by the fused
+    rmsnorm+quant kernel) — flows INTO the W8A8 GEMMs so they skip their
+    own quantize (ref analog: kernels/triton/I64_fused_rmsnorm_quant.py
+    emits (int8, scale) straight into the int8 GEMM).
+
+    q: (M, H) int8, s: (M, 1) f32 row scales; ``shape``/``dtype`` mirror the
+    float tensor this stands for, so shape-generic call sites keep working.
+    Consumers that cannot use the int8 form dequantize via ``to_float``
+    (identical numerics to quantizing inside the GEMM)."""
+
+    __slots__ = ("q", "s", "shape", "dtype")
+
+    def __init__(self, q, s, shape, dtype):
+        self.q = q
+        self.s = s
+        self.shape = tuple(shape)
+        self.dtype = dtype
+
+    def reshape(self, *shape):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        return PreQuantActs(self.q, self.s, shape, self.dtype)
+
+    def to_float(self) -> jax.Array:
+        x = (self.q.astype(jnp.float32) * self.s).astype(self.dtype)
+        return x.reshape(self.shape)
+
+    def rows(self) -> tuple:
+        """(q (M, H) int8, s (M, 1) f32) for a 2-D consumer."""
+        return self.q, self.s
+
+    def tree_flatten(self):
+        return (self.q, self.s), (self.shape, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, shape=aux[0], dtype=aux[1])
+
+
 def quantize_activations_int8(x: jax.Array):
     """Dynamic per-token (per-row) INT8 activation quantization.
 

@@ -83,23 +83,29 @@ class TestUnpackParity:
         ref = ref_awq._unpack_gptq_qzeros(torch.from_numpy(packed)).numpy()
         np.testing.assert_array_equal(ours, ref)
 
-    def test_gptq_desc_act_reorder_matches_reference(self, rng):
+    def test_gptq_desc_act_deviates_from_reference_reorder(self, rng):
+        """DELIBERATE deviation: the reference permutes qweight rows by
+        argsort(g_idx) and never inverts the permutation
+        (ref _reorder_by_g_idx), which misaligns input channels with
+        activations. We dequantize per row via (scales/zeros)[g_idx]
+        instead — row i keeps its place and its own group constants."""
+        from vllm_i64_tpu.core.awq_gptq import QuantConfig, dequantize_awq_gptq
+
         q = rng.integers(0, 16, (256, 16)).astype(np.uint8)
-        g_idx = rng.permutation(256).astype(np.int64) // 128
-        ref = ref_awq._reorder_by_g_idx(
+        g_idx = (rng.permutation(256) // 128).astype(np.int64)
+        scales = rng.random((2, 16)).astype(np.float32) + 0.5
+        cfg = QuantConfig(method="gptq", bits=4, group_size=128,
+                          desc_act=True)
+        zeros8 = np.full((2, 16), 7, np.uint8)  # stored z-1 for z=8
+        ours = dequantize_awq_gptq(
+            pack_rows(q), scales, pack_cols(zeros8), g_idx, cfg)
+        want = (q.astype(np.float32) - 8.0) * scales[g_idx]
+        np.testing.assert_allclose(ours, want)
+        # and the reference WOULD have permuted the rows (asserting the
+        # divergence is real, not accidental agreement)
+        ref_rows = ref_awq._reorder_by_g_idx(
             torch.from_numpy(q), torch.from_numpy(g_idx), 128, 2).numpy()
-        ours = q[np.argsort(g_idx, kind="stable")]
-        # tie-break note: the reference's default torch.argsort is NOT
-        # stable, so same-group row order is platform-dependent there; we
-        # pin stable order. Compare against the reference's stable variant
-        # (identical math, deterministic tie order).
-        ref_stable = q[torch.argsort(torch.from_numpy(g_idx),
-                                     stable=True).numpy()]
-        np.testing.assert_array_equal(ours, ref_stable)
-        assert ref.shape == ours.shape
-        # group membership after reorder is identical either way
-        np.testing.assert_array_equal(
-            np.sort(ref[:128].flatten()), np.sort(ours[:128].flatten()))
+        assert not np.array_equal(ref_rows, q)
 
 
 class TestDequantParity:

@@ -185,3 +185,32 @@ def test_two_process_jax_distributed_smoke(tmp_path):
     ):
         expected = make_engine().generate(list(prompt), sp).output_tokens
         assert got == expected
+
+
+def test_router_cancel_cleans_up_local_and_remote():
+    """Timeout/cancel must drop router state and stop the request wherever
+    it runs (regression: a timed-out request leaked accounting forever)."""
+    import threading
+
+    worker = HostWorker(make_engine())
+    t = threading.Thread(target=worker.serve_forever, daemon=True)
+    t.start()
+    try:
+        router = CrossHostRouter(
+            local_engine=make_engine(),
+            worker_addrs=[f"127.0.0.1:{worker.port}"])
+        sp = SamplingParams(temperature=0.0, max_tokens=50)
+        sids = [router.add_request([5, 17, 42, 7], sp) for _ in range(2)]
+        # one went local, one remote (least-loaded alternation)
+        targets = {router._sid_to_req[s].target for s in sids}
+        assert targets == {-1, 0}
+        for s in sids:
+            router.cancel(s)
+        assert router._sid_to_req == {}
+        assert router._local_outstanding == 0
+        assert router._sid_to_local_rid == {}
+        # cancelling an unknown sid is a no-op
+        router.cancel(999)
+        router.shutdown()
+    finally:
+        worker._stop.set()

@@ -132,3 +132,68 @@ def test_engine_serves_many_expert_config_through_ep():
     eng = Engine(sharded, cfg.replace(moe_backend="ep_a2a"), ecfg, mesh=mesh)
     got = eng.generate(prompt, sp)
     assert got.output_tokens == ref.output_tokens
+
+
+def test_ep_forward_int8_flat_layout_with_tp():
+    """flat (H, E*I) int8 sharded over BOTH ep and tp: with tp > 1 a
+    device's chunk covers fractional experts, so the column->expert mask
+    mapping must be exact (regression: a uniform repeat masked the wrong
+    columns whenever tp > 1)."""
+    from vllm_i64_tpu.core.quantize_model import quantize_params
+
+    cfg = many_expert_config(8)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(7))
+    qparams = quantize_params(params, cfg, "int8")
+    mesh = make_mesh(ParallelConfig(dp=1, ep=4, tp=2))
+    sharded = shard_params(qparams, cfg, mesh)
+    ep_dispatch.set_ep_mesh(mesh)
+
+    tokens = jnp.asarray(
+        np.random.default_rng(8).integers(3, 250, size=(1, 10)), jnp.int32)
+    ref = cdm.forward(qparams, cfg, tokens)
+    got = cdm.forward(sharded, cfg.replace(moe_backend="ep_a2a"), tokens)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=5e-3)
+
+
+def test_ep_rejects_indivisible_experts():
+    """E not divisible by ep must raise, not silently drop expert mass."""
+    cfg = many_expert_config(8).replace(num_experts=6, intermediate_size=96)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(9))
+    mesh = make_mesh(ParallelConfig(dp=1, ep=4, tp=1))
+    ep_dispatch.set_ep_mesh(mesh)
+    mlp = {k: v[0] for k, v in params["layers"]["mlp"].items()}
+    x = jnp.zeros((4, cfg.hidden_size), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        ep_dispatch.ep_routed_experts(
+            x, jnp.zeros((4,), jnp.int32),
+            gate_w=mlp["gate"], up_w=mlp["up"], down_w=mlp["down"],
+            topk_table=mlp["route_table"], num_experts=6,
+            vocab_size=cfg.vocab_size, primary_weight=0.5)
+
+
+def test_ep_consumes_prequant_acts():
+    """The fused-norm-quant marker must flow through the EP path (it
+    dequantizes it locally — identical numerics)."""
+    from vllm_i64_tpu.ops.quant import PreQuantActs, quantize_activations_int8
+
+    cfg = many_expert_config(8)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(10))
+    mesh = make_mesh(ParallelConfig(dp=1, ep=8, tp=1))
+    ep_dispatch.set_ep_mesh(mesh)
+    mlp = {k: v[0] for k, v in params["layers"]["mlp"].items()}
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((4, cfg.hidden_size)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 250, size=(4,)), jnp.int32)
+
+    def run(inp):
+        return np.asarray(ep_dispatch.ep_routed_experts(
+            inp, ids, gate_w=mlp["gate"], up_w=mlp["up"],
+            down_w=mlp["down"], topk_table=mlp["route_table"],
+            num_experts=8, vocab_size=cfg.vocab_size, primary_weight=0.5))
+
+    q, sscale = quantize_activations_int8(x)
+    pre = PreQuantActs(q, sscale, x.shape, x.dtype)
+    got = run(pre)
+    want = run(pre.to_float())
+    np.testing.assert_array_equal(got, want)

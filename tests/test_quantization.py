@@ -152,14 +152,13 @@ def test_gptq_desc_act_reorder(rng):
     g_idx = (perm // gs).astype(np.int32)  # channel i belongs to group of perm
 
     cfg = QuantConfig(method="gptq", bits=4, group_size=gs, desc_act=True)
+    scales = rng.random((groups, n_out)).astype(np.float32) + 0.5
     w = dequantize_awq_gptq(pack_rows_lsb(q), scales,
                             pack_cols_lsb(zeros - 1), g_idx, cfg)
-    # rows must be reordered by STABLE argsort(g_idx) (same-group tie
-    # order is pinned; unstable sorts permute platform-dependently)
-    order = np.argsort(g_idx, kind="stable")
-    np.testing.assert_allclose(
-        w, (q[order].astype(np.float32).reshape(groups, gs, n_out)
-            - 8.0).reshape(n_in, n_out))
+    # per-ROW group dequant: row i uses (scales/zeros)[g_idx[i]] with NO
+    # reordering, so the weight stays aligned with the activations
+    want = (q.astype(np.float32) - 8.0) * scales[g_idx]
+    np.testing.assert_allclose(w, want)
 
 
 def test_convert_quantized_state_dict(rng):

@@ -4,8 +4,10 @@ Mirrors the reference's unpack semantics (ref: vllm_i64/core/awq_gptq.py):
 - qweight int32, 8 nibbles LSB-first along the input axis -> (in, out)
 - qzeros int32, 8 nibbles LSB-first along the output axis -> (groups, out),
   with the AutoAWQ/GPTQ +1 zero-point offset restored
-- GPTQ desc_act: g_idx argsort reorders input channels into sequential
-  groups (ref :246-273)
+- GPTQ desc_act: per-ROW (scales/zeros)[g_idx] dequant — g_idx maps each
+  stored input channel to its group (deviation: the reference permutes
+  rows by argsort(g_idx) without inverting, ref :246-273, which misaligns
+  weights with activations; we keep the rows in place)
 - dequant: (q - z) * s per group over the input axis
 
 The converter rewrites each quantized tensor group into a plain float
@@ -99,11 +101,16 @@ def dequantize_awq_gptq(
         z = np.full((groups, n_out), 8.0, np.float32)
 
     if g_idx is not None and cfg.desc_act:
-        # reorder input channels into sequential group order (ref :246-273)
-        # stable sort: g_idx is all ties within a group, and an unstable
-        # sort would permute same-group rows platform-dependently
-        order = np.argsort(np.asarray(g_idx), kind="stable")
-        w = w[order]
+        # desc_act: qweight rows are stored in ORIGINAL input-channel order
+        # with g_idx mapping each row to its quantization group — dequantize
+        # per row via a scales/zeros gather so the weight stays aligned with
+        # the activations. (The reference instead permutes the rows by
+        # argsort(g_idx) and never inverts the permutation,
+        # ref :246-273 — input channel j would multiply the weight row of a
+        # DIFFERENT channel. Deliberate deviation: we keep the math right;
+        # tests/test_awq_reference_parity.py documents it.)
+        g = np.clip(np.asarray(g_idx, np.int64), 0, groups - 1)
+        return (w - z[g]) * scales[g]
 
     gs = n_in // groups
     wg = w.reshape(groups, gs, n_out)
@@ -156,14 +163,17 @@ def unpack_to_q4_parts(
     groups = scales.shape[0]
     if n_in % 2 or groups == 0 or n_in % groups:
         return None
+    if g_idx is not None and cfg.desc_act:
+        # desc_act assigns groups per-ROW via g_idx; the Q4Tensor layout
+        # needs contiguous input-axis groups — serve through the float
+        # conversion instead (correct per-row dequant there)
+        return None
     gs = n_in // groups
     if qzeros is not None:
         z = _unpack_nibbles_cols(qzeros).astype(np.float32)
         z = np.clip(z + 1.0, 0, 15)  # restore the packing's -1 offset
     else:
         z = np.full((groups, n_out), 8.0, np.float32)
-    if g_idx is not None and cfg.desc_act:
-        w = w[np.argsort(np.asarray(g_idx), kind="stable")]
     packed = (w[0::2].astype(np.uint8) << 4) | w[1::2].astype(np.uint8)
     return Q4Parts(packed=packed, scales=scales, zeros=z, group_size=gs)
 

@@ -89,18 +89,15 @@ class ModelRunner:
 
             _attn._PALLAS_DECODE = False
             _attn._PALLAS_PREFILL = False  # single-device program
-            # the ep_a2a MoE backend opens a shard_map over these axes
-            # inside the layer body (ops/ep_dispatch.ep_routed_experts)
-            from ..ops import ep_dispatch as _epd
-
-            _epd.set_ep_mesh(mesh)
 
         # W8A8 is a module-level flag captured when a program traces; setting
         # it before every dispatch (see _sync_w8a8) keeps multiple engines
         # with different settings consistent in one process.
         self._w8a8 = bool(engine_cfg.w8a8)
+        # the fused norm+quant Pallas kernel is a single-device program,
+        # like every other Pallas kernel this runner gates off under a mesh
         self._fused_norm_quant = bool(
-            engine_cfg.fused_norm_quant and engine_cfg.w8a8)
+            engine_cfg.fused_norm_quant and engine_cfg.w8a8 and mesh is None)
 
         dtype = jnp.dtype(engine_cfg.kv_cache_dtype)
         num_blocks = engine_cfg.resolve_kv_blocks()
@@ -162,12 +159,17 @@ class ModelRunner:
         import contextlib
 
         from ..ops.dequant_matmul import set_fused_norm_quant, set_w8a8
+        from ..ops.ep_dispatch import set_ep_mesh
 
         @contextlib.contextmanager
         def scope():
             with _W8A8_DISPATCH_LOCK:
                 set_w8a8(self._w8a8)
                 set_fused_norm_quant(self._fused_norm_quant)
+                # per-dispatch, like the W8A8 flag: two runners on
+                # DIFFERENT meshes (disaggregated prefill/decode groups)
+                # must each trace ep_a2a shard_maps against their OWN mesh
+                set_ep_mesh(self.mesh)
                 yield
 
         return scope()

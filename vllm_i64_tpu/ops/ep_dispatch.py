@@ -228,7 +228,20 @@ def ep_routed_experts(
     tp_in_mesh = "tp" in mesh.axis_names
     ep_axes = tuple(a for a, on in (("ep", ep_in_mesh), ("tp", tp_in_mesh)) if on)
     d_ep = mesh.shape.get("ep", 1)
+    d_tp = mesh.shape.get("tp", 1) if tp_in_mesh else 1
+    if num_experts % max(d_ep, 1):
+        # a floored e_local would silently drop every route to the trailing
+        # experts (they'd match no device's selection)
+        raise ValueError(
+            f"num_experts ({num_experts}) not divisible by ep={d_ep}")
 
+    from .quant import PreQuantActs
+
+    if isinstance(x, PreQuantActs):
+        # the EP path gathers token rows before its local GEMMs — consume
+        # the fused-norm-quant marker as float (identical numerics)
+        x = x.to_float()
+    x = x.reshape(-1, x.shape[-1])
     n, h = x.shape
     acc_t = _acc_dtype(x.dtype)
     k = topk_table.shape[0]
@@ -268,9 +281,21 @@ def ep_routed_experts(
             gq, gs, uq, us, dq, ds = weights
             gate_l, up_l, down_l = QTensor(gq, gs), QTensor(uq, us), QTensor(dq, ds)
             inter = fused_swiglu(rows, gate_l, up_l)  # (C, local_flat)
-            i_size = inter.shape[-1] // e_local
-            inter = (inter.astype(acc_t)
-                     * jnp.repeat(mask, i_size, axis=1)).astype(rows.dtype)
+            # map each LOCAL flat column back to its owning expert: the
+            # global flat axis shards ("ep","tp")-major, so this device's
+            # chunk starts at (my_ep*d_tp + my_tp) * local_w — with tp > 1
+            # a chunk can cover fractional experts, so a uniform
+            # repeat(mask, local_w // e_local) would mask the wrong columns
+            local_w = inter.shape[-1]
+            my_tp = jax.lax.axis_index("tp") if tp_in_mesh else jnp.int32(0)
+            i_global = (local_w * d_ep * d_tp) // num_experts
+            col0 = (my * d_tp + my_tp) * local_w
+            col_e_local = (
+                (col0 + jnp.arange(local_w, dtype=jnp.int32)) // i_global
+                - my * e_local
+            )  # (local_w,) in [0, e_local)
+            mask_cols = jnp.take(mask, col_e_local, axis=1)  # (C, local_w)
+            inter = (inter.astype(acc_t) * mask_cols).astype(rows.dtype)
             out_rows = linear(inter, down_l)  # (C, H)
         else:
             gate_l, up_l, down_l = weights

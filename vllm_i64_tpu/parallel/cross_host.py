@@ -154,13 +154,15 @@ class HostWorker:
         rfile = sock.makefile("r", encoding="utf-8")
         try:
             for line in rfile:
+                op = None
                 try:
                     msg = json.loads(line)
+                    op = msg.get("op")
                     resp = self._handle(msg)
                 except Exception as exc:  # protocol robustness
                     resp = {"error": repr(exc)[:200]}
                 sock.sendall((json.dumps(resp) + "\n").encode())
-                if msg.get("op") == "stop":
+                if op == "stop":
                     break
         finally:
             sock.close()
@@ -169,9 +171,19 @@ class HostWorker:
         op = msg.get("op")
         if op == "add":
             sp = params_from_wire(msg.get("params", {}))
-            rid = self.engine.add_request(list(msg["prompt"]), sp)
+            # admission and mapping registration must be atomic vs the
+            # engine loop: it holds the same lock while attributing step
+            # results, so a first token can never land before the rid is
+            # known (it would be dropped permanently otherwise)
             with self._lock:
+                rid = self.engine.add_request(list(msg["prompt"]), sp)
                 self._sid_to_rid[int(msg["sid"])] = rid
+            return {"ok": 1}
+        if op == "cancel":
+            with self._lock:
+                rid = self._sid_to_rid.pop(int(msg["sid"]), None)
+            if rid is not None:
+                self.engine.cancel_request(rid)
             return {"ok": 1}
         if op == "poll":
             with self._lock:
@@ -216,11 +228,20 @@ class WorkerClient:
     def poll(self) -> List[dict]:
         r = self.conn.request({"op": "poll"})
         events = r.get("events", [])
-        self.outstanding -= sum(1 for e in events if e.get("finished"))
+        done = sum(1 for e in events if e.get("finished"))
+        # clamp: a cancel that raced a finish may have already decremented
+        self.outstanding = max(0, self.outstanding - done)
         return events
 
     def stats(self) -> dict:
         return self.conn.request({"op": "stats"}).get("stats", {})
+
+    def cancel(self, sid: int) -> None:
+        try:
+            self.conn.request({"op": "cancel", "sid": sid})
+        except (ConnectionError, OSError):
+            return
+        self.outstanding = max(0, self.outstanding - 1)
 
     def stop(self) -> None:
         try:
@@ -318,10 +339,26 @@ class CrossHostRouter:
         rr = self._sid_to_req[sid]
         while not rr.finished:
             if time.monotonic() > deadline:
+                self.cancel(sid)
                 raise TimeoutError(f"request {sid} did not finish")
             self.step()
             time.sleep(0.001)
         return self._sid_to_req.pop(sid)
+
+    def cancel(self, sid: int) -> None:
+        """Cancel a routed request wherever it runs and drop its state
+        (otherwise a timed-out request leaks router accounting forever)."""
+        with self._lock:
+            rr = self._sid_to_req.pop(sid, None)
+            if rr is None:
+                return
+            if rr.target == -1:
+                rid = self._sid_to_local_rid.pop(sid, None)
+                if rid is not None:
+                    self.local_engine.cancel_request(rid)
+                    self._local_outstanding -= 1
+            else:
+                self.workers[rr.target].cancel(sid)
 
     def get_stats(self) -> dict:
         out = {
@@ -365,7 +402,7 @@ def exchange_worker_addrs(worker_port: int, host_ip: str = "127.0.0.1"):
     return addrs
 
 
-def launch_cross_host(engine_factory, host_ip: str = "127.0.0.1",
+def launch_cross_host(engine_factory, host_ip: Optional[str] = None,
                       with_local_engine: bool = True):
     """Role split after jax.distributed is initialized
     (ref: worker.py:97-121 rank-0 serves, ranks>0 compute).
@@ -374,8 +411,13 @@ def launch_cross_host(engine_factory, host_ip: str = "127.0.0.1",
     (plus its own local engine when with_local_engine).
     Hosts >0: this call BLOCKS serving the engine worker until the router
     sends a stop command, then returns None."""
+    import os
+
     import jax
 
+    if host_ip is None:
+        # real pods must advertise a reachable address, not loopback
+        host_ip = os.environ.get("VLLM_I64_TPU_HOST_IP", "127.0.0.1")
     if jax.process_count() == 1:
         return CrossHostRouter(local_engine=engine_factory())
 

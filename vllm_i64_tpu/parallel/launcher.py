@@ -58,7 +58,8 @@ def is_serving_host() -> bool:
     return jax.process_index() == 0
 
 
-def launch_cross_host_serving(engine_factory, run_server=None):
+def launch_cross_host_serving(engine_factory, run_server=None,
+                              host_ip: Optional[str] = None):
     """Cross-host continuous batching role split (ref: worker.py:97-121,
     generalized): after init_distributed, host 0 builds a CrossHostRouter
     over every other host's engine worker (parallel/cross_host.py) and runs
@@ -67,7 +68,9 @@ def launch_cross_host_serving(engine_factory, run_server=None):
     worker hosts."""
     from .cross_host import launch_cross_host
 
-    router = launch_cross_host(engine_factory)
+    # host_ip must be a cross-host-reachable address on real pods —
+    # defaults to $VLLM_I64_TPU_HOST_IP (loopback only for local tests)
+    router = launch_cross_host(engine_factory, host_ip=host_ip)
     if router is None:
         return None  # worker host finished serving
     if run_server is not None:

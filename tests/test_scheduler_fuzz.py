@@ -138,3 +138,82 @@ def test_modelless_engine_random_ops_conserve_slots():
         guard += 1
     assert len(eng._free_slots) == ecfg.max_batch_size
     assert not eng._params_by_rid and not eng._slot_by_rid
+
+
+class _FuzzSwapStore:
+    """Strict swap store: flags double-restores, unknown handles, and
+    tracks live bytes like core.kv_swap.RunnerKVSwap."""
+
+    def __init__(self, reject_every=5):
+        self.live = {}
+        self._n = 0
+        self.reject_every = reject_every
+
+    def swap_out(self, block_ids):
+        self._n += 1
+        if self.reject_every and self._n % self.reject_every == 0:
+            return None  # over-budget path
+        handle = ("h", self._n)
+        self.live[handle] = len(block_ids)
+        return handle
+
+    def swap_in(self, handle, target_block_ids):
+        n = self.live.pop(handle)  # KeyError = double restore / unknown
+        assert n == len(target_block_ids)
+
+    def discard(self, handle):
+        self.live.pop(handle)
+
+
+def test_scheduler_random_ops_with_kv_swap():
+    """The KV-swap preemption path must preserve every scheduler invariant
+    AND the swap-store ledger: a handle is swapped in or discarded exactly
+    once, and every swapped-PENDING request holds a live handle."""
+    rng = random.Random(7)
+    nprng = np.random.default_rng(7)
+    store = _FuzzSwapStore()
+    s = Scheduler(max_batch_size=4, max_seq_len=64, kv_block_size=4,
+                  max_kv_blocks=20, max_prefill_tokens=16,
+                  enable_preemption=True, enable_prefix_caching=False,
+                  kv_swap=store)
+    live_rids = []
+    for step in range(500):
+        op = rng.random()
+        if op < 0.35 and len(live_rids) < 24:
+            rid = s.add_request(
+                nprng.integers(1, 200, int(nprng.integers(2, 30))),
+                max_new_tokens=int(nprng.integers(1, 10)),
+                priority=rng.choice([0, 0, 3, -1, -3]))
+            live_rids.append(rid)
+        elif op < 0.45 and live_rids:
+            s.cancel(rng.choice(live_rids))
+        else:
+            batch = s.schedule()
+            if batch is not None:
+                toks = {sq.request.request_id: int(nprng.integers(1, 200))
+                        for sq in batch.seqs if sq.needs_sample}
+                s.update_after_step(batch, toks)
+        _check_invariants(s)
+        # swap-ledger invariants
+        swapped = [r for r in s._requests.values() if r._swapped is not None]
+        for r in swapped:
+            assert r.state == RequestState.PENDING, r
+            assert r._swapped[0] in store.live, "handle lost"
+        # every live handle belongs to exactly one swapped request
+        owners = [r._swapped[0] for r in swapped]
+        assert len(owners) == len(set(owners))
+        assert set(owners) == set(store.live), (owners, store.live)
+        live_rids = [rid for rid in live_rids
+                     if (req := s.get_request(rid)) is not None
+                     and req.state != RequestState.FINISHED]
+    # drain: everything finishes, ledger empties
+    for _ in range(300):
+        if not s.has_work:
+            break
+        batch = s.schedule()
+        if batch is None:
+            break
+        s.update_after_step(batch, {
+            sq.request.request_id: 1
+            for sq in batch.seqs if sq.needs_sample})
+    assert store.live == {}, f"leaked swap handles: {store.live}"

@@ -277,8 +277,16 @@ class EngineConfig:
     # shared segment would need replication while experts shard).
     fuse_shared_expert: bool = True
 
+    # KV auto-sizing: with max_kv_blocks=0, fill free device memory up to
+    # this fraction (vLLM's gpu_memory_utilization analog). Falls back to
+    # the static heuristic when the backend exposes no memory stats.
+    hbm_utilization: float = 0.9
+
     def resolve_kv_blocks(self) -> int:
-        """Auto KV block count (ref: engine/config.py resolve_kv_blocks)."""
+        """Static auto KV block count (ref: engine/config.py
+        resolve_kv_blocks). The runner upgrades this to an HBM-measured
+        count when device memory stats are available (see
+        engine/runner._auto_kv_blocks)."""
         if self.max_kv_blocks and self.max_kv_blocks > 0:
             return self.max_kv_blocks
         per_seq = -(-self.max_seq_len // self.kv_block_size)

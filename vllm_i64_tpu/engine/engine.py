@@ -143,19 +143,6 @@ class Engine:
         self.tokenizer = tokenizer
 
         ec = self.engine_config
-        # a single prefill chunk can never exceed the widest compiled
-        # token bucket — clamp the scheduler budget so rows always fit
-        chunk_budget = min(ec.max_prefill_tokens,
-                           max(ec.prefill_token_buckets))
-        self.scheduler = Scheduler(
-            max_batch_size=ec.max_batch_size,
-            max_seq_len=ec.max_seq_len,
-            kv_block_size=ec.kv_block_size,
-            max_kv_blocks=ec.resolve_kv_blocks(),
-            max_prefill_tokens=chunk_budget,
-            enable_preemption=ec.enable_preemption,
-            enable_prefix_caching=ec.enable_prefix_caching,
-        )
 
         self.runner: Optional[ModelRunner] = None
         if params is not None:
@@ -179,14 +166,32 @@ class Engine:
 
                 params = materialize_lm_head(params, self.model_config)
             self.runner = ModelRunner(params, self.model_config, ec, mesh=mesh)
-            if ec.enable_kv_swap:
-                # preemption saves KV to host instead of discarding it
-                # (ref: kv_cache.py:711-813; see core/kv_swap.py)
-                from ..core.kv_swap import RunnerKVSwap
 
-                self.scheduler.kv_swap = RunnerKVSwap(
-                    self.runner, ec.kv_swap_max_mb * 1024 * 1024
-                )
+        # the scheduler's pool must match the runner's allocated cache —
+        # the runner may upgrade the auto block count from measured free
+        # HBM (engine/runner._auto_kv_blocks)
+        # a single prefill chunk can never exceed the widest compiled
+        # token bucket — clamp the scheduler budget so rows always fit
+        chunk_budget = min(ec.max_prefill_tokens,
+                           max(ec.prefill_token_buckets))
+        self.scheduler = Scheduler(
+            max_batch_size=ec.max_batch_size,
+            max_seq_len=ec.max_seq_len,
+            kv_block_size=ec.kv_block_size,
+            max_kv_blocks=(self.runner.num_blocks if self.runner is not None
+                           else ec.resolve_kv_blocks()),
+            max_prefill_tokens=chunk_budget,
+            enable_preemption=ec.enable_preemption,
+            enable_prefix_caching=ec.enable_prefix_caching,
+        )
+        if ec.enable_kv_swap and self.runner is not None:
+            # preemption saves KV to host instead of discarding it
+            # (ref: kv_cache.py:711-813; see core/kv_swap.py)
+            from ..core.kv_swap import RunnerKVSwap
+
+            self.scheduler.kv_swap = RunnerKVSwap(
+                self.runner, ec.kv_swap_max_mb * 1024 * 1024
+            )
 
         # hot-swap LoRA adapters (enabled via enable_lora(); ref:
         # i64_engine.py:402-454)

@@ -67,6 +67,39 @@ def _bucket(value: int, buckets) -> int:
     return buckets[-1]
 
 
+def _auto_kv_blocks(device, per_block_bytes: int, ecfg: EngineConfig,
+                    fallback: int) -> int:
+    """HBM-measured KV pool size (vLLM's gpu_memory_utilization analog).
+
+    With max_kv_blocks=0, fill free device memory (after weights are
+    resident) up to ``hbm_utilization``, leaving headroom for activations,
+    logits buffers, and compiled-program scratch. Backends without memory
+    stats (CPU, some plugins) keep the static heuristic."""
+    try:
+        if getattr(device, "platform", "cpu") == "cpu":
+            # host "memory_stats" would report RAM, not accelerator HBM —
+            # a pool sized to host memory explodes CPU test configs
+            return fallback
+        stats = device.memory_stats()
+        limit = int(stats["bytes_limit"])
+        in_use = int(stats.get("bytes_in_use", 0))
+    except Exception:
+        return fallback
+    # headroom: logits (+ sampler) buffers scale with B x vocab; programs
+    # and window side buffers take a few hundred MB on the flagship shapes
+    headroom = 512 * 1024 * 1024
+    budget = int(limit * ecfg.hbm_utilization) - in_use - headroom
+    if budget <= per_block_bytes:
+        return fallback
+    blocks = budget // per_block_bytes
+    if blocks < fallback:
+        logger.warning(
+            "HBM budget (%d MB free) sizes the KV pool to %d blocks, "
+            "below the workload heuristic of %d — memory pressure likely",
+            budget >> 20, blocks, fallback)
+    return max(int(blocks), 16)
+
+
 class ModelRunner:
     """Device-state owner + bucketed step program dispatcher."""
 
@@ -101,6 +134,19 @@ class ModelRunner:
 
         dtype = jnp.dtype(engine_cfg.kv_cache_dtype)
         num_blocks = engine_cfg.resolve_kv_blocks()
+        if not engine_cfg.max_kv_blocks:  # auto: measure free HBM
+            per_block = (
+                2 * model_cfg.num_hidden_layers * engine_cfg.kv_block_size
+                * model_cfg.num_key_value_heads * model_cfg.head_dim
+                * jnp.dtype(dtype).itemsize
+            )
+            dev = (mesh.devices.flat[0] if mesh is not None
+                   else jax.devices()[0])
+            # under a tp mesh each device holds 1/tp of every block, so the
+            # per-device budget supports tp x more blocks — keeping the
+            # unscaled count is deliberately conservative
+            num_blocks = _auto_kv_blocks(
+                dev, per_block, engine_cfg, num_blocks)
         self.num_blocks = num_blocks
         kv_shape = (
             model_cfg.num_hidden_layers,

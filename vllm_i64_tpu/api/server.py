@@ -60,10 +60,20 @@ class Server(CompletionsMixin, AdminMixin, ServicesMixin):
         retriever=None,
         sandbox=None,
         metrics_port: int = 0,
+        router=None,
     ):
         self.logger = logging.getLogger("vllm_i64_tpu.server")
         self.engine = engine
         self.async_engine = AsyncEngine(engine) if engine is not None else None
+        if router is not None:
+            # cross-host serving: completions route to the least-loaded
+            # host through the router; admin endpoints read the local
+            # engine when one exists (parallel/cross_host.py)
+            from ..parallel.cross_host import AsyncRouterEngine
+
+            self.async_engine = AsyncRouterEngine(router)
+            if self.engine is None:
+                self.engine = router.local_engine
         self.tokenizer = tokenizer
         self.chat_template = chat_template or ChatTemplate.default()
         self.model_name = model_name

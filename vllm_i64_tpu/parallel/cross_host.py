@@ -175,8 +175,12 @@ class HostWorker:
             # engine loop: it holds the same lock while attributing step
             # results, so a first token can never land before the rid is
             # known (it would be dropped permanently otherwise)
+            ns = bytes.fromhex(msg["ns"]) if msg.get("ns") else None
             with self._lock:
-                rid = self.engine.add_request(list(msg["prompt"]), sp)
+                rid = self.engine.add_request(
+                    list(msg["prompt"]), sp,
+                    priority=int(msg.get("priority", 0)),
+                    cache_namespace=ns)
                 self._sid_to_rid[int(msg["sid"])] = rid
             return {"ok": 1}
         if op == "cancel":
@@ -216,10 +220,13 @@ class WorkerClient:
         self.conn = _LineConn(sock)
         self.outstanding = 0
 
-    def add(self, sid: int, prompt: List[int], params) -> None:
+    def add(self, sid: int, prompt: List[int], params,
+            priority: int = 0,
+            cache_namespace: Optional[bytes] = None) -> None:
         r = self.conn.request({
             "op": "add", "sid": sid, "prompt": list(map(int, prompt)),
-            "params": params_to_wire(params),
+            "params": params_to_wire(params), "priority": int(priority),
+            "ns": cache_namespace.hex() if cache_namespace else None,
         })
         if "error" in r:
             raise RuntimeError(f"worker {self.addr}: {r['error']}")
@@ -286,7 +293,9 @@ class CrossHostRouter:
         loads.extend((w.outstanding, i) for i, w in enumerate(self.workers))
         return min(loads)[1]
 
-    def add_request(self, prompt_token_ids, sampling_params) -> int:
+    def add_request(self, prompt_token_ids, sampling_params,
+                    priority: int = 0,
+                    cache_namespace: Optional[bytes] = None) -> int:
         with self._lock:
             sid = self._next_sid
             self._next_sid += 1
@@ -295,11 +304,14 @@ class CrossHostRouter:
             self._sid_to_req[sid] = rr
             if target == -1:
                 rid = self.local_engine.add_request(
-                    list(prompt_token_ids), sampling_params)
+                    list(prompt_token_ids), sampling_params,
+                    priority=priority, cache_namespace=cache_namespace)
                 self._sid_to_local_rid[sid] = rid
                 self._local_outstanding += 1
             else:
-                self.workers[target].add(sid, prompt_token_ids, sampling_params)
+                self.workers[target].add(
+                    sid, prompt_token_ids, sampling_params,
+                    priority=priority, cache_namespace=cache_namespace)
         return sid
 
     # -- progress ------------------------------------------------------------
@@ -430,3 +442,168 @@ def launch_cross_host(engine_factory, host_ip: Optional[str] = None,
     exchange_worker_addrs(worker.port, host_ip)
     worker.serve_forever()
     return None
+
+
+# ---------------------------------------------------------------------------
+# Async facade: host-0 HTTP serves THROUGH the router
+# ---------------------------------------------------------------------------
+
+
+class AsyncRouterEngine:
+    """AsyncEngine-compatible facade over a CrossHostRouter, so the HTTP
+    server on host 0 streams completions from whichever host runs them
+    (the "rank-0 serves" role of ref worker.py:97-121, generalized to
+    data-parallel hosts). Implements the server-facing subset of
+    engine.async_engine.AsyncEngine: start/stop, generate,
+    generate_stream (ints then ("__done__", reason)), cancel_request,
+    active_requests."""
+
+    DONE = "__done__"
+
+    def __init__(self, router: CrossHostRouter, max_queue_depth: int = 512):
+        import asyncio
+
+        self.router = router
+        self.max_queue_depth = max_queue_depth
+        self.active_requests = 0
+        self._targets: Dict[int, object] = {}  # sid -> Future | Queue
+        self._delivered: Dict[int, int] = {}
+        self._t0: Dict[int, float] = {}
+        self._running = False
+        self._draining = False
+        self._task = None
+        self._asyncio = asyncio
+
+    async def start(self) -> None:
+        self._running = True
+        self._task = self._asyncio.get_running_loop().create_task(
+            self._pump_loop())
+
+    async def stop(self, drain_timeout: float = 30.0) -> None:
+        self._draining = True
+        deadline = time.monotonic() + drain_timeout
+        while self.active_requests > 0 and time.monotonic() < deadline:
+            await self._asyncio.sleep(0.02)
+        self._running = False
+        if self._task is not None:
+            await self._asyncio.gather(self._task, return_exceptions=True)
+        self.router.shutdown()
+
+    async def cancel_request(self, sid: int) -> None:
+        loop = self._asyncio.get_running_loop()
+        await loop.run_in_executor(None, self.router.cancel, sid)
+        target = self._targets.pop(sid, None)
+        if target is not None:
+            self._finish_target(target, None, "cancelled")
+            self.active_requests -= 1
+
+    def _admit_sync(self, prompt_token_ids, sampling_params, priority,
+                    cache_namespace) -> int:
+        from ..core.sampling import SamplingParams
+
+        return self.router.add_request(
+            prompt_token_ids, sampling_params or SamplingParams(),
+            priority=priority, cache_namespace=cache_namespace)
+
+    async def _admit(self, prompt_token_ids, sampling_params, priority,
+                     cache_namespace) -> int:
+        if self._draining:
+            raise RuntimeError("engine is shutting down, not accepting requests")
+        if self.active_requests >= self.max_queue_depth:
+            raise RuntimeError(
+                f"queue full ({self.active_requests}/{self.max_queue_depth})")
+        loop = self._asyncio.get_running_loop()
+        sid = await loop.run_in_executor(
+            None, self._admit_sync, prompt_token_ids, sampling_params,
+            priority, cache_namespace)
+        self._delivered[sid] = 0
+        self._t0[sid] = time.monotonic()
+        self.active_requests += 1
+        return sid
+
+    async def generate(self, prompt_token_ids, sampling_params=None,
+                       priority: int = 0, timeout_s=None,
+                       cache_namespace=None, soft_embeds=None,
+                       soft_positions=None):
+        if soft_embeds is not None:
+            raise ValueError("VLM soft tokens are not routable cross-host")
+        loop = self._asyncio.get_running_loop()
+        sid = await self._admit(prompt_token_ids, sampling_params, priority,
+                                cache_namespace)
+        future = loop.create_future()
+        self._targets[sid] = future
+        return await future
+
+    async def generate_stream(self, prompt_token_ids, sampling_params=None,
+                              priority: int = 0, timeout_s=None,
+                              cache_namespace=None, soft_embeds=None,
+                              soft_positions=None):
+        if soft_embeds is not None:
+            raise ValueError("VLM soft tokens are not routable cross-host")
+        sid = await self._admit(prompt_token_ids, sampling_params, priority,
+                                cache_namespace)
+        queue = self._asyncio.Queue()
+        self._targets[sid] = queue
+        try:
+            while True:
+                item = await queue.get()
+                if item is None:
+                    break
+                yield item
+                if isinstance(item, tuple) and item[0] == self.DONE:
+                    break
+        finally:
+            if sid in self._targets:  # client disconnected mid-stream
+                self._targets.pop(sid, None)
+                self._asyncio.get_running_loop().run_in_executor(
+                    None, self.router.cancel, sid)
+                self.active_requests -= 1
+            self._delivered.pop(sid, None)
+            self._t0.pop(sid, None)
+
+    # -- pump ----------------------------------------------------------------
+
+    def _finish_target(self, target, rr, reason: str) -> None:
+        from ..engine.engine import GenerationResult
+
+        if isinstance(target, self._asyncio.Queue):
+            target.put_nowait((self.DONE, reason))
+            target.put_nowait(None)
+            return
+        if not target.done():
+            tokens = list(rr.tokens) if rr is not None else []
+            target.set_result(GenerationResult(
+                request_id=rr.sid if rr is not None else -1,
+                prompt_tokens=0,
+                output_tokens=tokens,
+                num_steps=len(tokens),
+                elapsed_ms=0.0,
+                finish_reason=reason,
+                logprobs=None,
+                text=None,
+            ))
+
+    async def _pump_loop(self) -> None:
+        loop = self._asyncio.get_running_loop()
+        while self._running:
+            if not self._targets:
+                await self._asyncio.sleep(0.005)
+                continue
+            await loop.run_in_executor(None, self.router.step)
+            for sid in list(self._targets.keys()):
+                rr = self.router._sid_to_req.get(sid)
+                if rr is None:
+                    continue
+                target = self._targets[sid]
+                if isinstance(target, self._asyncio.Queue):
+                    done = self._delivered.get(sid, 0)
+                    for tok in rr.tokens[done:]:
+                        target.put_nowait(int(tok))
+                    self._delivered[sid] = len(rr.tokens)
+                if rr.finished:
+                    self._targets.pop(sid, None)
+                    self.router._sid_to_req.pop(sid, None)
+                    self._finish_target(target, rr,
+                                        rr.finish_reason or "stop")
+                    self.active_requests -= 1
+            await self._asyncio.sleep(0.001)

@@ -123,6 +123,35 @@ def cmd_serve(args) -> None:
             params = shard_params(params, model_cfg, mesh)
         logger.info("mesh: dp=%d ep=%d tp=%d", args.dp, args.ep, args.tp)
 
+    if args.cross_host:
+        # multi-host data-parallel serving: every host starts this same
+        # command; init_distributed joins the runtime, host 0 becomes the
+        # router + HTTP server, other hosts serve engine workers
+        # (parallel/cross_host.py; ref role split: worker.py:97-121)
+        from .parallel.cross_host import launch_cross_host
+        from .parallel.launcher import init_distributed
+
+        init_distributed()
+        router = launch_cross_host(
+            lambda: Engine(params, model_cfg, ecfg, tokenizer=tokenizer,
+                           mesh=mesh))
+        if router is None:
+            return  # worker host served until the router shut it down
+        Server(
+            None,
+            tokenizer=tokenizer,
+            chat_template=chat_template,
+            model_name=model_name,
+            host=args.host,
+            port=args.port,
+            api_key=args.api_key,
+            rate_limit=args.rate_limit,
+            max_pending=args.max_pending,
+            metrics_port=args.metrics_port,
+            router=router,
+        ).run()
+        return
+
     engine = Engine(params, model_cfg, ecfg, tokenizer=tokenizer, mesh=mesh)
 
     retriever = None
@@ -370,6 +399,11 @@ def main() -> None:
     p.add_argument("--api-key", default=None)
     p.add_argument("--rate-limit", type=int, default=0)
     p.add_argument("--max-pending", type=int, default=0)
+    p.add_argument("--cross-host", action="store_true",
+                   help="multi-host data-parallel serving: start this same "
+                        "command on every host (VLLM_I64_TPU_COORDINATOR / "
+                        "NUM_HOSTS / HOST_ID / HOST_IP env); host 0 routes "
+                        "+ serves HTTP, other hosts run engine workers")
     p.add_argument("--metrics-port", type=int, default=0,
                    help="Prometheus exporter port (0 = off)")
     p.add_argument("--rag-index", default=None)

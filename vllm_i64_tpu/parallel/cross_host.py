@@ -603,6 +603,11 @@ class AsyncRouterEngine:
                 if rr.finished:
                     self._targets.pop(sid, None)
                     self.router._sid_to_req.pop(sid, None)
+                    # generate() has no finally-cleanup like the stream
+                    # path — drop the bookkeeping here or it leaks per
+                    # request on a long-lived server
+                    self._delivered.pop(sid, None)
+                    self._t0.pop(sid, None)
                     self._finish_target(target, rr,
                                         rr.finish_reason or "stop")
                     self.active_requests -= 1

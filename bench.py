@@ -33,8 +33,12 @@ def main() -> None:
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--multistep", type=int, default=16,
                    help="decode iterations fused per device dispatch")
-    p.add_argument("--prefill-budget", type=int, default=512,
-                   help="chunked-prefill token budget per step")
+    p.add_argument("--prefill-budget", type=int, default=2048,
+                   help="chunked-prefill token budget per step (per-row "
+                        "chunks still cap at the widest token bucket; a "
+                        "large budget lets one dispatch carry many whole "
+                        "prompts instead of paying a round trip per 512 "
+                        "tokens)")
     p.add_argument("--max-seq-len", type=int, default=0,
                    help="engine max_seq_len; 0 = sized to the workload "
                         "(tight max_seq_len keeps the block-table buckets "
@@ -47,10 +51,10 @@ def main() -> None:
     p.add_argument("--chain", action=argparse.BooleanOptionalAction,
                    default=True, help="pipelined multistep window chaining")
     p.add_argument("--fused-norm-quant", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=True,
                    help="fuse rmsnorm + int8 activation quant into one "
-                        "kernel feeding the W8A8 GEMMs (A/B candidate; "
-                        "numerics identical)")
+                        "kernel feeding the W8A8 GEMMs (numerics identical; "
+                        "measured +3.5%% on v5e, 2026-08-19 A/B)")
     p.add_argument("--block-size", type=int, default=128,
                    help="KV cache block size in tokens (v5e sweep: 128 "
                         "more than halves decode gather time vs 16)")

@@ -15,6 +15,8 @@ Drills:
 Usage: python tools/tpu_crash_drill.py   (runs on CPU too, but the point
 is the device-state consistency on the chip). Exit 0 = drill passed.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import asyncio
 import sys
 import time

@@ -9,8 +9,11 @@ run once, and checked against its XLA reference path.
 Usage:  python tools/tpu_kernel_check.py          # needs a TPU attached
 Exit code 0 = all kernels compile and match; 1 = any failure.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

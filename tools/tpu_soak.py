@@ -10,6 +10,8 @@ KV blocks free, all sampler slots returned, and host RSS growth bounded.
 
 Usage: python tools/tpu_soak.py [--seconds 120] [--cpu]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import random
 import resource

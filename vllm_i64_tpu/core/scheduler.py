@@ -156,6 +156,7 @@ class Scheduler:
         kv_block_size: int = 16,
         max_kv_blocks: int = 4096,
         max_prefill_tokens: int = 512,
+        max_chunk_tokens: int = 0,
         enable_preemption: bool = True,
         enable_prefix_caching: bool = True,
         kv_swap=None,
@@ -164,6 +165,11 @@ class Scheduler:
         self.max_seq_len = max_seq_len
         self.kv_block_size = kv_block_size
         self.max_prefill_tokens = max_prefill_tokens
+        # per-SEQUENCE prefill chunk cap (a row must fit the widest compiled
+        # token bucket); 0 = same as the per-step total budget. Splitting the
+        # two lets one dispatch carry many whole prompts (16 x 128 rows) while
+        # long prompts still chunk at the bucket width.
+        self.max_chunk_tokens = max_chunk_tokens or max_prefill_tokens
         self.enable_preemption = enable_preemption
         # Optional KV swap store (ref: kv_cache.py enable_swap/swap_out/
         # swap_in :711-813): an object with swap_out(block_ids)->handle|None,
@@ -519,7 +525,7 @@ class Scheduler:
                 # tokens to (re-)prefill: prompt plus restored output tokens
                 full = list(req.prompt_token_ids) + req.output_token_ids
                 remaining = len(full) - req.prefill_done
-                chunk = min(remaining, max(budget, 0))
+                chunk = min(remaining, self.max_chunk_tokens, max(budget, 0))
                 if chunk <= 0:
                     continue  # out of budget this step; prefill next step
                 start = req.prefill_done

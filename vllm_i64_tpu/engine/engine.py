@@ -170,17 +170,19 @@ class Engine:
         # the scheduler's pool must match the runner's allocated cache —
         # the runner may upgrade the auto block count from measured free
         # HBM (engine/runner._auto_kv_blocks)
-        # a single prefill chunk can never exceed the widest compiled
-        # token bucket — clamp the scheduler budget so rows always fit
-        chunk_budget = min(ec.max_prefill_tokens,
-                           max(ec.prefill_token_buckets))
+        # a single prefill chunk (one row) can never exceed the widest
+        # compiled token bucket; the per-STEP total budget stays at
+        # max_prefill_tokens so one dispatch can carry many whole prompts
+        chunk_cap = min(ec.max_prefill_tokens,
+                        max(ec.prefill_token_buckets))
         self.scheduler = Scheduler(
             max_batch_size=ec.max_batch_size,
             max_seq_len=ec.max_seq_len,
             kv_block_size=ec.kv_block_size,
             max_kv_blocks=(self.runner.num_blocks if self.runner is not None
                            else ec.resolve_kv_blocks()),
-            max_prefill_tokens=chunk_budget,
+            max_prefill_tokens=ec.max_prefill_tokens,
+            max_chunk_tokens=chunk_cap,
             enable_preemption=ec.enable_preemption,
             enable_prefix_caching=ec.enable_prefix_caching,
         )

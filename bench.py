@@ -27,13 +27,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="tr-hash-moe-500m")
     p.add_argument("--quantization", default="int8")
-    p.add_argument("--requests", type=int, default=16)
+    p.add_argument("--requests", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--gen-tokens", type=int, default=64)
-    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="sweep on v5e (2026-08-19): 16 -> 2709 tok/s, "
+                        "64 -> 4722, 128 -> 3388 (gather over-read); 64 is "
+                        "the single-chip sweet spot")
     p.add_argument("--multistep", type=int, default=16,
                    help="decode iterations fused per device dispatch")
-    p.add_argument("--prefill-budget", type=int, default=2048,
+    p.add_argument("--prefill-budget", type=int, default=8192,
                    help="chunked-prefill token budget per step (per-row "
                         "chunks still cap at the widest token bucket; a "
                         "large budget lets one dispatch carry many whole "

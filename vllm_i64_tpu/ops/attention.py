@@ -44,13 +44,28 @@ _PALLAS_KV_WRITE = False
 # crossover on v5e is flat up to 2k (9.1 vs 9.6 ms at B=4 T=512); beyond it
 # the kernel's O(T*d) memory wins outright
 _PALLAS_PREFILL_MIN_T = 1024
-# long-context flash prefill has its own switch — gating it on the decode
-# kernel's experiment flag (default False) made the feature dead code
-_PALLAS_PREFILL = True
+# Measured on v5e 2026-08-19: INSIDE the production layer scan XLA-TPU
+# stack-allocates the pallas call's full q input and output in scoped VMEM
+# (16 MB limit) regardless of out_specs/aliasing, so the kernel fails to
+# compile at serving shapes (B=16 T=1024: "Scoped allocation 22.43M ...
+# exceeded scoped vmem limit"; even B=2 trips it once the loop body's other
+# temps join). The XLA gather path matches the kernel's speed at every
+# context these models serve (<= 2048), so it is the default; the kernel
+# remains for standalone/long-context use (VLLM_I64_TPU_PALLAS_PREFILL=1
+# forces it, subject to the q-size gate below).
+_PALLAS_PREFILL = False
 
 
 def _use_pallas_prefill() -> bool:
-    if not _PALLAS_PREFILL:
+    # env override mirrors the reference's VLLM_NO_FLASH_ATTN escape hatch
+    # (ref: layers/attention.py:28-29): "0" disables, "1" forces on
+    import os
+
+    env = os.environ.get("VLLM_I64_TPU_PALLAS_PREFILL")
+    if env is not None and env in ("0", "1"):
+        if env == "0":
+            return False
+    elif not _PALLAS_PREFILL:
         return False
     try:
         return jax.default_backend() not in ("cpu",)
@@ -211,6 +226,14 @@ def paged_attention(
         and not integer_softmax
         and hkv_d % 128 == 0
         and k_cache.shape[1] % 8 == 0
+        # XLA-TPU stack-allocates a pallas call's q input and output inside
+        # a loop body in scoped VMEM (16 MB limit) regardless of
+        # out_specs/aliasing — measured on v5e 2026-08-19: B=16 T=1024
+        # fails compile with "Scoped allocation ... exceeded scoped vmem
+        # limit" (B=2 fits). Gate the kernel to shapes whose q tensor
+        # stays <= 4 MB (q + out + scratch ~= 12 MB); the gather path
+        # handles the rest and matches the kernel's speed at <= 2k ctx.
+        and b * t * hq * d * q.dtype.itemsize <= 4 * 1024 * 1024
         and _use_pallas_prefill()
     ):
         from .prefill_attention_pallas import paged_prefill_attention_pallas

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vllm_i64_tpu.ops.attention import paged_attention, write_kv
+from vllm_i64_tpu.ops.attention import gather_kv, paged_attention, write_kv
 from vllm_i64_tpu.ops.fused_norm import rmsnorm_pallas, rmsnorm_quant_pallas
 from vllm_i64_tpu.ops.fused_swiglu import _xla_fallback, fused_swiglu
 from vllm_i64_tpu.ops.norms import rms_norm
@@ -290,3 +290,75 @@ def test_write_kv_decode_dispatches_to_pallas(key, monkeypatch):
     assert called.get("yes"), "pallas write branch did not trigger"
     np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k))
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_paged_decode_pallas_stats(key):
+    """return_stats (m, l) must reproduce the online-softmax invariant:
+    out == (sum exp(s - m) * v) / l, with m the true row max."""
+    q, kc, vc, bt, ctx = make_paged_case(key)
+    out, m, l = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=2, interpret=True,
+        return_stats=True)
+    b, hq, d = q.shape
+    hkv = kc.shape[2]
+    g = hq // hkv
+    scale = 1.0 / (d ** 0.5)
+    k, v = gather_kv(kc, vc, bt)  # (B, S, Hkv, d)
+    s = k.shape[1]
+    qg = q.reshape(b, hkv, g, d)
+    scores = jnp.einsum("bhgd,bshd->bhgs", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    kpos = jnp.arange(s, dtype=jnp.int32)
+    mask = kpos[None, :] < ctx[:, None]  # (B, S)
+    scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+    m_ref = jnp.max(scores, axis=-1).reshape(b, hq)
+    p = jnp.exp(scores - m_ref.reshape(b, hkv, g)[..., None])
+    p = jnp.where(mask[:, None, None, :], p, 0.0)
+    l_ref = jnp.sum(p, axis=-1).reshape(b, hq)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_window_attention_flash_matches_xla(key):
+    """The flash window-decode path (kernel history + in-band window,
+    (m, l)-combined) must match the XLA gather paged_attention_window,
+    including ctx0 == 0 rows (no history) and masked window tails."""
+    from vllm_i64_tpu.ops import attention as attn
+    from vllm_i64_tpu.ops import paged_attention_pallas as pap
+
+    b, hq, hkv, d, bs, nb, mb, kwin = 3, 8, 2, 64, 8, 32, 4, 4
+    keys = jax.random.split(key, 6)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv, d), jnp.float32)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv, d), jnp.float32)
+    q = jax.random.normal(keys[2], (b, 1, hq, d), jnp.float32)
+    win_k = jax.random.normal(keys[3], (b, kwin, hkv, d), jnp.float32)
+    win_v = jax.random.normal(keys[4], (b, kwin, hkv, d), jnp.float32)
+    perm = np.random.default_rng(2).permutation(nb - 1)[: b * mb] + 1
+    bt = jnp.asarray(perm.reshape(b, mb).astype(np.int32))
+    ctx0 = jnp.asarray([0, 5, bs * 3], jnp.int32)  # incl. empty history
+
+    import unittest.mock as mock
+
+    orig = pap.paged_decode_attention_pallas
+    called = {}
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    for k_idx in (0, 2, kwin - 1):
+        want = attn.paged_attention_window(
+            q, kc, vc, bt, ctx0, win_k, win_v, jnp.int32(k_idx))
+        with mock.patch.object(
+            pap, "paged_decode_attention_pallas", spy
+        ), mock.patch.object(
+            attn, "_use_pallas_window_decode", lambda: True
+        ):
+            got = attn.paged_attention_window(
+                q, kc, vc, bt, ctx0, win_k, win_v, jnp.int32(k_idx))
+        assert called.get("yes"), "flash window branch did not trigger"
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

@@ -42,21 +42,21 @@ def _decode_kernel(
     k_hbm,  # (NB, bs, Hkv*d) ANY/HBM
     v_hbm,
     o_ref,  # (1, Hq, d) VMEM
-    k_buf,  # (2, C*bs, Hkv*d) VMEM scratch
-    v_buf,
-    m_ref,  # (Hq, 1) f32 scratch
-    l_ref,  # (Hq, 1) f32 scratch
-    acc_ref,  # (Hq, Hkv*d) f32 scratch
-    k_sems,  # DMA sems (2, C)
-    v_sems,
-    *,
+    *rest,  # [stats_ref if return_stats] + scratch refs
     block_size: int,
     chunk_blocks: int,
     scale: float,
     num_kv_heads: int,
     group: int,
     head_dim: int,
+    return_stats: bool = False,
 ):
+    if return_stats:
+        # (1, Hq, 128) f32: column 0 = running max m, column 1 = sum l —
+        # lane-padded because a (Hq, 1) OUTPUT block trips Mosaic tiling
+        # (scratch refs of that shape are fine)
+        stats_ref, *rest = rest
+    (k_buf, v_buf, m_ref, l_ref, acc_ref, k_sems, v_sems) = rest
     b = pl.program_id(0)
     ctx = ctx_ref[b]
     n_blocks = pl.cdiv(ctx, jnp.int32(block_size))
@@ -168,11 +168,17 @@ def _decode_kernel(
     for kv in range(1, num_kv_heads):
         out = out + picked[:, kv * head_dim:(kv + 1) * head_dim]
     o_ref[:] = out[None].astype(o_ref.dtype)
+    if return_stats:
+        col = jax.lax.broadcasted_iota(jnp.int32, (hq, 128), 1)
+        stats = jnp.where(col == 0, m_ref[:], 0.0)
+        stats = jnp.where(col == 1, l_ref[:], stats)
+        stats_ref[:] = stats[None]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "chunk_blocks", "scale", "interpret"))
+    static_argnames=("block_size", "chunk_blocks", "scale", "interpret",
+                     "return_stats"))
 def paged_decode_attention_pallas(
     q: jax.Array,  # (B, Hq, d)
     k_cache: jax.Array,  # (NB, bs, Hkv, d)
@@ -184,7 +190,12 @@ def paged_decode_attention_pallas(
     chunk_blocks: int = 8,
     scale: float | None = None,
     interpret: bool = False,
-) -> jax.Array:
+    return_stats: bool = False,
+):
+    """Returns (B, Hq, d) attention, or with ``return_stats`` a tuple
+    (out, m, l) of the online-softmax running max and sum per (row, head) —
+    the pieces a caller needs to flash-combine this history attention with
+    extra in-band keys (ops/attention.paged_attention_window)."""
     b, hq, d = q.shape
     nb, bs, hkv, _ = k_cache.shape
     assert bs == block_size
@@ -208,8 +219,12 @@ def paged_decode_attention_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, hq, d), lambda i, bt, cl: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=([pl.BlockSpec((1, hq, d), lambda i, bt, cl: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                   + ([pl.BlockSpec((1, hq, 128),
+                                    lambda i, bt, cl: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)]
+                      if return_stats else [])),
         scratch_shapes=[
             pltpu.VMEM((2, c * bs, hd), k_cache.dtype),
             pltpu.VMEM((2, c * bs, hd), v_cache.dtype),
@@ -228,11 +243,19 @@ def paged_decode_attention_pallas(
         num_kv_heads=hkv,
         group=g,
         head_dim=d,
+        return_stats=return_stats,
     )
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, hq, d), q.dtype)]
+    if return_stats:
+        out_shape.append(jax.ShapeDtypeStruct((b, hq, 128), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(block_tables, ctx_lens, q, k_flat, v_flat)
+    if return_stats:
+        out, stats = res
+        return out, stats[:, :, 0], stats[:, :, 1]
+    return res[0]

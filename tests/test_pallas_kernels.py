@@ -362,3 +362,25 @@ def test_window_attention_flash_matches_xla(key):
         assert called.get("yes"), "flash window branch did not trigger"
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_pallas_contiguous_run_dma(key):
+    """Physically-contiguous block tables take the single-run-DMA path
+    (one async copy per chunk); result must match the per-page path and
+    the XLA reference, including a partial tail chunk."""
+    b, hq, hkv, d, bs, mb = 3, 8, 2, 32, 16, 8
+    nb = b * mb + 2
+    keys = jax.random.split(key, 3)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv, d), jnp.float32)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv, d), jnp.float32)
+    q = jax.random.normal(keys[2], (b, hq, d), jnp.float32)
+    # ascending contiguous tables, as a fresh block pool hands out
+    bt = (jnp.arange(b * mb, dtype=jnp.int32) + 2).reshape(b, mb)
+    # full-chunk contexts, a mid-block tail, and a sub-chunk context
+    ctx = jnp.asarray([bs * mb, bs * 5 + 3, bs - 1], jnp.int32)
+    got = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=bs, chunk_blocks=4, interpret=True)
+    positions = (ctx - 1)[:, None]
+    want = paged_attention(q[:, None], kc, vc, bt, positions, ctx)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -38,8 +38,9 @@ NEG_INF = float("-inf")
 def _decode_kernel(
     bt_ref,  # (B, MB) int32 — scalar prefetch
     ctx_ref,  # (B,) int32 — scalar prefetch
+    runs_ref,  # (B, NC) int32 — 1 if chunk's blocks are physically contiguous
     q_ref,  # (1, Hq, d) VMEM
-    k_hbm,  # (NB, bs, Hkv*d) ANY/HBM
+    k_hbm,  # (NB*bs, Hkv*d) ANY/HBM — flat row view of the paged cache
     v_hbm,
     o_ref,  # (1, Hq, d) VMEM
     *rest,  # [stats_ref if return_stats] + scratch refs
@@ -56,7 +57,8 @@ def _decode_kernel(
         # lane-padded because a (Hq, 1) OUTPUT block trips Mosaic tiling
         # (scratch refs of that shape are fine)
         stats_ref, *rest = rest
-    (k_buf, v_buf, m_ref, l_ref, acc_ref, k_sems, v_sems) = rest
+    (k_buf, v_buf, m_ref, l_ref, acc_ref,
+     k_sems, v_sems, k_run_sems, v_run_sems) = rest
     b = pl.program_id(0)
     ctx = ctx_ref[b]
     n_blocks = pl.cdiv(ctx, jnp.int32(block_size))
@@ -68,20 +70,47 @@ def _decode_kernel(
     def dma_pair(chunk, c, slot):
         bid = bt_ref[b, chunk * chunk_blocks + c]
         kd = pltpu.make_async_copy(
-            k_hbm.at[bid],
+            k_hbm.at[pl.ds(bid * block_size, block_size)],
             k_buf.at[slot, pl.ds(c * block_size, block_size)],
             k_sems.at[slot, c],
         )
         vd = pltpu.make_async_copy(
-            v_hbm.at[bid],
+            v_hbm.at[pl.ds(bid * block_size, block_size)],
             v_buf.at[slot, pl.ds(c * block_size, block_size)],
             v_sems.at[slot, c],
         )
         return kd, vd
 
+    def run_dma_pair(chunk, slot):
+        # whole chunk in ONE DMA: blocks are physically consecutive, so the
+        # flat cache rows [bid0*bs, bid0*bs + C*bs) are one contiguous span.
+        # Per-page DMAs cost ~0.8us of scalar-core issue each (measured on
+        # v5e: B=64 x 17 pages x 2 = 91 ms/iter vs 46 for the XLA gather at
+        # ctx 2048); run DMAs amortize that issue cost C-fold.
+        bid0 = bt_ref[b, chunk * chunk_blocks]
+        kd = pltpu.make_async_copy(
+            k_hbm.at[pl.ds(bid0 * block_size, c_rows)],
+            k_buf.at[slot],
+            k_run_sems.at[slot],
+        )
+        vd = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(bid0 * block_size, c_rows)],
+            v_buf.at[slot],
+            v_run_sems.at[slot],
+        )
+        return kd, vd
+
     def start_chunk(chunk, slot):
+        is_run = runs_ref[b, chunk % runs_ref.shape[1]] == 1
+
+        @pl.when((chunk < n_chunks) & is_run)
+        def _():
+            kd, vd = run_dma_pair(chunk, slot)
+            kd.start()
+            vd.start()
+
         for c in range(chunk_blocks):
-            @pl.when((chunk < n_chunks)
+            @pl.when((chunk < n_chunks) & jnp.logical_not(is_run)
                      & (chunk * chunk_blocks + c < n_blocks))
             def _():
                 kd, vd = dma_pair(chunk, c, slot)
@@ -89,8 +118,16 @@ def _decode_kernel(
                 vd.start()
 
     def wait_chunk(chunk, slot):
+        is_run = runs_ref[b, chunk % runs_ref.shape[1]] == 1
+
+        @pl.when((chunk < n_chunks) & is_run)
+        def _():
+            kd, vd = run_dma_pair(chunk, slot)
+            kd.wait()
+            vd.wait()
+
         for c in range(chunk_blocks):
-            @pl.when((chunk < n_chunks)
+            @pl.when((chunk < n_chunks) & jnp.logical_not(is_run)
                      & (chunk * chunk_blocks + c < n_blocks))
             def _():
                 kd, vd = dma_pair(chunk, c, slot)
@@ -206,23 +243,42 @@ def paged_decode_attention_pallas(
         scale = 1.0 / (d ** 0.5)
     c = min(chunk_blocks, mb)
 
-    # lane-aligned flat view (free reshape: same memory layout)
-    k_flat = k_cache.reshape(nb, bs, hd)
-    v_flat = v_cache.reshape(nb, bs, hd)
+    # lane-aligned flat ROW view (free reshape: same memory layout). The
+    # kernel slices rows [bid*bs, bid*bs+bs) per page, or a whole
+    # [bid0*bs, bid0*bs+C*bs) span in one DMA when a chunk's blocks are
+    # physically consecutive.
+    k_flat = k_cache.reshape(nb * bs, hd)
+    v_flat = v_cache.reshape(nb * bs, hd)
+
+    # per-chunk contiguity: runs[b, j] == 1 iff logical blocks
+    # [j*C, (j+1)*C) are all in-context AND physically consecutive. Computed
+    # in-graph from the block table (a few hundred int ops) and handed to
+    # the kernel via scalar prefetch.
+    nc = -(-mb // c)
+    btp = jnp.pad(block_tables.astype(jnp.int32),
+                  ((0, 0), (0, nc * c - mb)), constant_values=-(2 ** 20))
+    btc = btp.reshape(b, nc, c)
+    if c > 1:
+        contig = jnp.all(btc[:, :, 1:] == btc[:, :, :-1] + 1, axis=-1)
+    else:
+        contig = jnp.ones((b, nc), bool)
+    nblk = -(-ctx_lens.astype(jnp.int32) // jnp.int32(bs))  # (B,)
+    full = (jnp.arange(nc, dtype=jnp.int32)[None] * c + c) <= nblk[:, None]
+    runs = (contig & full).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hq, d), lambda i, bt, cl: (i, 0, 0),
+            pl.BlockSpec((1, hq, d), lambda i, bt, cl, rn: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=([pl.BlockSpec((1, hq, d), lambda i, bt, cl: (i, 0, 0),
+        out_specs=([pl.BlockSpec((1, hq, d), lambda i, bt, cl, rn: (i, 0, 0),
                                  memory_space=pltpu.VMEM)]
                    + ([pl.BlockSpec((1, hq, 128),
-                                    lambda i, bt, cl: (i, 0, 0),
+                                    lambda i, bt, cl, rn: (i, 0, 0),
                                     memory_space=pltpu.VMEM)]
                       if return_stats else [])),
         scratch_shapes=[
@@ -233,6 +289,8 @@ def paged_decode_attention_pallas(
             pltpu.VMEM((hq, hd), jnp.float32),
             pltpu.SemaphoreType.DMA((2, c)),
             pltpu.SemaphoreType.DMA((2, c)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
@@ -254,7 +312,7 @@ def paged_decode_attention_pallas(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(block_tables, ctx_lens, q, k_flat, v_flat)
+    )(block_tables, ctx_lens, runs, q, k_flat, v_flat)
     if return_stats:
         out, stats = res
         return out, stats[:, :, 0], stats[:, :, 1]

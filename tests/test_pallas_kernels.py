@@ -384,3 +384,56 @@ def test_paged_decode_pallas_contiguous_run_dma(key):
     want = paged_attention(q[:, None], kc, vc, bt, positions, ctx)[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_pallas_batched_tile(key):
+    """Batched-tile kernel (TB sequences per program) == XLA reference,
+    with mixed per-seq contexts including an empty row, scattered AND
+    contiguous tables, and a partial tail chunk."""
+    b, hq, hkv, d, bs, mb = 8, 8, 2, 32, 16, 8
+    nb = b * mb + 2
+    keys = jax.random.split(key, 3)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv, d), jnp.float32)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv, d), jnp.float32)
+    q = jax.random.normal(keys[2], (b, hq, d), jnp.float32)
+    # rows 0-3 contiguous ascending, rows 4-7 scattered
+    first = (np.arange(4 * mb, dtype=np.int32) + 2).reshape(4, mb)
+    perm = np.random.default_rng(3).permutation(
+        np.arange(2 + 4 * mb, nb, dtype=np.int32))[: 4 * mb].reshape(4, mb)
+    bt = jnp.asarray(np.concatenate([first, perm]))
+    ctx = jnp.asarray([bs * mb, 0, 7, bs * 3 + 5,
+                       bs * mb, 1, bs * 2, bs * 5], jnp.int32)
+    got = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=bs, chunk_blocks=4, batch_tile=4,
+        interpret=True)
+    want = paged_attention(
+        q[:, None], kc, vc, bt,
+        jnp.maximum(ctx - 1, 0)[:, None], ctx)[:, 0]
+    got, want = np.asarray(got), np.asarray(want)
+    # empty rows produce zeros in both paths
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_pallas_batched_tile_stats(key):
+    """Tiled kernel's (m, l) stats match the per-seq kernel's."""
+    b, hq, hkv, d, bs, mb = 4, 8, 2, 32, 16, 8
+    nb = b * mb + 2
+    keys = jax.random.split(key, 3)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv, d), jnp.float32)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv, d), jnp.float32)
+    q = jax.random.normal(keys[2], (b, hq, d), jnp.float32)
+    perm = np.random.default_rng(4).permutation(nb - 2)[: b * mb] + 2
+    bt = jnp.asarray(perm.reshape(b, mb).astype(np.int32))
+    ctx = jnp.asarray([5, bs * 3, bs * mb, bs + 1], jnp.int32)
+    o1, m1, l1 = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=2, batch_tile=1,
+        interpret=True, return_stats=True)
+    o2, m2, l2 = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=2, batch_tile=2,
+        interpret=True, return_stats=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)

@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--windows", type=int, default=8, help="timed windows")
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--kv-dtype", default="bfloat16",
+                    help="KV cache dtype (e.g. float8_e4m3fn halves "
+                         "gather bytes at long context)")
     ap.add_argument("--variants", default="")
     args = ap.parse_args()
 
@@ -72,6 +75,7 @@ def main() -> None:
         max_kv_blocks=nb,
         kv_block_size=bs,
         quantization="int8",
+        kv_cache_dtype=args.kv_dtype,
         decode_batch_buckets=(b,),
         prefill_batch_buckets=(1,),
         prefill_token_buckets=(128,),

@@ -321,9 +321,14 @@ def _window_attention_flash(
     g = hq // hkv
     kwin = win_k.shape[1]
 
+    import os
+
+    _tb = int(os.environ.get("VLLM_I64_TPU_FLASH_TB", "8"))
+    _cb = int(os.environ.get("VLLM_I64_TPU_FLASH_CHUNK", "4"))
     out_h, m_h, l_h = paged_decode_attention_pallas(
         q[:, 0], k_cache, v_cache, block_tables,
         jnp.maximum(ctx0, 0), block_size=k_cache.shape[1],
+        chunk_blocks=_cb, batch_tile=_tb,
         scale=scale, return_stats=True,
     )  # (B, Hq, d), (B, Hq), (B, Hq)
 

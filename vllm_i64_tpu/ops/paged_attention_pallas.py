@@ -212,10 +212,188 @@ def _decode_kernel(
         stats_ref[:] = stats[None]
 
 
+def _decode_kernel_tiled(
+    bt_ref,  # (B, MB) int32 — scalar prefetch
+    ctx_ref,  # (B,) int32 — scalar prefetch
+    runs_ref,  # (B, NC) int32 — scalar prefetch
+    q_ref,  # (TB, Hq, d) VMEM
+    k_hbm,  # (NB*bs, Hkv*d) ANY/HBM
+    v_hbm,
+    o_ref,  # (TB, Hq, d) VMEM
+    *rest,  # [stats_ref if return_stats] + scratch refs
+    block_size: int,
+    chunk_blocks: int,
+    batch_tile: int,
+    scale: float,
+    num_kv_heads: int,
+    group: int,
+    head_dim: int,
+    return_stats: bool = False,
+):
+    """Batched-tile flash decode: one program owns TB sequences.
+
+    The per-sequence kernel above is latency-bound at serving batch sizes:
+    B sequential grid programs x L layers (measured 91 ms/iter at B=64
+    ctx=2048 vs 46 for the XLA gather), each stalling on its own chunk DMAs
+    around tiny (Hq, hd)x(hd, rows) matmuls. Tiling TB sequences into one
+    program cuts program count TB-fold, turns the matmuls into batched
+    dot_generals, and keeps all TB sequences' chunk DMAs in flight
+    simultaneously."""
+    if return_stats:
+        stats_ref, *rest = rest
+    (k_buf, v_buf, m_ref, l_ref, acc_ref,
+     k_sems, v_sems, k_run_sems, v_run_sems) = rest
+    tb = batch_tile
+    b0 = pl.program_id(0) * tb
+    nc_max = runs_ref.shape[1]
+    c_rows = chunk_blocks * block_size
+    hq = num_kv_heads * group
+    hd = num_kv_heads * head_dim
+
+    # tile-max chunk count bounds the fori; per-seq bounds gate each DMA
+    nblk_max = jnp.int32(0)
+    for s in range(tb):
+        nblk_max = jnp.maximum(
+            nblk_max, pl.cdiv(ctx_ref[b0 + s], jnp.int32(block_size)))
+    n_chunks = pl.cdiv(nblk_max, jnp.int32(chunk_blocks))
+
+    def dma_pair(chunk, s, cb, slot):
+        bid = bt_ref[b0 + s, chunk * chunk_blocks + cb]
+        kd = pltpu.make_async_copy(
+            k_hbm.at[pl.ds(bid * block_size, block_size)],
+            k_buf.at[slot, s, pl.ds(cb * block_size, block_size)],
+            k_sems.at[slot, s, cb],
+        )
+        vd = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(bid * block_size, block_size)],
+            v_buf.at[slot, s, pl.ds(cb * block_size, block_size)],
+            v_sems.at[slot, s, cb],
+        )
+        return kd, vd
+
+    def run_dma_pair(chunk, s, slot):
+        bid0 = bt_ref[b0 + s, chunk * chunk_blocks]
+        kd = pltpu.make_async_copy(
+            k_hbm.at[pl.ds(bid0 * block_size, c_rows)],
+            k_buf.at[slot, s],
+            k_run_sems.at[slot, s],
+        )
+        vd = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(bid0 * block_size, c_rows)],
+            v_buf.at[slot, s],
+            v_run_sems.at[slot, s],
+        )
+        return kd, vd
+
+    def for_each_dma(chunk, slot, fn):
+        for s in range(tb):
+            nblk_s = pl.cdiv(ctx_ref[b0 + s], jnp.int32(block_size))
+            is_run = runs_ref[b0 + s, chunk % nc_max] == 1
+
+            @pl.when((chunk * chunk_blocks < nblk_s) & is_run)
+            def _():
+                kd, vd = run_dma_pair(chunk, s, slot)
+                fn(kd)
+                fn(vd)
+
+            for cb in range(chunk_blocks):
+                @pl.when((chunk * chunk_blocks + cb < nblk_s)
+                         & jnp.logical_not(is_run))
+                def _():
+                    kd, vd = dma_pair(chunk, s, cb, slot)
+                    fn(kd)
+                    fn(vd)
+
+    def start_chunk(chunk, slot):
+        for_each_dma(chunk, slot, lambda d: d.start())
+
+    def wait_chunk(chunk, slot):
+        for_each_dma(chunk, slot, lambda d: d.wait())
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    start_chunk(0, 0)
+
+    # zero-expanded GQA queries, batched over the tile: (TB, Hq, Hkv*d)
+    q = q_ref[:]  # (TB, Hq, d)
+    q_tiled = jnp.concatenate([q] * num_kv_heads, axis=2)
+    col_kv = jax.lax.broadcasted_iota(jnp.int32, (hq, hd), 1) // head_dim
+    row_kv = jax.lax.broadcasted_iota(jnp.int32, (hq, hd), 0) // group
+    seg_mask = col_kv == row_kv
+    q_exp = jnp.where(seg_mask[None], q_tiled, jnp.zeros_like(q_tiled))
+
+    # per-seq context as a (TB, 1, 1) vector, built from SMEM scalars
+    # (a (TB, 1) VMEM *input* block would trip Mosaic's (8, 128) tiling rule)
+    seq_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, 1), 0)
+    ctx_v = jnp.zeros((tb, 1, 1), jnp.int32)
+    for s in range(tb):
+        ctx_v = jnp.where(seq_iota == s, ctx_ref[b0 + s], ctx_v)
+
+    def body(chunk, _):
+        slot = chunk % 2
+
+        @pl.when(chunk + 1 < n_chunks)
+        def _():
+            start_chunk(chunk + 1, (chunk + 1) % 2)
+
+        wait_chunk(chunk, slot)
+
+        rel = ctx_v - chunk * c_rows  # (TB, 1, 1) in-context rows remaining
+        row_kv_ok = (jax.lax.broadcasted_iota(
+            jnp.int32, (tb, c_rows, 1), 1) < rel)
+        k = jnp.where(row_kv_ok, k_buf[slot], jnp.zeros_like(k_buf[slot]))
+        v = jnp.where(row_kv_ok, v_buf[slot], jnp.zeros_like(v_buf[slot]))
+
+        # (TB, Hq, hd) x (TB, rows, hd) -> (TB, Hq, rows)
+        scores = jax.lax.dot_general(
+            q_exp, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        row_ok = (jax.lax.broadcasted_iota(
+            jnp.int32, (tb, 1, c_rows), 2) < rel)
+        scores = jnp.where(row_ok, scores, NEG_INF)
+
+        m_prev = m_ref[:]  # (TB, Hq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        corr = jnp.where(jnp.isfinite(m_prev), corr, jnp.zeros_like(corr))
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(row_ok, p, jnp.zeros_like(p))
+
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        # (TB, Hq, rows) x (TB, rows, hd) -> (TB, Hq, hd)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = m_new
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    denom = jnp.maximum(l_ref[:], 1e-30)  # (TB, Hq, 1)
+    full = acc_ref[:] / denom  # (TB, Hq, hd)
+    picked = jnp.where(seg_mask[None], full, jnp.zeros_like(full))
+    out = picked[:, :, 0:head_dim]
+    for kv in range(1, num_kv_heads):
+        out = out + picked[:, :, kv * head_dim:(kv + 1) * head_dim]
+    o_ref[:] = out.astype(o_ref.dtype)
+    if return_stats:
+        col = jax.lax.broadcasted_iota(jnp.int32, (tb, hq, 128), 2)
+        stats = jnp.where(col == 0, m_ref[:], 0.0)
+        stats = jnp.where(col == 1, l_ref[:], stats)
+        stats_ref[:] = stats
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "chunk_blocks", "scale", "interpret",
-                     "return_stats"))
+    static_argnames=("block_size", "chunk_blocks", "batch_tile", "scale",
+                     "interpret", "return_stats"))
 def paged_decode_attention_pallas(
     q: jax.Array,  # (B, Hq, d)
     k_cache: jax.Array,  # (NB, bs, Hkv, d)
@@ -225,6 +403,7 @@ def paged_decode_attention_pallas(
     *,
     block_size: int,
     chunk_blocks: int = 8,
+    batch_tile: int = 8,
     scale: float | None = None,
     interpret: bool = False,
     return_stats: bool = False,
@@ -232,7 +411,10 @@ def paged_decode_attention_pallas(
     """Returns (B, Hq, d) attention, or with ``return_stats`` a tuple
     (out, m, l) of the online-softmax running max and sum per (row, head) —
     the pieces a caller needs to flash-combine this history attention with
-    extra in-band keys (ops/attention.paged_attention_window)."""
+    extra in-band keys (ops/attention.paged_attention_window).
+
+    ``batch_tile`` sequences share one grid program (the batched-tile
+    kernel); tiles fall back to 1 when it does not divide B."""
     b, hq, d = q.shape
     nb, bs, hkv, _ = k_cache.shape
     assert bs == block_size
@@ -242,6 +424,11 @@ def paged_decode_attention_pallas(
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     c = min(chunk_blocks, mb)
+    tb = batch_tile if batch_tile > 1 and b % batch_tile == 0 else 1
+    # VMEM guard: K+V double-buffered chunk tiles must fit comfortably
+    while tb > 1 and (2 * 2 * tb * c * bs * hd
+                      * k_cache.dtype.itemsize) > 10 * 1024 * 1024:
+        tb //= 2
 
     # lane-aligned flat ROW view (free reshape: same memory layout). The
     # kernel slices rows [bid*bs, bid*bs+bs) per page, or a whole
@@ -265,6 +452,62 @@ def paged_decode_attention_pallas(
     nblk = -(-ctx_lens.astype(jnp.int32) // jnp.int32(bs))  # (B,)
     full = (jnp.arange(nc, dtype=jnp.int32)[None] * c + c) <= nblk[:, None]
     runs = (contig & full).astype(jnp.int32)
+
+    out_shape = [jax.ShapeDtypeStruct((b, hq, d), q.dtype)]
+    if return_stats:
+        out_shape.append(jax.ShapeDtypeStruct((b, hq, 128), jnp.float32))
+
+    if tb > 1:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, hq, d), lambda i, bt, cl, rn: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=([pl.BlockSpec((tb, hq, d),
+                                     lambda i, bt, cl, rn: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)]
+                       + ([pl.BlockSpec((tb, hq, 128),
+                                        lambda i, bt, cl, rn: (i, 0, 0),
+                                        memory_space=pltpu.VMEM)]
+                          if return_stats else [])),
+            scratch_shapes=[
+                pltpu.VMEM((2, tb, c * bs, hd), k_cache.dtype),
+                pltpu.VMEM((2, tb, c * bs, hd), v_cache.dtype),
+                pltpu.VMEM((tb, hq, 1), jnp.float32),
+                pltpu.VMEM((tb, hq, 1), jnp.float32),
+                pltpu.VMEM((tb, hq, hd), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, tb, c)),
+                pltpu.SemaphoreType.DMA((2, tb, c)),
+                pltpu.SemaphoreType.DMA((2, tb)),
+                pltpu.SemaphoreType.DMA((2, tb)),
+            ],
+        )
+        kernel = functools.partial(
+            _decode_kernel_tiled,
+            block_size=bs,
+            chunk_blocks=c,
+            batch_tile=tb,
+            scale=float(scale),
+            num_kv_heads=hkv,
+            group=g,
+            head_dim=d,
+            return_stats=return_stats,
+        )
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(block_tables, ctx_lens, runs, q, k_flat, v_flat)
+        if return_stats:
+            out, stats = res
+            return out, stats[:, :, 0], stats[:, :, 1]
+        return res[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -303,9 +546,6 @@ def paged_decode_attention_pallas(
         head_dim=d,
         return_stats=return_stats,
     )
-    out_shape = [jax.ShapeDtypeStruct((b, hq, d), q.dtype)]
-    if return_stats:
-        out_shape.append(jax.ShapeDtypeStruct((b, hq, 128), jnp.float32))
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -437,3 +437,26 @@ def test_paged_decode_pallas_batched_tile_stats(key):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_paged_decode_pallas_fp8_kv(key):
+    """fp8 e4m3 KV cache: the tiled kernel upcasts to bf16 for compute;
+    result matches the XLA path run on the upcast cache."""
+    b, hq, hkv, d, bs, mb = 4, 8, 2, 32, 16, 4
+    nb = b * mb + 2
+    keys = jax.random.split(key, 3)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv, d)).astype(
+        jnp.float8_e4m3fn)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv, d)).astype(
+        jnp.float8_e4m3fn)
+    q = jax.random.normal(keys[2], (b, hq, d), jnp.float32)
+    bt = (jnp.arange(b * mb, dtype=jnp.int32) + 2).reshape(b, mb)
+    ctx = jnp.asarray([bs * mb, 3, bs + 2, bs * 2], jnp.int32)
+    got = paged_decode_attention_pallas(
+        q, kc, vc, bt, ctx, block_size=bs, chunk_blocks=2, batch_tile=2,
+        interpret=True)
+    want = paged_attention(
+        q[:, None], kc.astype(jnp.float32), vc.astype(jnp.float32), bt,
+        (ctx - 1)[:, None], ctx)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

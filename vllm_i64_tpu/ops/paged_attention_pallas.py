@@ -343,8 +343,13 @@ def _decode_kernel_tiled(
         rel = ctx_v - chunk * c_rows  # (TB, 1, 1) in-context rows remaining
         row_kv_ok = (jax.lax.broadcasted_iota(
             jnp.int32, (tb, c_rows, 1), 1) < rel)
-        k = jnp.where(row_kv_ok, k_buf[slot], jnp.zeros_like(k_buf[slot]))
-        v = jnp.where(row_kv_ok, v_buf[slot], jnp.zeros_like(v_buf[slot]))
+        # K needs no masking: out-of-context rows' scores (even NaN from
+        # uninitialized VMEM) are REPLACED by the row_ok where below. V must
+        # be zeroed - p is 0 there, but 0 * NaN would poison the accumulate.
+        cdt = jnp.bfloat16 if k_buf.dtype.itemsize == 1 else k_buf.dtype
+        k = k_buf[slot].astype(cdt)
+        v = jnp.where(row_kv_ok, v_buf[slot],
+                      jnp.zeros_like(v_buf[slot])).astype(cdt)
 
         # (TB, Hq, hd) x (TB, rows, hd) -> (TB, Hq, rows)
         scores = jax.lax.dot_general(

@@ -355,7 +355,7 @@ def test_window_attention_flash_matches_xla(key):
         with mock.patch.object(
             pap, "paged_decode_attention_pallas", spy
         ), mock.patch.object(
-            attn, "_use_pallas_window_decode", lambda: True
+            attn, "_use_pallas_window_decode", lambda *_: True
         ):
             got = attn.paged_attention_window(
                 q, kc, vc, bt, ctx0, win_k, win_v, jnp.int32(k_idx))
@@ -460,3 +460,31 @@ def test_paged_decode_pallas_fp8_kv(key):
         (ctx - 1)[:, None], ctx)[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_write_kv_block_aligned_matches_scatter(key):
+    """Block-aligned prefill write (whole-block images) == the row scatter,
+    including pad rows, pad columns, and multi-block rows."""
+    from vllm_i64_tpu.ops import attention as attn
+
+    nb, bs, hkv, d = 24, 8, 2, 16
+    b, t = 4, 16  # 2 blocks per row
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    kc = jax.random.normal(k1, (nb, bs, hkv, d), jnp.float32)
+    vc = jax.random.normal(k2, (nb, bs, hkv, d), jnp.float32)
+    kn = jax.random.normal(k3, (b, t, hkv, d), jnp.float32)
+    vn = jax.random.normal(k4, (b, t, hkv, d), jnp.float32)
+    bt = jnp.asarray([[1, 2, 0, 0], [3, 4, 5, 0],
+                      [6, 7, 8, 9], [10, 11, 0, 0]], jnp.int32)
+    # row 0: fresh 2-block prefill; row 1: chunk starting at block 1;
+    # row 2: chunk starting at block 2; row 3: PAD row (no valid tokens)
+    starts = jnp.asarray([0, bs, 2 * bs, 0], jnp.int32)
+    positions = starts[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+    valid = jnp.asarray(
+        [[True] * t, [True] * t, [True] * bs + [False] * bs, [False] * t])
+
+    want_k, want_v = attn.write_kv(kc, vc, kn, vn, bt, positions, valid)
+    got_k, got_v = attn.write_kv(kc, vc, kn, vn, bt, positions, valid,
+                                 block_aligned=True)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))

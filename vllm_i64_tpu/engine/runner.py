@@ -122,6 +122,7 @@ class ModelRunner:
 
             _attn._PALLAS_DECODE = False
             _attn._PALLAS_PREFILL = False  # single-device program
+            _attn._PALLAS_WINDOW_DECODE = False  # auto-policy off too
 
         # W8A8 is a module-level flag captured when a program traces; setting
         # it before every dispatch (see _sync_w8a8) keeps multiple engines
@@ -190,7 +191,8 @@ class ModelRunner:
         self.block_buckets = self._make_block_buckets()
         self._step_fn = functools.partial(
             jax.jit,
-            static_argnames=("features", "return_logits"),
+            static_argnames=("features", "return_logits",
+                             "block_aligned_write"),
             donate_argnames=("kv_k", "kv_v", "counts"),
         )(self._step_impl)
         self._multi_decode_fn = functools.partial(
@@ -252,11 +254,13 @@ class ModelRunner:
         return_logits: bool,
         soft_embeds=None,  # (B, T, H) VLM soft tokens (prefill only)
         soft_mask=None,  # (B, T) bool
+        block_aligned_write: bool = False,
     ):
         logits, (kv_k, kv_v) = cdm.forward_step(
             params, self.cfg, token_ids, positions, (kv_k, kv_v),
             block_tables, ctx_lens, last_idx, valid,
             soft_embeds=soft_embeds, soft_mask=soft_mask,
+            block_aligned_write=block_aligned_write,
         )
         row_counts = jnp.take(counts, slot_ids, axis=0) if features.penalties else None
         tokens = sample_tokens(
@@ -569,6 +573,19 @@ class ModelRunner:
             soft_e = np.zeros((b, t, soft_embeds.shape[-1]), np.float32)
             soft_e[:b_actual, :t_actual] = soft_embeds
             soft_m = pad2(soft_mask, fill=False)
+        # block-aligned prefill write: every ACTUAL row starts on a block
+        # boundary and covers whole blocks (chunk budgets are block
+        # multiples in production, so this is the common case). The flag is
+        # a jit-static arg — aligned and unaligned dispatches compile
+        # separate programs.
+        bsz = self.ecfg.kv_block_size
+        aligned = bool(
+            kind == "prefill"
+            and t % bsz == 0
+            and t >= bsz
+            and np.all(positions[:, 0] % bsz == 0)
+            and np.all(valid.sum(axis=1) % bsz == 0)
+        )
         # padding rows must not look greedy-sampled into counts
         with self._sync_w8a8():
             tokens, logits, self.kv_k, self.kv_v, self.counts = self._step_fn(
@@ -590,6 +607,7 @@ class ModelRunner:
             return_logits,
             soft_e,
             soft_m,
+            aligned,
         )
         if defer:
             return tokens, logits  # device arrays; slice after conversion

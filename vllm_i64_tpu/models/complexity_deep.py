@@ -156,6 +156,7 @@ def _attention_block(
     seq_lens: Optional[jax.Array],
     valid: Optional[jax.Array],
     window_ctx=None,  # (win_k_l, win_v_l, k_idx, ctx0) — deferred-KV decode
+    block_aligned_write: bool = False,
 ):
     b, t, _ = hidden.shape
     d = cfg.head_dim
@@ -214,7 +215,8 @@ def _attention_block(
     elif kv_layer is not None:
         k_cache, v_cache = kv_layer
         k_cache, v_cache = write_kv(
-            k_cache, v_cache, k, v, block_tables, positions, valid
+            k_cache, v_cache, k, v, block_tables, positions, valid,
+            block_aligned=block_aligned_write,
         )
         out = paged_attention(
             q, k_cache, v_cache, block_tables, positions, ctx_lens,
@@ -383,6 +385,7 @@ def _layer_fn(
     seq_lens,
     valid,
     window_meta=None,  # (k_idx, ctx0) for deferred-KV decode
+    block_aligned_write: bool = False,
 ):
     hidden, mu_prev = carry
     window_ctx = None
@@ -405,6 +408,7 @@ def _layer_fn(
     attn_out, new_kv = _attention_block(
         p, cfg, h, positions, mu_prev, kv_layer, block_tables, ctx_lens,
         seq_lens, valid, window_ctx=window_ctx,
+        block_aligned_write=block_aligned_write,
     )
     hidden = res + attn_out
 
@@ -447,6 +451,7 @@ def forward_layers(
     seq_lens: Optional[jax.Array] = None,
     valid: Optional[jax.Array] = None,
     window: Optional[tuple] = None,  # (win_k, win_v, k_idx, ctx0) deferred-KV
+    block_aligned_write: bool = False,
 ):
     """Run a contiguous range of decoder layers under lax.scan.
 
@@ -467,6 +472,7 @@ def forward_layers(
         return _layer_fn(
             cfg, carry, layer_in, token_ids, positions, block_tables,
             ctx_lens, seq_lens, valid, window_meta=window_meta,
+            block_aligned_write=block_aligned_write,
         )
 
     if kv is not None and window is not None:
@@ -523,6 +529,7 @@ def forward_hidden(
     valid: Optional[jax.Array] = None,  # (B, T) bool
     soft_embeds: Optional[jax.Array] = None,  # (B, T, H) VLM soft tokens
     soft_mask: Optional[jax.Array] = None,  # (B, T) bool
+    block_aligned_write: bool = False,
 ):
     """Run embedding + all decoder layers. Returns (hidden(B,T,H), new_kv)."""
     hidden, mu_prev, ids = embed_tokens(
@@ -532,6 +539,7 @@ def forward_hidden(
         params["layers"], cfg, hidden, mu_prev, ids, positions,
         kv=kv, block_tables=block_tables, ctx_lens=ctx_lens,
         seq_lens=seq_lens, valid=valid,
+        block_aligned_write=block_aligned_write,
     )
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     return hidden, new_kv
@@ -586,6 +594,7 @@ def forward_step(
     valid: jax.Array,  # (B, T) bool
     soft_embeds: Optional[jax.Array] = None,  # (B, T, H) VLM soft tokens
     soft_mask: Optional[jax.Array] = None,  # (B, T) bool
+    block_aligned_write: bool = False,
 ):
     """Engine step: paged-cache forward returning last-token fp32 logits.
 
@@ -596,6 +605,7 @@ def forward_step(
         params, cfg, token_ids, positions,
         kv=kv, block_tables=block_tables, ctx_lens=ctx_lens, valid=valid,
         soft_embeds=soft_embeds, soft_mask=soft_mask,
+        block_aligned_write=block_aligned_write,
     )
     last_h = jnp.take_along_axis(hidden, last_idx[:, None, None].astype(jnp.int32), axis=1)
     logits = lm_logits(params, cfg, last_h[:, 0, :])  # (B, V) fp32

@@ -74,23 +74,32 @@ def _use_pallas_prefill() -> bool:
 
 
 # Deferred-window decode history path: stream cache pages through the
-# Pallas flash-decode kernel (with softmax stats out) and combine with the
-# in-band window in XLA, instead of the dense gather of the whole history.
-# Candidate for long contexts where the gather runs at ~15% of HBM
-# bandwidth; off until the on-TPU A/B shows a win
-# (VLLM_I64_TPU_PALLAS_WINDOW=1 forces it on, =0 off).
-_PALLAS_WINDOW_DECODE = False
+# batched-tile Pallas flash-decode kernel (with softmax stats out) and
+# combine with the in-band window in XLA, instead of the dense gather of
+# the whole history. v5e A/B (B=64, 30 layers, in the compiled multistep
+# window, 2026-08-19): ctx 128: gather 8.1 vs flash 9.0 ms/iter; ctx 512:
+# 10.7 vs 12.1; ctx 2048: 45.6 vs 33.5 — flash wins long context. The
+# gather's cost scales with the STATIC block-table width (it always reads
+# every padded slab) while the kernel's scales with the ACTUAL context, so
+# the auto policy keys on the table's token span: None = auto (flash when
+# the bucket spans >= _FLASH_WINDOW_MIN_CTX tokens), True/False = forced
+# (VLLM_I64_TPU_PALLAS_WINDOW=1/0 overrides).
+_PALLAS_WINDOW_DECODE: Optional[bool] = None
+_FLASH_WINDOW_MIN_CTX = 1024
 
 
-def _use_pallas_window_decode() -> bool:
+def _use_pallas_window_decode(max_ctx_tokens: int) -> bool:
     import os
 
     env = os.environ.get("VLLM_I64_TPU_PALLAS_WINDOW")
-    if env is not None and env in ("0", "1"):
-        if env == "0":
-            return False
-    elif not _PALLAS_WINDOW_DECODE:
+    if env == "0":
         return False
+    if env != "1":
+        if _PALLAS_WINDOW_DECODE is False:
+            return False
+        if (_PALLAS_WINDOW_DECODE is None
+                and max_ctx_tokens < _FLASH_WINDOW_MIN_CTX):
+            return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
@@ -137,6 +146,8 @@ def write_kv(
     block_tables: jax.Array,  # (B, MB)
     positions: jax.Array,  # (B, T)
     valid: Optional[jax.Array] = None,  # (B, T) bool
+    *,
+    block_aligned: bool = False,
 ):
     """Scatter new K/V rows into the paged cache. Returns updated caches.
 
@@ -152,6 +163,37 @@ def write_kv(
     """
     nb, bs, hkv, d = k_cache.shape
     t = k.shape[1]
+    b = k.shape[0]
+    if block_aligned and t % bs == 0 and t >= bs:
+        # Prefill fast path (host-gated): every row's tokens start on a
+        # block boundary, are position-contiguous, and valid counts are
+        # whole blocks — so rows write ENTIRE cache blocks. One scatter of
+        # B*W block images replaces the B*T row scatter that serializes on
+        # TPU (~8 ms of a 50 ms 16x128 prefill dispatch on v5e). Distinct
+        # rows always target distinct blocks (block tables are per-sequence
+        # exclusive; packed subrows of one request cover disjoint
+        # block-aligned token ranges).
+        w = t // bs
+        img_k = k.reshape(b, w, bs, hkv, d).astype(k_cache.dtype)
+        img_v = v.reshape(b, w, bs, hkv, d).astype(v_cache.dtype)
+        start_blk = positions[:, 0] // bs  # (B,)
+        wi = jnp.arange(w, dtype=jnp.int32)
+        mb = block_tables.shape[1]
+        blk = start_blk[:, None] + wi[None]
+        phys = jnp.take_along_axis(
+            block_tables, jnp.clip(blk, 0, mb - 1), axis=1
+        ).astype(jnp.int32)
+        if valid is not None:
+            nrow = jnp.sum(valid.astype(jnp.int32), axis=1)
+        else:
+            nrow = jnp.full((b,), t, jnp.int32)
+        wr = nrow // bs  # whole blocks actually covered per row
+        dst = jnp.where(wi[None] < wr[:, None], phys, jnp.int32(2**30))
+        k_cache = k_cache.at[dst.reshape(-1)].set(
+            img_k.reshape(-1, bs, hkv, d), mode="drop")
+        v_cache = v_cache.at[dst.reshape(-1)].set(
+            img_v.reshape(-1, bs, hkv, d), mode="drop")
+        return k_cache, v_cache
     if (
         t == 1
         and bs % 8 == 0
@@ -402,7 +444,12 @@ def paged_attention_window(
         and not integer_softmax
         and hkv_d % 128 == 0
         and k_cache.shape[1] % 8 == 0
-        and _use_pallas_window_decode()
+        # fp8 KV loses in the kernel (59 vs XLA's 32.3 ms/iter at ctx 2048
+        # on v5e — the per-chunk upcast pass over K/V dominates); the
+        # gather path handles the auto-upgraded-fp8 cache instead
+        and k_cache.dtype.itemsize >= 2
+        and _use_pallas_window_decode(
+            block_tables.shape[1] * k_cache.shape[1])
     ):
         return _window_attention_flash(
             q, k_cache, v_cache, block_tables, ctx0, win_k, win_v, k_idx,

@@ -164,7 +164,8 @@ def main() -> None:
         return jnp.argmax(logits[:, :128], axis=-1).astype(jnp.int32)
 
     def fake_moe(x, token_ids, **kw):
-        return x
+        # x may be a PreQuantActs marker (fused norm+quant) — return floats
+        return x.to_float() if hasattr(x, "to_float") else x
 
     variants = {
         "full": {},

@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-w8a8", action="store_true")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="defer host readbacks and resolve once at the end "
+                         "(device-time measurement; the default per-dispatch "
+                         "readback includes the ~40 ms tunnel round trip)")
     ap.add_argument("--variants", default="")
     args = ap.parse_args()
 
@@ -116,19 +120,23 @@ def main() -> None:
         r = runner_mod.ModelRunner(params, cfg, ecfg)
         t0 = time.perf_counter()
 
-        def dispatch():
+        def dispatch(defer=False):
             toks = rng.integers(3, cfg.vocab_size, size=(b, t)).astype(np.int64)
             out, _ = r.execute(
                 toks, positions, block_tables, ctx_lens, last_idx, valid,
                 slot_ids, sample_mask, sample_args, features,
-                kind="prefill")
+                kind="prefill", defer=defer)
             return out
 
         dispatch()
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for _ in range(args.dispatches):
-            dispatch()
+        if args.pipeline:
+            outs = [dispatch(defer=True) for _ in range(args.dispatches)]
+            np.asarray(outs[-1])
+        else:
+            for _ in range(args.dispatches):
+                dispatch()
         ms = (time.perf_counter() - t0) / args.dispatches * 1000
         print(json.dumps({"variant": name,
                           "ms_per_dispatch": round(ms, 3),

@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Mixed-length concurrent HTTP serving benchmark (ROADMAP round-3 #4).
+
+Starts a real server (flagship model, int8 W8A8, random-init weights) in a
+subprocess, then drives the OpenAI-compatible /v1/completions endpoint with
+CONCURRENT streamed requests of mixed prompt/output lengths — the workload
+shape the reference's bench_comparative measures over the wire
+(ref: benchmarks/bench_comparative.py:29-70), but concurrent instead of
+sequential so continuous batching is actually exercised.
+
+Prints one JSON line of aggregate metrics.
+
+Usage:
+  python tools/tpu_http_bench.py               # bench (spawns the server)
+  python tools/tpu_http_bench.py --serve       # server subprocess target
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import subprocess
+import threading
+import time
+import urllib.request
+
+
+PORT = 8871
+
+
+def serve(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from vllm_i64_tpu.api import Server
+    from vllm_i64_tpu.config import EngineConfig
+    from vllm_i64_tpu.core.chat_template import ChatTemplate
+    from vllm_i64_tpu.core.quantize_model import (
+        fuse_gate_up_params, fuse_qkv_params, fuse_shared_expert_params,
+        materialize_lm_head, quantize_params,
+    )
+    from vllm_i64_tpu.core.tokenizer import ByteTokenizer
+    from vllm_i64_tpu.engine import Engine
+    from vllm_i64_tpu.models import complexity_deep as cdm
+    from vllm_i64_tpu.models.presets import get_preset
+
+    cfg = get_preset("tr-hash-moe-500m")
+    if args.tiny:
+        cfg = cfg.replace(num_hidden_layers=2, hidden_size=256,
+                          intermediate_size=512, vocab_size=1024,
+                          max_position_embeddings=1024)
+    dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    params = quantize_params(params, cfg, "int8")
+    params = fuse_qkv_params(params)
+    params = fuse_shared_expert_params(params, cfg)
+    params = fuse_gate_up_params(params)
+    params = materialize_lm_head(params, cfg)
+
+    bs = 128 if jax.default_backend() != "cpu" else 16
+    ecfg = EngineConfig(
+        max_batch_size=64,
+        max_seq_len=1024,
+        max_kv_blocks=0,  # auto-size from free HBM
+        kv_block_size=bs,
+        max_prefill_tokens=8192,
+        quantization="int8",
+        w8a8=True,
+        fused_norm_quant=True,
+        fuse_shared_expert=True,
+        multistep_decode=16,
+        decode_chaining=True,
+        decode_batch_buckets=(64,),
+        prefill_batch_buckets=(1, 2, 4, 8, 16),
+        prefill_token_buckets=(128, 512),
+    )
+    engine = Engine(params, cfg, ecfg, tokenizer=ByteTokenizer())
+    Server(engine, tokenizer=ByteTokenizer(),
+           chat_template=ChatTemplate.default(),
+           model_name="tr-hash-moe-500m", host="127.0.0.1",
+           port=args.port).run()
+
+
+def stream_one(port: int, prompt: str, max_tokens: int) -> dict:
+    # min_tokens suppresses EOS so every request generates its full budget
+    # (random-init weights greedily emit EOS early on some prompts)
+    body = {"prompt": prompt, "max_tokens": max_tokens,
+            "min_tokens": max_tokens, "temperature": 0.0, "stream": True}
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    t0 = time.perf_counter()
+    stamps = []
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        for raw in resp:
+            line = raw.decode("utf-8", errors="replace").strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            try:
+                payload = json.loads(line[6:])
+            except json.JSONDecodeError:
+                continue
+            if payload.get("choices", [{}])[0].get("text", ""):
+                stamps.append(time.perf_counter() - t0)
+    return {"ttft": stamps[0] if stamps else None,
+            "stamps": stamps, "total": time.perf_counter() - t0}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--serve", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true", help="tiny model (smoke)")
+    ap.add_argument("--port", type=int, default=PORT)
+    ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--concurrency", type=int, default=16)
+    ap.add_argument("--startup-timeout", type=int, default=900)
+    args = ap.parse_args()
+    if args.serve:
+        serve(args)
+        return
+
+    # mixed workload: prompt lengths 16..512 chars (byte tokenizer: 1
+    # token per char), outputs 16..128 — a log-spread long-tail mix
+    import random
+
+    rng = random.Random(0)
+    jobs = []
+    for i in range(args.requests):
+        plen = rng.choice([16, 32, 48, 64, 96, 128, 192, 256, 384, 512])
+        gen = rng.choice([16, 32, 48, 64, 96, 128])
+        prompt = "".join(chr(97 + (j * 7 + i) % 26) for j in range(plen))
+        jobs.append((prompt, gen))
+
+    srv = subprocess.Popen(
+        [_sys.executable, _os.path.abspath(__file__), "--serve",
+         "--port", str(args.port)]
+        + (["--cpu"] if args.cpu else [])
+        + (["--tiny"] if args.tiny else []),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        t0 = time.perf_counter()
+        while True:
+            if srv.poll() is not None:
+                print(json.dumps({"error": "server exited early"}))
+                return
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{args.port}/health", timeout=5):
+                    break
+            except Exception:
+                if time.perf_counter() - t0 > args.startup_timeout:
+                    print(json.dumps({"error": "server startup timeout"}))
+                    return
+                time.sleep(3)
+        print(f"[http-bench] server up in {time.perf_counter()-t0:.0f}s",
+              file=_sys.stderr, flush=True)
+
+        # warmup: a few requests to compile every bucket variant
+        for p, g in jobs[:4]:
+            stream_one(args.port, p, g)
+        print("[http-bench] warmup done", file=_sys.stderr, flush=True)
+
+        results = [None] * len(jobs)
+        idx = {"v": 0}
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                with lock:
+                    i = idx["v"]
+                    if i >= len(jobs):
+                        return
+                    idx["v"] = i + 1
+                p, g = jobs[i]
+                try:
+                    results[i] = stream_one(args.port, p, g)
+                except Exception as e:  # noqa: BLE001
+                    results[i] = {"error": repr(e)[:100]}
+
+        t_start = time.perf_counter()
+        threads = [threading.Thread(target=worker)
+                   for _ in range(args.concurrency)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t_start
+
+        ok = [r for r in results if r and "error" not in r and r["ttft"]]
+        errors = len(results) - len(ok)
+        total_tokens = sum(len(r["stamps"]) for r in ok)
+        ttfts = sorted(r["ttft"] for r in ok)
+        itls = sorted(
+            b - a for r in ok for a, b in zip(r["stamps"], r["stamps"][1:]))
+        pct = lambda xs, p: xs[min(int(len(xs) * p), len(xs) - 1)] if xs else 0
+        print(json.dumps({
+            "metric": "http_mixed_throughput",
+            "value": round(total_tokens / wall, 1),
+            "unit": "tok/s",
+            "requests": len(ok),
+            "errors": errors,
+            "concurrency": args.concurrency,
+            "wall_s": round(wall, 2),
+            "ttft_ms_p50": round(pct(ttfts, 0.5) * 1000, 1),
+            "ttft_ms_p99": round(pct(ttfts, 0.99) * 1000, 1),
+            "itl_ms_p50": round(pct(itls, 0.5) * 1000, 1),
+            "itl_ms_p99": round(pct(itls, 0.99) * 1000, 1),
+        }), flush=True)
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+
+
+if __name__ == "__main__":
+    main()

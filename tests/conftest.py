@@ -47,6 +47,22 @@ def pytest_pyfunc_call(pyfuncitem):
     return None
 
 
+@pytest.fixture(autouse=True)
+def _reset_quant_globals():
+    """Engine dispatch sets the process-global W8A8 / fused-norm-quant flags
+    and (deliberately) leaves them set — runners re-sync per dispatch. Tests
+    that call model forwards OUTSIDE a runner would otherwise inherit
+    whatever the previous test's engine last dispatched with (exposed when
+    the EngineConfig w8a8 default flipped to True)."""
+    from vllm_i64_tpu.ops import dequant_matmul as dm
+
+    prev_w = dm.w8a8_enabled()
+    prev_f = dm.fused_norm_quant_enabled()
+    yield
+    dm.set_w8a8(prev_w)
+    dm.set_fused_norm_quant(prev_f)
+
+
 @pytest.fixture(scope="session")
 def tiny_config() -> ModelConfig:
     """Tiny routed config mirroring the reference test fixture

@@ -135,12 +135,13 @@ def main() -> None:
         prompt = "".join(chr(97 + (j * 7 + i) % 26) for j in range(plen))
         jobs.append((prompt, gen))
 
+    srv_log = open("/tmp/tpu_http_bench_server.log", "w")
     srv = subprocess.Popen(
         [_sys.executable, _os.path.abspath(__file__), "--serve",
          "--port", str(args.port)]
         + (["--cpu"] if args.cpu else [])
         + (["--tiny"] if args.tiny else []),
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        stdout=srv_log, stderr=srv_log)
     try:
         t0 = time.perf_counter()
         while True:
@@ -192,6 +193,14 @@ def main() -> None:
 
         ok = [r for r in results if r and "error" not in r and r["ttft"]]
         errors = len(results) - len(ok)
+        err_samples = [r["error"] for r in results
+                       if r and "error" in r][:3]
+        empty = sum(1 for r in results
+                    if r and "error" not in r and not r["ttft"])
+        if err_samples or empty:
+            print(f"[http-bench] exceptions={len(err_samples)} "
+                  f"empty_streams={empty} samples: {err_samples}",
+                  file=_sys.stderr, flush=True)
         total_tokens = sum(len(r["stamps"]) for r in ok)
         ttfts = sorted(r["ttft"] for r in ok)
         itls = sorted(

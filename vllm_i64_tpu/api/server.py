@@ -61,10 +61,17 @@ class Server(CompletionsMixin, AdminMixin, ServicesMixin):
         sandbox=None,
         metrics_port: int = 0,
         router=None,
+        async_engine=None,
     ):
         self.logger = logging.getLogger("vllm_i64_tpu.server")
         self.engine = engine
-        self.async_engine = AsyncEngine(engine) if engine is not None else None
+        if async_engine is not None:
+            # caller-provided wrapper (disaggregated prefill/decode serving:
+            # engine/async_disaggregated.py; ref CLI entry: cli.py:61-78)
+            self.async_engine = async_engine
+        else:
+            self.async_engine = (AsyncEngine(engine)
+                                 if engine is not None else None)
         if router is not None:
             # cross-host serving: completions route to the least-loaded
             # host through the router; admin endpoints read the local

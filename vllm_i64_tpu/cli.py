@@ -68,7 +68,6 @@ def cmd_serve(args) -> None:
 
     if args.model and not args.no_model:
         from .core.loader import load_model, load_model_by_name, resolve_checkpoint_source
-        from .core.quantize_model import quantize_params
 
         t0 = time.perf_counter()
         if args.checkpoint:
@@ -82,8 +81,12 @@ def cmd_serve(args) -> None:
         logger.info("loaded %d tensors in %.1fs", stats["loaded"],
                     time.perf_counter() - t0)
         if args.quantization in ("int8", "int4", "fp8"):
-            params = quantize_params(params, model_cfg, method=args.quantization)
-            logger.info("quantized weights: %s", args.quantization)
+            # quantization happens inside Engine init AFTER the float weight
+            # fusions (fuse_qkv / fuse_shared_expert) so fused weights
+            # quantize as single tensors and int4 dims stay 128-aligned for
+            # the fused Pallas kernels (ops/int4_matmul.py)
+            logger.info("weights will quantize to %s at engine init",
+                        args.quantization)
         tokenizer = load_tokenizer_or_fallback(source)
         chat_template = (ChatTemplate.from_file(args.chat_template)
                          if args.chat_template else load_chat_template(source))
@@ -109,7 +112,63 @@ def cmd_serve(args) -> None:
         dtype=args.dtype,
         kv_cache_dtype=args.kv_cache_dtype or args.dtype,
         quantization=args.quantization,
+        # full perf surface (the bench path's configuration is constructible
+        # from the CLI; ref flag surface: vllm_i64/cli.py:474-539)
+        w8a8=args.w8a8 and args.quantization in ("int8", "int4", "awq",
+                                                 "gptq"),
+        fused_norm_quant=args.fused_norm_quant,
+        multistep_decode=args.multistep,
+        fuse_shared_expert=args.fuse_shared_expert,
+        decode_chaining=args.decode_chaining,
+        enable_kv_swap=args.enable_kv_swap,
+        kv_swap_max_mb=args.kv_swap_max_mb,
+        kv_fp8_auto=args.kv_fp8_auto,
     )
+
+    if args.disaggregated:
+        # disaggregated prefill/decode serving (ref: cli.py:61-78 +
+        # launch_disaggregated, disaggregated.py:1145-1185): prefill and
+        # decode workers on disjoint device groups when >=2 devices exist;
+        # on one device both runners share it (functional, not faster)
+        from .engine.async_disaggregated import AsyncDisaggregatedEngine
+        from .parallel.disaggregated import setup_disaggregated
+
+        devs = jax.devices()
+        prefill_mesh = decode_mesh = None
+        if len(devs) >= 2:
+            from jax.sharding import Mesh
+
+            n_pre = max(1, min(args.prefill_devices, len(devs) - 1))
+            import numpy as _np
+
+            prefill_mesh = Mesh(
+                _np.array(devs[:n_pre]).reshape(1, 1, n_pre),
+                ("dp", "ep", "tp"))
+            decode_mesh = Mesh(
+                _np.array(devs[n_pre:]).reshape(1, 1, len(devs) - n_pre),
+                ("dp", "ep", "tp"))
+            logger.info("disaggregated: prefill on %d device(s), decode on "
+                        "%d device(s)", n_pre, len(devs) - n_pre)
+        else:
+            logger.warning("disaggregated mode on a single device: prefill "
+                           "and decode workers share the chip")
+        coordinator = setup_disaggregated(
+            params, model_cfg, ecfg,
+            prefill_mesh=prefill_mesh, decode_mesh=decode_mesh)
+        Server(
+            coordinator.decode.engine,
+            tokenizer=tokenizer,
+            chat_template=chat_template,
+            model_name=model_name,
+            host=args.host,
+            port=args.port,
+            api_key=args.api_key,
+            rate_limit=args.rate_limit,
+            max_pending=args.max_pending,
+            metrics_port=args.metrics_port,
+            async_engine=AsyncDisaggregatedEngine(coordinator),
+        ).run()
+        return
 
     mesh = None
     if args.dp * args.ep * args.tp > 1:
@@ -395,6 +454,40 @@ def main() -> None:
                         "(128 on TPU — the decode page gather is "
                         "slab-count-bound and 128 halves it vs 16 — "
                         "16 on CPU, matching the reference)")
+    p.add_argument("--w8a8", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="dynamic int8 activations into native int8 MXU "
+                        "matmuls for int8/int4 weights (the bench-default "
+                        "fast path; --no-w8a8 for weight-only dequant)")
+    p.add_argument("--fused-norm-quant",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="fuse rmsnorm + int8 activation quant into one "
+                        "Pallas kernel feeding the W8A8 GEMMs (numerics "
+                        "identical; +3.5%% on v5e)")
+    p.add_argument("--multistep", type=int, default=16,
+                   help="decode iterations fused per device dispatch "
+                        "(1 = off)")
+    p.add_argument("--fuse-shared-expert",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="fold the shared lexical expert into the "
+                        "flat-expert MoE GEMMs")
+    p.add_argument("--decode-chaining",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="pipeline consecutive multistep decode windows")
+    p.add_argument("--enable-kv-swap", action="store_true",
+                   help="preemption saves KV blocks to host memory and "
+                        "restores them at re-admission (vs recompute)")
+    p.add_argument("--kv-swap-max-mb", type=int, default=512)
+    p.add_argument("--kv-fp8-auto", action="store_true",
+                   help="auto-upgrade the KV cache to fp8 at 70%% block "
+                        "usage")
+    p.add_argument("--disaggregated", action="store_true",
+                   help="disaggregated prefill/decode serving: prefill and "
+                        "decode workers on disjoint device groups, KV "
+                        "moves device-to-device")
+    p.add_argument("--prefill-devices", type=int, default=1,
+                   help="devices assigned to the prefill worker under "
+                        "--disaggregated (rest decode)")
     p.add_argument("--log-json", action="store_true")
     p.add_argument("--api-key", default=None)
     p.add_argument("--rate-limit", type=int, default=0)

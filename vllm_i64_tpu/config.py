@@ -208,14 +208,20 @@ class EngineConfig:
     kv_cache_dtype: str = "bfloat16"  # also: float8_e4m3fn | float8_e5m2
     quantization: str = "none"        # none | int8 | int4 | fp8
     # W8A8: dynamic per-token INT8 activation quant feeding native
-    # int8xint8 MXU matmuls (ref: quantization.py:119-224). int8-quantized
-    # weights only; logits stay on the dequant path for accuracy.
-    w8a8: bool = False
+    # int8xint8 MXU matmuls (ref: quantization.py:119-224). Applies to
+    # int8-quantized weights (and as W4A8 to int4); logits stay on the
+    # dequant path for accuracy. ON by default: this matches the
+    # reference's production numerics (torch quantize_dynamic is
+    # activation-quantizing, loader.py:57-76) and is the measured-fastest
+    # path on v5e (bench headline recorded with it). No effect without
+    # quantized weights.
+    w8a8: bool = True
     # Fuse rmsnorm + per-row int8 activation quant into one kernel feeding
     # the W8A8 GEMMs (cuts 2 of the 4 per-layer activation quantizes;
     # numerics identical — the kernel replicates quantize_activations_int8).
-    # Off by default pending the on-chip A/B inside the compiled step.
-    fused_norm_quant: bool = False
+    # ON by default per the 2026-08-19 v5e A/B (+3.5% inside the compiled
+    # step); only active when w8a8 applies.
+    fused_norm_quant: bool = True
     # auto-upgrade the KV cache to fp8 when block usage crosses 70%
     # (ref: kv_cache.py maybe_enable_fp8 :819-831)
     kv_fp8_auto: bool = False

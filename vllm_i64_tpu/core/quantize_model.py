@@ -20,8 +20,10 @@ from ..config import ModelConfig
 from ..ops.quant import QTensor, quantize_int8
 
 # params['layers'] keys that are matmul weights (contract over axis -2)
+# ("qkv": engine-side quantization runs AFTER fuse_qkv_params for int4,
+# so the fused projection is quantized as one weight)
 _LAYER_MATMUL_KEYS: Set[str] = {
-    "q", "k", "v", "o", "mu_to_q", "mu_to_k", "mu_to_v",
+    "q", "k", "v", "qkv", "o", "mu_to_q", "mu_to_k", "mu_to_v",
 }
 _MLP_MATMUL_KEYS: Set[str] = {
     "gate", "up", "down", "shared_gate", "shared_up", "shared_down",
@@ -120,6 +122,7 @@ def fuse_qkv_params(params):
             jnp.concatenate([q.scales, k.scales, v.scales], axis=-1),
             jnp.concatenate([q.zeros, k.zeros, v.zeros], axis=-1),
             group_size=q.group_size,
+            layout=q.layout,
         )
     else:
         fused = jnp.concatenate([q, k, v], axis=-1)
@@ -277,6 +280,39 @@ def fuse_shared_expert_params(params, cfg: ModelConfig):
     new_layers["mlp"] = new_mlp
     out["layers"] = new_layers
     return out
+
+
+def has_quantized_leaves(params) -> bool:
+    """True if any weight is already a QTensor/Q4Tensor (e.g. a direct
+    AWQ/GPTQ int4 checkpoint load) — engine-side quantization skips then."""
+    from ..ops.quant import Q4Tensor, QTensor
+
+    found = False
+
+    def check(x):
+        nonlocal found
+        if isinstance(x, (QTensor, Q4Tensor)):
+            found = True
+        return x
+
+    jax.tree_util.tree_map(
+        check, params,
+        is_leaf=lambda x: isinstance(x, (QTensor, Q4Tensor)))
+    return found
+
+
+def repack_int4_serving(params):
+    """Convert every Q4Tensor leaf to the TPU serving ("split") pack layout
+    so ops/int4_matmul.py's Pallas kernels apply (identical numerics; the
+    reference/AWQ "interleaved" layout would need a per-row interleave the
+    VPU can't do cheaply). One-time host/XLA repack at engine init."""
+    from ..ops.quant import Q4Tensor, repack_int4_split
+
+    return jax.tree_util.tree_map(
+        lambda x: repack_int4_split(x) if isinstance(x, Q4Tensor) else x,
+        params,
+        is_leaf=lambda x: isinstance(x, Q4Tensor),
+    )
 
 
 def param_bytes(params) -> int:

@@ -154,6 +154,24 @@ class Engine:
                 from ..core.quantize_model import fuse_shared_expert_params
 
                 params = fuse_shared_expert_params(params, self.model_config)
+            if ec.quantization in ("int8", "int4", "fp8"):
+                # engine-side quantization runs AFTER the float fusions so
+                # fused weights (qkv, shared-expert-folded MoE) quantize as
+                # single tensors — for int4 this also 128-aligns every dim
+                # so the whole model rides the fused Pallas kernels. No-op
+                # for pre-quantized params (e.g. direct AWQ/GPTQ loads or a
+                # caller that already ran quantize_params).
+                from ..core.quantize_model import (
+                    has_quantized_leaves,
+                    quantize_params,
+                )
+
+                if not has_quantized_leaves(params):
+                    params = quantize_params(
+                        params, self.model_config, ec.quantization)
+            from ..core.quantize_model import repack_int4_serving
+
+            params = repack_int4_serving(params)
             if ec.w8a8 and mesh is None:
                 # gate+up share one int8 GEMM under W8A8 (both halves use
                 # the same quantized activations); without W8A8 the split

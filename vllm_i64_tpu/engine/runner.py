@@ -116,22 +116,27 @@ class ModelRunner:
         self.ecfg = engine_cfg
         self.mesh = mesh
         if mesh is not None:
-            # Pallas decode attention is a single-device program; under a
-            # GSPMD mesh the XLA gather path partitions cleanly instead.
+            # The experimental per-seq Pallas decode/prefill kernels remain
+            # single-device-only (they lose to the XLA gather at every
+            # context the models serve — ops/attention.py:26-56 — so they
+            # are off everywhere anyway). The PRODUCTION Pallas paths — the
+            # flash-window decode kernel and fused norm+quant — now run
+            # under the mesh via shard_map over the "tp" axis (the window
+            # gate checks the per-device head geometry itself).
             from ..ops import attention as _attn
 
             _attn._PALLAS_DECODE = False
-            _attn._PALLAS_PREFILL = False  # single-device program
-            _attn._PALLAS_WINDOW_DECODE = False  # auto-policy off too
+            _attn._PALLAS_PREFILL = False
 
         # W8A8 is a module-level flag captured when a program traces; setting
         # it before every dispatch (see _sync_w8a8) keeps multiple engines
         # with different settings consistent in one process.
         self._w8a8 = bool(engine_cfg.w8a8)
-        # the fused norm+quant Pallas kernel is a single-device program,
-        # like every other Pallas kernel this runner gates off under a mesh
+        # fused norm+quant: under a mesh the kernel runs replicated inside
+        # shard_map (activations are replicated between layers under tp —
+        # see models/complexity_deep._norm_maybe_quant)
         self._fused_norm_quant = bool(
-            engine_cfg.fused_norm_quant and engine_cfg.w8a8 and mesh is None)
+            engine_cfg.fused_norm_quant and engine_cfg.w8a8)
 
         dtype = jnp.dtype(engine_cfg.kv_cache_dtype)
         num_blocks = engine_cfg.resolve_kv_blocks()
@@ -585,6 +590,17 @@ class ModelRunner:
             and t >= bsz
             and np.all(positions[:, 0] % bsz == 0)
             and np.all(valid.sum(axis=1) % bsz == 0)
+            # write_kv's block_aligned contract additionally requires each
+            # row's valid tokens to be a CONTIGUOUS PREFIX with CONTIGUOUS
+            # positions (whole-block images); cheap host check so a future
+            # caller violating it falls back instead of corrupting the cache
+            # (padding beyond the valid prefix is exempt — write_kv only
+            # covers whole blocks inside the prefix)
+            and np.all((np.diff(positions, axis=1) == 1) | ~valid[:, 1:])
+            and np.all(
+                valid
+                == (np.arange(t_actual)[None] < valid.sum(axis=1)[:, None])
+            )
         )
         # padding rows must not look greedy-sampled into counts
         with self._sync_w8a8():

@@ -246,26 +246,59 @@ def _norm_maybe_quant(hidden: jax.Array, w: jax.Array, eps: float, consumer):
     from ..ops.dequant_matmul import fused_norm_quant_enabled, w8a8_enabled
     from ..ops.quant import (
         PreQuantActs,
+        Q4Tensor,
         QTensor,
         quantize_activations_int8,
     )
 
+    int8_consumer = (
+        isinstance(consumer, QTensor)
+        and consumer.q.ndim == 2
+        and consumer.q.dtype == jnp.int8
+    )
+    # int4 split-layout weights consume (int8, scale) rows the same way —
+    # the W4A8 kernel's int8 MXU dot (ops/int4_matmul._mm_w4a8_kernel)
+    int4_consumer = (
+        isinstance(consumer, Q4Tensor)
+        and consumer.packed.ndim == 2
+        and consumer.layout == "split"
+    )
     fuse = (
         fused_norm_quant_enabled()
         and w8a8_enabled()
-        and isinstance(consumer, QTensor)
-        and consumer.q.ndim == 2
-        and consumer.q.dtype == jnp.int8
+        and (int8_consumer or int4_consumer)
     )
     if not fuse:
         return rms_norm(hidden, w, eps)
     b, t, h = hidden.shape
     x2 = hidden.reshape(b * t, h)
-    if jax.default_backend() not in ("cpu",) and (b * t) % 8 == 0 \
-            and h % 128 == 0:
+    from ..ops.attention import _interpret_kernels
+
+    interpret = _interpret_kernels()
+    if (interpret or jax.default_backend() not in ("cpu",)) \
+            and (b * t) % 8 == 0 and h % 128 == 0:
+        from ..ops.attention import _mesh_and_tp
         from ..ops.fused_norm import rmsnorm_quant_pallas
 
-        q, s = rmsnorm_quant_pallas(x2, w, eps)
+        mesh, _ = _mesh_and_tp()
+        if mesh is None:
+            q, s = rmsnorm_quant_pallas(x2, w, eps, interpret=interpret)
+        else:
+            # activations are replicated between layers under tp/ep (psum
+            # after o/down restores full rows), so the kernel runs
+            # replicated on every device inside shard_map — the Pallas call
+            # is opaque to GSPMD and needs the manual-axes context
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            q, s = shard_map(
+                lambda a, b_: rmsnorm_quant_pallas(
+                    a, b_, eps, interpret=interpret),
+                mesh=mesh,
+                in_specs=(P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(x2, w)
     else:
         q, s = quantize_activations_int8(rms_norm(x2, w, eps))
     return PreQuantActs(q, s, (b, t, h), hidden.dtype)

@@ -113,7 +113,25 @@ def fused_swiglu(x: jax.Array, gate_w, up_w, *,
     weight and proceed as two GEMMs.
     """
     from .dequant_matmul import w8a8_enabled
-    from .quant import PreQuantActs
+    from .quant import PreQuantActs, Q4Tensor
+
+    if isinstance(gate_w, Q4Tensor) and (up_w is None
+                                         or isinstance(up_w, Q4Tensor)):
+        # int4 weights: fused in-kernel dequant SwiGLU (both GEMMs stream
+        # packed nibbles; ref: triton_fused_expert.py:502 INT4 variant)
+        from .int4_matmul import int4_swiglu
+
+        if up_w is None:
+            w = gate_w.packed.shape[-1] // 2
+            gate_w, up_w = (
+                Q4Tensor(gate_w.packed[..., :w], gate_w.scales[..., :w],
+                         gate_w.zeros[..., :w], gate_w.group_size,
+                         gate_w.layout),
+                Q4Tensor(gate_w.packed[..., w:], gate_w.scales[..., w:],
+                         gate_w.zeros[..., w:], gate_w.group_size,
+                         gate_w.layout),
+            )
+        return int4_swiglu(x, gate_w, up_w)
 
     if up_w is None:
         w = gate_w.q.shape[-1] // 2 if isinstance(gate_w, QTensor) \

@@ -19,8 +19,15 @@ def linear(x: jax.Array, w, *, precision=None) -> jax.Array:
     path is (x @ q) * s — one MXU matmul with int8 weights loaded at
     1 byte/weight (the HBM-bandwidth win that I64_gemm.cu:1-60 gets on GPU).
     """
-    from .quant import PreQuantActs
+    from .quant import PreQuantActs, Q4Tensor
 
+    if isinstance(w, Q4Tensor):
+        # fused in-kernel dequant: the packed weight streams from HBM at
+        # 0.5 byte/weight (ref: triton_fused_expert.py:502,
+        # quantization.py:307-421 — the GPU in-kernel int4 dequant GEMMs)
+        from .int4_matmul import int4_matmul
+
+        return int4_matmul(x, w)
     if isinstance(x, PreQuantActs):
         # activations pre-quantized by the fused rmsnorm+quant kernel
         if isinstance(w, QTensor) and w.q.ndim == 2 and w.q.dtype == jnp.int8:
@@ -35,13 +42,6 @@ def linear(x: jax.Array, w, *, precision=None) -> jax.Array:
         if w8a8_enabled() and w.q.ndim == 2 and w.q.dtype == jnp.int8:
             return int8_int8_matmul(x, w)
         return dequant_matmul(x, w)
-    from .quant import Q4Tensor
-
-    if isinstance(w, Q4Tensor):
-        from .quant import dequantize_int4
-
-        return jnp.dot(x, dequantize_int4(w, dtype=x.dtype),
-                       preferred_element_type=x.dtype)
     return jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype)
 
 

@@ -87,19 +87,30 @@ class Q4Tensor:
     (ref: core/quantization.py:307-421 — group_size=128, scale=(max-min)/15,
     zero=round(-min/scale)).
 
-    packed: (in // 2, out) uint8 — rows i stores nibbles for input rows
-            2i (high) and 2i+1 (low)
+    Two pack layouts over the input axis (``layout``):
+    - "interleaved" (default; matches the reference/AWQ unpack order):
+      packed row i stores nibbles for input rows 2i (high) and 2i+1 (low).
+    - "split" (TPU serving layout, ops/int4_matmul.py): within each group g
+      of ``group_size`` rows, packed row g*gs/2+j stores rows g*gs+j (high)
+      and g*gs+gs/2+j (low) — unpacking is then ONE sublane concat with no
+      row interleave, which is what lets the Pallas kernel dequantize in
+      register at full VPU rate. Numerics are identical; convert with
+      ``repack_int4_split``.
+
+    packed: (in // 2, out) uint8
     scales: (num_groups, out) f32
     zeros:  (num_groups, out) f32 (stored dequant-ready)
     """
 
-    __slots__ = ("packed", "scales", "zeros", "group_size")
+    __slots__ = ("packed", "scales", "zeros", "group_size", "layout")
 
-    def __init__(self, packed, scales, zeros, group_size=128):
+    def __init__(self, packed, scales, zeros, group_size=128,
+                 layout="interleaved"):
         self.packed = packed
         self.scales = scales
         self.zeros = zeros
         self.group_size = group_size
+        self.layout = layout
 
     @property
     def shape(self):
@@ -107,18 +118,25 @@ class Q4Tensor:
         return (*lead, half * 2, out)
 
     def tree_flatten(self):
-        return (self.packed, self.scales, self.zeros), self.group_size
+        return (self.packed, self.scales, self.zeros), (self.group_size,
+                                                        self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, group_size=aux)
+        if isinstance(aux, tuple):
+            gs, layout = aux
+        else:  # pre-layout pickles
+            gs, layout = aux, "interleaved"
+        return cls(*children, group_size=gs, layout=layout)
 
     def __repr__(self):
         return (f"Q4Tensor(packed={self.packed.shape}, "
-                f"groups={self.scales.shape[0]}, gs={self.group_size})")
+                f"groups={self.scales.shape[-2]}, gs={self.group_size}, "
+                f"{self.layout})")
 
 
-def quantize_int4(w: jax.Array, group_size: int = 128) -> Q4Tensor:
+def quantize_int4(w: jax.Array, group_size: int = 128,
+                  layout: str = "interleaved") -> Q4Tensor:
     """Per-group asymmetric 4-bit quantization of a (..., in, out) weight."""
     w = w.astype(jnp.float32)
     *lead, n_in, n_out = w.shape
@@ -133,17 +151,55 @@ def quantize_int4(w: jax.Array, group_size: int = 128) -> Q4Tensor:
     q = jnp.clip(jnp.round(wg / scale[..., None, :] + zero[..., None, :]),
                  0, 15)
     q = q.astype(jnp.uint8).reshape(*lead, n_in, n_out)
-    packed = (q[..., 0::2, :] << 4) | q[..., 1::2, :]
+    packed = _pack_nibbles(q, group_size, layout)
     return Q4Tensor(packed=packed, scales=scale, zeros=zero,
-                    group_size=group_size)
+                    group_size=group_size, layout=layout)
+
+
+def _pack_nibbles(q: jax.Array, group_size: int, layout: str) -> jax.Array:
+    """Pack (..., in, out) uint8 nibble values two-per-byte on the in axis."""
+    *lead, n_in, n_out = q.shape
+    if layout == "interleaved":
+        return (q[..., 0::2, :] << 4) | q[..., 1::2, :]
+    if layout == "split":
+        g = n_in // group_size
+        qg = q.reshape(*lead, g, group_size, n_out)
+        hi = qg[..., : group_size // 2, :]
+        lo = qg[..., group_size // 2:, :]
+        return ((hi << 4) | lo).reshape(*lead, n_in // 2, n_out)
+    raise ValueError(f"unknown int4 layout {layout!r}")
+
+
+def _unpack_nibbles(qt: Q4Tensor) -> jax.Array:
+    """(..., in, out) uint8 nibble values from either pack layout."""
+    *lead, half, n_out = qt.packed.shape
+    n_in = half * 2
+    high = (qt.packed >> 4) & 0xF
+    low = qt.packed & 0xF
+    if qt.layout == "interleaved":
+        return jnp.stack([high, low], axis=-2).reshape(*lead, n_in, n_out)
+    g = n_in // qt.group_size
+    hg = high.reshape(*lead, g, qt.group_size // 2, n_out)
+    lg = low.reshape(*lead, g, qt.group_size // 2, n_out)
+    return jnp.concatenate([hg, lg], axis=-2).reshape(*lead, n_in, n_out)
+
+
+def repack_int4_split(qt: Q4Tensor) -> Q4Tensor:
+    """Convert to the TPU serving ("split") layout — identical numerics."""
+    if qt.layout == "split":
+        return qt
+    q = _unpack_nibbles(qt)
+    return Q4Tensor(
+        packed=_pack_nibbles(q, qt.group_size, "split"),
+        scales=qt.scales, zeros=qt.zeros,
+        group_size=qt.group_size, layout="split",
+    )
 
 
 def dequantize_int4(qt: Q4Tensor, dtype=jnp.float32) -> jax.Array:
     *lead, half, n_out = qt.packed.shape
     n_in = half * 2
-    high = (qt.packed >> 4) & 0xF
-    low = qt.packed & 0xF
-    q = jnp.stack([high, low], axis=-2).reshape(*lead, n_in, n_out)
+    q = _unpack_nibbles(qt)
     g = qt.scales.shape[-2]
     qg = q.astype(jnp.float32).reshape(*lead, g, qt.group_size, n_out)
     w = (qg - qt.zeros[..., None, :]) * qt.scales[..., None, :]

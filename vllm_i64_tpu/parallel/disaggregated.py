@@ -267,22 +267,58 @@ class DisaggregatedCoordinator:
         self._pending_meta: Dict[int, _Pending] = {}
         self._results: Dict[int, GenerationResult] = {}
         self._next_submit = 0
+        self._submit_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self._prefill_errors: Dict[int, Exception] = {}
+        # per-sid synchronous waiters (prefill_blocking): ready prefills for
+        # these sids resolve an event instead of entering the step() queue
+        self._waiters: Dict[int, threading.Event] = {}
+        self._waiter_results: Dict[int, PrefillResult] = {}
 
     # -- submission ----------------------------------------------------------
 
     def add_request(self, prompt_token_ids,
                     sampling_params: Optional[SamplingParams] = None,
                     callback: Optional[Callable] = None) -> int:
-        sid = self._next_submit
-        self._next_submit += 1
+        with self._submit_lock:
+            sid = self._next_submit
+            self._next_submit += 1
         p = _Pending(sid, np.asarray(prompt_token_ids, np.int64),
                      sampling_params or SamplingParams(), callback)
         self._pending_meta[sid] = p
         self._prefill_q.put(p)
         return sid
+
+    def prefill_blocking(self, prompt_token_ids,
+                         sampling_params: Optional[SamplingParams] = None,
+                         timeout_s: float = 600.0) -> PrefillResult:
+        """Submit a prompt and BLOCK until its prefill completes.
+
+        The serving adapter's admission path (engine/async_disaggregated.py):
+        prompts still batch with whatever else is queued (the background
+        prefill thread drains the shared queue into one dispatch), but the
+        result resolves a per-request event instead of entering the
+        coordinator's own decode admission queue — the caller admits it into
+        the decode engine itself."""
+        with self._submit_lock:
+            sid = self._next_submit
+            self._next_submit += 1
+        ev = threading.Event()
+        self._waiters[sid] = ev
+        p = _Pending(sid, np.asarray(prompt_token_ids, np.int64),
+                     sampling_params or SamplingParams(), None)
+        self._prefill_q.put(p)
+        try:
+            if not ev.wait(timeout_s):
+                raise TimeoutError(
+                    f"prefill did not complete within {timeout_s}s")
+            if sid in self._prefill_errors:
+                raise RuntimeError("prefill failed") \
+                    from self._prefill_errors.pop(sid)
+            return self._waiter_results.pop(sid)
+        finally:
+            self._waiters.pop(sid, None)
 
     # -- loops ----------------------------------------------------------------
 
@@ -312,13 +348,21 @@ class DisaggregatedCoordinator:
             items.append(nxt)
         return items
 
+    def _resolve_ready(self, sid: int, pr: "PrefillResult") -> None:
+        ev = self._waiters.get(sid)
+        if ev is not None:  # blocking waiter (serving adapter admission)
+            self._waiter_results[sid] = pr
+            ev.set()
+        else:
+            self._ready_q.put((sid, pr))
+
     def _run_batch(self, items: List[_Pending]) -> None:
         try:
             prs = self.prefill.run_prefill_batch(
                 [it.prompt for it in items], [it.params for it in items])
             for it, pr in zip(items, prs):
                 pr.submitted_id = it.submit_id
-                self._ready_q.put((it.submit_id, pr))
+                self._resolve_ready(it.submit_id, pr)
         except Exception as exc:  # pragma: no cover
             logger.error("prefill failed: %s", exc, exc_info=True)
             # surface to the waiters — a silently dropped request would
@@ -326,7 +370,11 @@ class DisaggregatedCoordinator:
             # Retry one-by-one so a single poison prompt doesn't take the
             # whole batch down with it.
             if len(items) == 1:
-                self._prefill_errors[items[0].submit_id] = exc
+                sid = items[0].submit_id
+                self._prefill_errors[sid] = exc
+                ev = self._waiters.get(sid)
+                if ev is not None:
+                    ev.set()
                 return
             for it in items:
                 self._run_batch([it])

@@ -41,10 +41,30 @@ def serve(args) -> None:
         fuse_gate_up_params, fuse_qkv_params, fuse_shared_expert_params,
         materialize_lm_head, quantize_params,
     )
-    from vllm_i64_tpu.core.tokenizer import ByteTokenizer
     from vllm_i64_tpu.engine import Engine
     from vllm_i64_tpu.models import complexity_deep as cdm
     from vllm_i64_tpu.models.presets import get_preset
+
+    class SyntheticTokenizer:
+        """Vocab-matched byte-ish tokenizer: EVERY id decodes to a
+        non-empty char, so random-init models still produce SSE text
+        deltas (ByteTokenizer drops ids >= 259 -> empty streams over the
+        flagship's 32k vocab; the bench must count token events at the
+        HTTP boundary)."""
+
+        eos_token_id = 0
+        pad_token_id = 1
+        bos_token_id = 2
+
+        def __init__(self, vocab_size):
+            self.vocab_size = vocab_size
+
+        def encode(self, text):
+            return [3 + (b % (self.vocab_size - 3))
+                    for b in text.encode("utf-8")]
+
+        def decode(self, token_ids):
+            return "".join(chr(97 + (int(t) % 26)) for t in token_ids)
 
     cfg = get_preset("tr-hash-moe-500m")
     if args.tiny:
@@ -76,8 +96,9 @@ def serve(args) -> None:
         prefill_batch_buckets=(1, 2, 4, 8, 16),
         prefill_token_buckets=(128, 512),
     )
-    engine = Engine(params, cfg, ecfg, tokenizer=ByteTokenizer())
-    Server(engine, tokenizer=ByteTokenizer(),
+    tok = SyntheticTokenizer(cfg.vocab_size)
+    engine = Engine(params, cfg, ecfg, tokenizer=tok)
+    Server(engine, tokenizer=tok,
            chat_template=ChatTemplate.default(),
            model_name="tr-hash-moe-500m", host="127.0.0.1",
            port=args.port).run()
@@ -117,6 +138,11 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=PORT)
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--concurrency", type=int, default=16)
+    ap.add_argument("--uniform", action="store_true",
+                    help="drive the ENGINE bench's exact workload shape "
+                         "(128-token prompts, 64 generated, all concurrent) "
+                         "instead of the mixed long-tail — the apples-to-"
+                         "apples serve-vs-engine comparison")
     ap.add_argument("--startup-timeout", type=int, default=900)
     args = ap.parse_args()
     if args.serve:
@@ -130,8 +156,11 @@ def main() -> None:
     rng = random.Random(0)
     jobs = []
     for i in range(args.requests):
-        plen = rng.choice([16, 32, 48, 64, 96, 128, 192, 256, 384, 512])
-        gen = rng.choice([16, 32, 48, 64, 96, 128])
+        if args.uniform:
+            plen, gen = 128, 64
+        else:
+            plen = rng.choice([16, 32, 48, 64, 96, 128, 192, 256, 384, 512])
+            gen = rng.choice([16, 32, 48, 64, 96, 128])
         prompt = "".join(chr(97 + (j * 7 + i) % 26) for j in range(plen))
         jobs.append((prompt, gen))
 
@@ -160,36 +189,52 @@ def main() -> None:
         print(f"[http-bench] server up in {time.perf_counter()-t0:.0f}s",
               file=_sys.stderr, flush=True)
 
-        # warmup: a few requests to compile every bucket variant
-        for p, g in jobs[:4]:
-            stream_one(args.port, p, g)
-        print("[http-bench] warmup done", file=_sys.stderr, flush=True)
+        def drive(job_list):
+            results = [None] * len(job_list)
+            idx = {"v": 0}
+            lock = threading.Lock()
 
-        results = [None] * len(jobs)
-        idx = {"v": 0}
-        lock = threading.Lock()
+            def worker():
+                while True:
+                    with lock:
+                        i = idx["v"]
+                        if i >= len(job_list):
+                            return
+                        idx["v"] = i + 1
+                    p, g = job_list[i]
+                    try:
+                        results[i] = stream_one(args.port, p, g)
+                    except Exception as e:  # noqa: BLE001
+                        results[i] = {"error": repr(e)[:100]}
 
-        def worker():
-            while True:
-                with lock:
-                    i = idx["v"]
-                    if i >= len(jobs):
-                        return
-                    idx["v"] = i + 1
-                p, g = jobs[i]
-                try:
-                    results[i] = stream_one(args.port, p, g)
-                except Exception as e:  # noqa: BLE001
-                    results[i] = {"error": repr(e)[:100]}
+            t_start = time.perf_counter()
+            threads = [threading.Thread(target=worker)
+                       for _ in range(args.concurrency)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return results, time.perf_counter() - t_start
 
-        t_start = time.perf_counter()
-        threads = [threading.Thread(target=worker)
-                   for _ in range(args.concurrency)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t_start
+        # warmup: the FULL mixed job list once, at the same concurrency —
+        # every (prompt bucket, batch bucket, block-table bucket) program
+        # compiles here instead of polluting the timed pass (remote
+        # compiles cost 20-40s each and dominated TTFT p99 otherwise)
+        t0w = time.perf_counter()
+        drive(jobs)
+        print(f"[http-bench] warmup pass done in "
+              f"{time.perf_counter()-t0w:.0f}s", file=_sys.stderr, flush=True)
+
+        results, wall = drive(jobs)
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{args.port}/v1/monitor",
+                    timeout=10) as r:
+                mon = json.loads(r.read())
+            print(f"[http-bench] server monitor: "
+                  f"{json.dumps(mon)[:800]}", file=_sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[http-bench] monitor failed: {e!r}", file=_sys.stderr)
 
         ok = [r for r in results if r and "error" not in r and r["ttft"]]
         errors = len(results) - len(ok)
@@ -207,7 +252,7 @@ def main() -> None:
             b - a for r in ok for a, b in zip(r["stamps"], r["stamps"][1:]))
         pct = lambda xs, p: xs[min(int(len(xs) * p), len(xs) - 1)] if xs else 0
         print(json.dumps({
-            "metric": "http_mixed_throughput",
+            "metric": ("http_uniform_throughput" if args.uniform else "http_mixed_throughput"),
             "value": round(total_tokens / wall, 1),
             "unit": "tok/s",
             "requests": len(ok),

@@ -211,7 +211,12 @@ class HostWorker:
 
 
 class WorkerClient:
-    """Router-side handle to one remote HostWorker."""
+    """Router-side handle to one remote HostWorker.
+
+    A connection failure marks the client ``dead``; the router fails that
+    worker's in-flight requests and stops routing to it (ref analog: the
+    reference has NO worker-death handling — its torchrun worker loop
+    deadlocks the collective; here serving degrades to the live hosts)."""
 
     def __init__(self, addr: str):
         host, port = addr.rsplit(":", 1)
@@ -219,21 +224,30 @@ class WorkerClient:
         self.addr = addr
         self.conn = _LineConn(sock)
         self.outstanding = 0
+        self.dead = False
 
     def add(self, sid: int, prompt: List[int], params,
             priority: int = 0,
             cache_namespace: Optional[bytes] = None) -> None:
-        r = self.conn.request({
-            "op": "add", "sid": sid, "prompt": list(map(int, prompt)),
-            "params": params_to_wire(params), "priority": int(priority),
-            "ns": cache_namespace.hex() if cache_namespace else None,
-        })
+        try:
+            r = self.conn.request({
+                "op": "add", "sid": sid, "prompt": list(map(int, prompt)),
+                "params": params_to_wire(params), "priority": int(priority),
+                "ns": cache_namespace.hex() if cache_namespace else None,
+            })
+        except (ConnectionError, OSError, EOFError) as exc:
+            self.dead = True
+            raise WorkerDied(self.addr) from exc
         if "error" in r:
             raise RuntimeError(f"worker {self.addr}: {r['error']}")
         self.outstanding += 1
 
     def poll(self) -> List[dict]:
-        r = self.conn.request({"op": "poll"})
+        try:
+            r = self.conn.request({"op": "poll"})
+        except (ConnectionError, OSError, EOFError) as exc:
+            self.dead = True
+            raise WorkerDied(self.addr) from exc
         events = r.get("events", [])
         done = sum(1 for e in events if e.get("finished"))
         # clamp: a cancel that raced a finish may have already decremented
@@ -256,6 +270,10 @@ class WorkerClient:
         except (ConnectionError, OSError):
             pass
         self.conn.close()
+
+
+class WorkerDied(ConnectionError):
+    """A remote host worker's connection failed mid-conversation."""
 
 
 @dataclasses.dataclass
@@ -290,7 +308,11 @@ class CrossHostRouter:
         loads = []
         if self.local_engine is not None:
             loads.append((self._local_outstanding, -1))
-        loads.extend((w.outstanding, i) for i, w in enumerate(self.workers))
+        loads.extend((w.outstanding, i) for i, w in enumerate(self.workers)
+                     if not w.dead)
+        if not loads:
+            raise RuntimeError("no live serving targets (all workers dead, "
+                               "no local engine)")
         return min(loads)[1]
 
     def add_request(self, prompt_token_ids, sampling_params,
@@ -299,20 +321,45 @@ class CrossHostRouter:
         with self._lock:
             sid = self._next_sid
             self._next_sid += 1
-            target = self._pick_target()
-            rr = _RoutedRequest(sid=sid, target=target)
-            self._sid_to_req[sid] = rr
-            if target == -1:
-                rid = self.local_engine.add_request(
-                    list(prompt_token_ids), sampling_params,
-                    priority=priority, cache_namespace=cache_namespace)
-                self._sid_to_local_rid[sid] = rid
-                self._local_outstanding += 1
-            else:
-                self.workers[target].add(
-                    sid, prompt_token_ids, sampling_params,
-                    priority=priority, cache_namespace=cache_namespace)
+            rr = None
+            while True:
+                target = self._pick_target()
+                rr = _RoutedRequest(sid=sid, target=target)
+                self._sid_to_req[sid] = rr
+                if target == -1:
+                    rid = self.local_engine.add_request(
+                        list(prompt_token_ids), sampling_params,
+                        priority=priority, cache_namespace=cache_namespace)
+                    self._sid_to_local_rid[sid] = rid
+                    self._local_outstanding += 1
+                    break
+                try:
+                    self.workers[target].add(
+                        sid, prompt_token_ids, sampling_params,
+                        priority=priority, cache_namespace=cache_namespace)
+                    break
+                except WorkerDied:
+                    # admission discovered the death first: fail over to
+                    # the next least-loaded live target, then sweep the
+                    # dead worker's other in-flight requests
+                    self._fail_worker_locked(target)
+                    continue
         return sid
+
+    def _fail_worker_locked(self, idx: int) -> None:
+        """Fail every in-flight request routed to a dead worker (callers
+        hold self._lock). They finish with reason "worker_died" rather than
+        hanging until client timeout."""
+        w = self.workers[idx]
+        w.dead = True
+        for rr in self._sid_to_req.values():
+            if rr.target == idx and not rr.finished:
+                rr.finished = True
+                rr.finish_reason = "worker_died"
+        w.outstanding = 0
+        logger.error("worker %s died — its in-flight requests failed with "
+                     "finish_reason=worker_died; routing continues on the "
+                     "remaining hosts", w.addr)
 
     # -- progress ------------------------------------------------------------
 
@@ -334,8 +381,16 @@ class CrossHostRouter:
                         rr.finish_reason = req.finish_reason or "stop"
                         del self._sid_to_local_rid[sid]
                         self._local_outstanding -= 1
-        for w in self.workers:
-            for ev in w.poll():
+        for i, w in enumerate(self.workers):
+            if w.dead:
+                continue
+            try:
+                events = w.poll()
+            except WorkerDied:
+                with self._lock:
+                    self._fail_worker_locked(i)
+                continue
+            for ev in events:
                 rr = self._sid_to_req.get(int(ev["sid"]))
                 if rr is None:
                     continue
@@ -377,7 +432,8 @@ class CrossHostRouter:
             "hosts": 1 + len(self.workers),
             "local_outstanding": self._local_outstanding,
             "workers": [
-                {"addr": w.addr, "outstanding": w.outstanding}
+                {"addr": w.addr, "outstanding": w.outstanding,
+                 "dead": w.dead}
                 for w in self.workers
             ],
         }

@@ -213,6 +213,14 @@ class DecodeWorker:
         self.engine = Engine(params, model_cfg, engine_cfg, mesh=mesh)
 
     def receive_and_add_request(self, pr: PrefillResult) -> Optional[int]:
+        # admission mutates scheduler state AND the runner's KV buffers
+        # (import_blocks_device donates kv_k/kv_v) — under the async serving
+        # adapter it runs from admission threads concurrently with step();
+        # an unlocked import deletes the array a step is consuming
+        with self.engine._lock:
+            return self._receive_and_add_locked(pr)
+
+    def _receive_and_add_locked(self, pr: PrefillResult) -> Optional[int]:
         sched = self.engine.scheduler
         rid = sched.add_prefilled_request(
             pr.prompt_token_ids,

@@ -207,3 +207,93 @@ def test_multistep_window_capped_not_collapsed_when_pending(tiny_config):
     assert eng._multistep_window(batch) == 4  # capped, not 1
     for r in rids:
         assert len(eng.wait_for(r).output_tokens) >= 1
+
+
+def test_batch_sizer_floor_is_decode_bucket():
+    """Shrinking max_batch_size below the largest compiled decode bucket
+    cannot reduce step cost (the batch pads to the same program) — it only
+    pins waiting requests out of the batch. Observed on v5e HTTP serving:
+    noisy remote step timings drove the sizer from 64 toward 1, collapsing
+    a saturated continuous batch to ~1 token/step."""
+    import jax
+
+    from vllm_i64_tpu.config import EngineConfig, ModelConfig
+    from vllm_i64_tpu.engine import Engine
+    from vllm_i64_tpu.models import complexity_deep as cdm
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      num_experts=4, top_k=2, shared_expert=True)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine(params, cfg, EngineConfig(
+        max_batch_size=64, max_seq_len=64, kv_block_size=16,
+        max_kv_blocks=32, decode_batch_buckets=(16, 64),
+        prefill_batch_buckets=(1,), prefill_token_buckets=(16,)))
+    assert eng.batch_sizer.min_size == 64  # largest bucket <= max
+
+    eng2 = Engine(params, cfg, EngineConfig(
+        max_batch_size=48, max_seq_len=64, kv_block_size=16,
+        max_kv_blocks=32, decode_batch_buckets=(16, 64),
+        prefill_batch_buckets=(1,), prefill_token_buckets=(16,)))
+    # max 48 pads to the 64-bucket; shrinking to the 16 boundary is the
+    # only shrink that changes the program
+    assert eng2.batch_sizer.min_size == 16
+
+    # the sizer itself can never cross below its floor
+    s = eng.batch_sizer
+    for _ in range(s.window):
+        s.record(1, 1000.0)
+    for _ in range(50):
+        s.record(1, 10000.0)  # collapsing throughput
+        s.adjust(allow_shrink=True)
+    assert s.current >= 64
+
+
+def test_suppress_first_tokens_returns_to_device_path_after_token0():
+    """The HTTP server attaches suppress-first-tokens (bare-space masking)
+    to EVERY completion. The processor is inert after token 0; it must not
+    condemn the request to host-sampled single-token steps for its whole
+    lifetime (measured on v5e: HTTP throughput collapsed to ~1 token/
+    request/step — 30 tok/s vs the engine's 5k+)."""
+    import jax
+
+    from vllm_i64_tpu.config import EngineConfig, ModelConfig
+    from vllm_i64_tpu.core.logits_processor import OutputConstraints
+    from vllm_i64_tpu.core.sampling import SamplingParams
+    from vllm_i64_tpu.engine import Engine
+    from vllm_i64_tpu.models import complexity_deep as cdm
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      num_experts=4, top_k=2, shared_expert=True)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    eng = Engine(params, cfg, EngineConfig(
+        max_batch_size=4, max_seq_len=64, kv_block_size=8,
+        max_kv_blocks=40, max_prefill_tokens=32,
+        decode_batch_buckets=(4,), prefill_batch_buckets=(1, 2, 4),
+        prefill_token_buckets=(16,), multistep_decode=8))
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=16, min_tokens=16,
+        output_constraints=OutputConstraints(suppress_first_tokens=[7]))
+    rids = [eng.add_request(list(range(3 + i, 19 + i)), sp)
+            for i in range(4)]
+    # admission built a live processor chain -> host path for token 0
+    assert all(eng._needs_host(sp, r) for r in rids)
+    guard = 0
+    while eng.scheduler.has_work and guard < 200:
+        eng.step()
+        guard += 1
+    outs = [eng.scheduler.get_request(r).output_token_ids for r in rids]
+    assert all(len(o) == 16 for o in outs)
+    # the first token respected the suppression...
+    assert all(o[0] != 7 for o in outs)
+    # ...and the spent processors were pruned: requests rode the fused
+    # multistep windows (device path), not 16 single host-sampled steps
+    mix = eng.get_stats()["step_mix"]
+    assert mix["window_tokens"] + mix["window_k_sum"] > 0
+    assert mix["fb_host"] == 0 or mix["window_tokens"] > 0
+    assert eng.total_steps < 16  # windows, not one step per token
+    for r in rids:
+        assert not eng._needs_host(sp, r)

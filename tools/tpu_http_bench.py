@@ -138,6 +138,8 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=PORT)
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--concurrency", type=int, default=16)
+    ap.add_argument("--uniform-gen", type=int, default=64,
+                    help="generation length for --uniform jobs")
     ap.add_argument("--uniform", action="store_true",
                     help="drive the ENGINE bench's exact workload shape "
                          "(128-token prompts, 64 generated, all concurrent) "
@@ -157,7 +159,7 @@ def main() -> None:
     jobs = []
     for i in range(args.requests):
         if args.uniform:
-            plen, gen = 128, 64
+            plen, gen = 128, args.uniform_gen
         else:
             plen = rng.choice([16, 32, 48, 64, 96, 128, 192, 256, 384, 512])
             gen = rng.choice([16, 32, 48, 64, 96, 128])

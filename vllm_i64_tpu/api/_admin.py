@@ -336,6 +336,7 @@ class AdminMixin:
                 ("pending", "running", "finished", "free_kv_blocks")
             }
             snapshot["perf"] = stats.get("perf")
+            snapshot["step_mix"] = stats.get("step_mix")
             snapshot["kv_cache"] = self.engine.scheduler.blocks.get_stats()
         return web.json_response(snapshot)
 

@@ -255,15 +255,37 @@ class Engine:
         self._merged_secondaries: Dict[int, dict] = {}
         self.merged_finished: Dict[int, GenerationResult] = {}
 
-        # adaptive batch sizing (ref: i64_engine.py:46-72, 1024-1031)
+        # adaptive batch sizing (ref: i64_engine.py:46-72, 1024-1031).
+        # Shrink floor = the largest compiled decode bucket <= the
+        # configured max: under bucketed static shapes a smaller LOGICAL
+        # batch pads to the same program, so shrinking below a bucket
+        # boundary cannot reduce step cost — it only pins waiting requests
+        # out of the batch. Observed on v5e serving (HTTP bench): noisy
+        # remote step timings drove min_size=1 into a death spiral
+        # (shrink -> fewer rows -> lower throughput -> shrink), collapsing
+        # a 64-way continuous batch to ~1 token/step.
+        _dec_floor = max(
+            (b for b in ec.decode_batch_buckets if b <= ec.max_batch_size),
+            default=ec.max_batch_size,
+        )
         self.batch_sizer = AdaptiveBatchSizer(
-            ec.max_batch_size, min_size=1, max_size=ec.max_batch_size
+            ec.max_batch_size, min_size=_dec_floor,
+            max_size=ec.max_batch_size,
         )
 
         # perf counters (ref: i64_engine.py:160-165)
         self.total_steps = 0
         self.total_tokens_generated = 0
         self._perf = {"schedule_ms": 0.0, "forward_ms": 0.0, "sample_ms": 0.0, "total_ms": 0.0}
+        # step-mix observability: how the serving workload actually lands
+        # on the dispatch paths (chained windows vs mixed windows vs
+        # single-step) and how full the decode batches run — the numbers
+        # that explain a throughput gap between bench and serve workloads
+        self._step_mix = {"chained": 0, "window": 0, "single": 0,
+                          "decode_rows": 0, "prefill_rows": 0,
+                          "window_k_sum": 0, "window_tokens": 0,
+                          "window_fallback_rows": 0,
+                          "fb_host": 0, "fb_capacity": 0}
 
     # -- request management ---------------------------------------------------
 
@@ -453,14 +475,48 @@ class Engine:
         return constraints.build_processors(tokenizer=self.tokenizer, eos_token_id=eos)
 
     def _needs_host(self, params: SamplingParams, rid: int) -> bool:
-        """Host-path rows: logprobs / bias / constraints. Pure stop-sequence
-        chains stay on the device path (stops are checked post-sample)."""
-        if params.needs_host_sampling:
+        """Host-path rows: logprobs / bias / beams, or LIVE constraint
+        processors. Constraints are judged by their operational form — the
+        processor chain — not by ``params.output_constraints``: a spent
+        step-0 processor (suppress-first-tokens) is pruned from the chain
+        after token 0, and the request returns to the fused on-device path
+        (the params object still carries the constraints descriptor).
+        Pure stop-sequence chains stay on the device path (stops are
+        checked post-sample)."""
+        if (params.logprobs is not None
+                or params.logit_bias is not None
+                or params.num_beams > 1):
             return True
         procs = self._procs_by_rid.get(rid)
         return bool(procs) and any(
             not isinstance(p, StopSequenceProcessor) for p in procs
         )
+
+    def _prune_spent_processors(self) -> None:
+        """Drop step-0-only processors once a request has generated a token.
+
+        The HTTP server attaches suppress-first-tokens (bare-space masking)
+        to EVERY completion; the processor is inert after token 0, but its
+        presence made `_needs_host` true for the request's WHOLE lifetime —
+        single-token host-sampled steps instead of fused multistep windows.
+        Measured on v5e serving: this one condition collapsed HTTP
+        throughput to ~1 token/request/step (~30 tok/s vs the engine's
+        5k+). Pruning returns the row to the on-device path after its
+        first token."""
+        from ..core.logits_processor import SuppressTokensProcessor
+
+        for rid, procs in list(self._procs_by_rid.items()):
+            req = self.scheduler.get_request(rid)
+            if req is None or req.num_generated == 0:
+                continue
+            kept = [p for p in procs
+                    if not isinstance(p, SuppressTokensProcessor)]
+            if len(kept) == len(procs):
+                continue
+            if kept:
+                self._procs_by_rid[rid] = kept
+            else:
+                del self._procs_by_rid[rid]
 
     def cancel_request(self, rid: int) -> bool:
         with self._lock:
@@ -567,6 +623,7 @@ class Engine:
             return result
 
         self._sweep_timeouts()
+        self._prune_spent_processors()
         self._maybe_enable_fp8_kv()
 
         batch = self.scheduler.schedule()
@@ -626,6 +683,9 @@ class Engine:
                     self._dispatch_chain_window(decode, k)
                     multi = self._chain_advance()
                     multi_applied = True
+                    self._step_mix["chained"] += 1
+                    self._step_mix["window_k_sum"] += k
+                    self._step_mix["decode_rows"] += len(decode)
                 else:
                     # decode rows run the fused multistep window even when
                     # prefill chunks share the step — the chunks dispatch
@@ -640,6 +700,10 @@ class Engine:
                         multi.update(self._run_multi_decode(part, k))
                     for pg in pending:
                         single.update(self._finish_group(pg))
+                    self._step_mix["window"] += 1
+                    self._step_mix["window_k_sum"] += k
+                    self._step_mix["decode_rows"] += len(decode)
+                    self._step_mix["prefill_rows"] += len(prefill)
             else:
                 # the scheduler can emit more rows than the largest compiled
                 # bucket; split so padding never exceeds the bucket table.
@@ -656,6 +720,9 @@ class Engine:
                 ]
                 for pg in pending:
                     single.update(self._finish_group(pg))
+                self._step_mix["single"] += 1
+                self._step_mix["decode_rows"] += len(decode)
+                self._step_mix["prefill_rows"] += len(prefill)
         self._perf["forward_ms"] += (time.perf_counter() - t1) * 1000
 
         result: Dict[int, List[int]] = {}
@@ -910,10 +977,12 @@ class Engine:
             p = self._params_by_rid.get(s.request.request_id, SamplingParams())
             if self._needs_host(p, s.request.request_id):
                 fallback_rows.append(s)
+                self._step_mix["fb_host"] += 1
             elif self.scheduler.ensure_capacity(s.request, k + 1):
                 rows.append(s)
             else:
                 fallback_rows.append(s)
+                self._step_mix["fb_capacity"] += 1
         if not rows:
             return {
                 rid: [tok]
@@ -932,6 +1001,8 @@ class Engine:
         for i, s in enumerate(rows):
             toks = [int(t) for t in emitted[:, i] if t >= 0]
             out[s.request.request_id] = toks
+            self._step_mix["window_tokens"] += len(toks)
+        self._step_mix["window_fallback_rows"] += len(fallback_rows)
 
         if fallback_rows:
             single = self._run_group(fallback_rows, kind="decode")
@@ -1443,6 +1514,7 @@ class Engine:
             "tokens_per_s": 1000.0 * self.total_tokens_generated / total,
         }
         s["total_tokens_generated"] = self.total_tokens_generated
+        s["step_mix"] = dict(self._step_mix)
         if self.runner is not None:
             s["kv_cache_bytes"] = self.runner.kv_cache_memory_bytes()
         return s

@@ -72,3 +72,44 @@ def test_pp_size_bounds(tiny_config):
     with pytest.raises(ValueError):
         PipelinedModel(params, tiny_config,
                        pp_size=tiny_config.num_hidden_layers + 1)
+
+
+def test_pp_three_stages_remainder_split(tiny_config):
+    """num_layers=2, pp=2 is the trivial split; exercise uneven splits via
+    a 5-layer model over pp=3 (remainder spread over the first ranks,
+    ref: pipeline_parallel.py:85-104) with logits parity."""
+    import jax
+    import numpy as np
+
+    from vllm_i64_tpu.models import complexity_deep as cdm
+    from vllm_i64_tpu.parallel.pipeline import PipelinedModel, get_pp_indices
+
+    cfg = tiny_config.replace(num_hidden_layers=5)
+    assert [get_pp_indices(5, r, 3) for r in range(3)] == [
+        (0, 2), (2, 4), (4, 5)]
+    params = cdm.init_params(cfg, jax.random.PRNGKey(2))
+    toks = np.random.default_rng(0).integers(3, 250, size=(2, 9))
+    import jax.numpy as jnp
+
+    toks = jnp.asarray(toks, jnp.int32)
+    ref = cdm.forward(params, cfg, toks)
+    pp = PipelinedModel(params, cfg, pp_size=3)
+    got = pp.forward(toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pp_stage_devices_receive_their_layers(tiny_config):
+    import jax
+
+    from vllm_i64_tpu.models import complexity_deep as cdm
+    from vllm_i64_tpu.parallel.pipeline import PipelinedModel
+
+    cfg = tiny_config
+    params = cdm.init_params(cfg, jax.random.PRNGKey(3))
+    devs = jax.devices()[:2]
+    pp = PipelinedModel(params, cfg, pp_size=2, devices=devs)
+    d0 = pp.stage_layers[0]["q"].devices()
+    d1 = pp.stage_layers[1]["q"].devices()
+    assert d0 == {devs[0]}
+    assert d1 == {devs[1]}

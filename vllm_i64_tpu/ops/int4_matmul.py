@@ -310,7 +310,11 @@ def _swiglu_w4a8_pallas(xq, xs, pg, pu, sg3, szg3, su3, szu3, tm, tn, tk, gs,
 # (compute-bound prefill — full-contraction MXU dots are what matters).
 # v5e A/B 2026-08-19 (6-layer flagship chain): M=64 fixup 2.95 vs XLA-w8a8
 # 4.26 ms; M=2048 fixup 5.08 vs 3.99 — the crossover sits between.
-_FIXUP_MAX_M = 256
+# Env override for A/Bs (captured at trace time): 0 = big-dot everywhere,
+# large = fixup everywhere.
+import os as _os
+
+_FIXUP_MAX_M = int(_os.environ.get("VLLM_I64_TPU_INT4_FIXUP_MAX_M", "256"))
 
 
 def _on_tpu() -> bool:

@@ -147,7 +147,7 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
     QTensor leaves inherit the float weight's spec for ``q`` and a reduced
     spec (contraction axis dropped) for the per-out-channel scales.
     """
-    from ..ops.quant import QTensor
+    from ..ops.quant import Q4Tensor, QTensor
 
     specs = param_specs(cfg)
 
@@ -168,10 +168,27 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
                 jax.device_put(leaf.q, q_sh),
                 jax.device_put(leaf.s, NamedSharding(mesh, s_spec)),
             )
+        if isinstance(leaf, Q4Tensor):
+            # int4: the packed payload has the float weight's RANK (the
+            # in-axis halves in size, not in rank) so it takes the same
+            # (flattened) spec; per-group scales/zeros are small
+            # (weights/group_size) and replicate — the dequantize math
+            # broadcasts them, and replication avoids group-axis
+            # divisibility constraints entirely.
+            if leaf.packed.ndim == len(spec) - 1:
+                spec = _flatten_expert_spec(spec, path)
+            rep = NamedSharding(mesh, P())
+            return Q4Tensor(
+                jax.device_put(leaf.packed, NamedSharding(mesh, spec)),
+                jax.device_put(leaf.scales, rep),
+                jax.device_put(leaf.zeros, rep),
+                group_size=leaf.group_size,
+                layout=leaf.layout,
+            )
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(
-        place, params, is_leaf=lambda x: isinstance(x, QTensor)
+        place, params, is_leaf=lambda x: isinstance(x, (QTensor, Q4Tensor))
     )
 
 

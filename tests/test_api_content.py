@@ -301,3 +301,32 @@ class TestLauncherEnv:
         from vllm_i64_tpu.parallel.launcher import is_serving_host
 
         assert is_serving_host() is True
+
+
+@pytest.mark.asyncio
+async def test_monitor_exposes_step_mix():
+    """/v1/monitor carries the step-mix counters (chained/window/single +
+    fallback reasons) — the observability that localized the round-3
+    serving collapse."""
+    from vllm_i64_tpu.api import Server
+    from vllm_i64_tpu.config import EngineConfig
+    from vllm_i64_tpu.engine import Engine
+
+    eng = Engine(None, None, EngineConfig(max_batch_size=2, max_seq_len=64,
+                                          kv_block_size=8, max_kv_blocks=16))
+    server = Server(eng, model_name="t")
+    app = server.build_app()
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async with TestClient(TestServer(app)) as client:
+        await server.async_engine.start()
+        try:
+            r = await client.get("/v1/monitor")
+            assert r.status == 200
+            data = await r.json()
+            assert "step_mix" in data
+            for key in ("chained", "window", "single", "fb_host",
+                        "fb_capacity", "window_tokens"):
+                assert key in data["step_mix"]
+        finally:
+            await server.async_engine.stop(drain_timeout=2)

@@ -551,7 +551,18 @@ class ModelRunner:
             b = _bucket(b_actual, self.ecfg.prefill_batch_buckets)
             t = _bucket(t_actual, self.ecfg.prefill_token_buckets)
 
-        mb_needed = max(int(block_tables.shape[1]), 1)
+        if kind == "prefill" and np.any(valid):
+            # clamp the block table to this dispatch's actual position span:
+            # the engine passes each row's FULL allocated table (sized for
+            # the whole prompt), but an early chunk of a long prompt only
+            # reads/writes blocks up to its own positions — the gather's
+            # cost scales with the STATIC table bucket, so a 512-token first
+            # chunk of a 1920-token prompt was paying a 2048-token-span
+            # gather per layer (longctx TTFT was ~4x the compute bound)
+            span = int(positions[valid].max()) + 1
+            mb_needed = max(-(-span // self.ecfg.kv_block_size), 1)
+        else:
+            mb_needed = max(int(block_tables.shape[1]), 1)
         mb = _bucket(mb_needed, self.block_buckets)
 
         def pad2(a, fill=0, dtype=None):

@@ -170,6 +170,10 @@ def main() -> None:
         return jnp.argmax(logits[:, :128], axis=-1).astype(jnp.int32)
 
     def fake_moe(x, token_ids, **kw):
+        # x may be a PreQuantActs marker (fused norm+quant feeding W8A8
+        # GEMMs); the residual add downstream needs a float array
+        if hasattr(x, "to_float"):
+            return x.to_float()
         return x
 
     def fake_merge(k_cache, v_cache, win_k, win_v, block_tables, ctx0,

@@ -221,9 +221,14 @@ def main() -> None:
         # warmup: the FULL mixed job list once, at the same concurrency —
         # every (prompt bucket, batch bucket, block-table bucket) program
         # compiles here instead of polluting the timed pass (remote
-        # compiles cost 20-40s each and dominated TTFT p99 otherwise)
+        # compiles cost 20-40s each and dominated TTFT p99 otherwise).
+        # The warmup pass uses CONTENT-distinct prompts of identical
+        # shapes: reusing the same strings made the timed pass hit
+        # prefix-cache-shortened prefill shapes warmup never compiled.
+        warm_jobs = [(("z" + p[1:]) if len(p) > 1 else "z", g)
+                     for p, g in jobs]
         t0w = time.perf_counter()
-        drive(jobs)
+        drive(warm_jobs)
         print(f"[http-bench] warmup pass done in "
               f"{time.perf_counter()-t0w:.0f}s", file=_sys.stderr, flush=True)
 

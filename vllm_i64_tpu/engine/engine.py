@@ -693,7 +693,8 @@ class Engine:
                     # the chunks resolve after: one round-trip per step
                     pending = [
                         self._dispatch_group(part, kind="prefill")
-                        for part in _split(prefill, pre_cap)
+                        for part in self._split_prefill_parts(
+                            prefill, pre_cap)
                     ]
                     multi = {}
                     for part in _split(decode, dec_cap):
@@ -716,7 +717,7 @@ class Engine:
                 ]
                 pending += [
                     self._dispatch_group(part, kind="prefill")
-                    for part in _split(prefill, pre_cap)
+                    for part in self._split_prefill_parts(prefill, pre_cap)
                 ]
                 for pg in pending:
                     single.update(self._finish_group(pg))
@@ -1185,6 +1186,32 @@ class Engine:
             soft_embeds=soft_embeds, soft_mask=soft_mask,
         )
         return _PendingGroup(seqs, params_list, need_host, tokens, logits)
+
+    def _split_prefill_parts(self, prefill: list, cap: int):
+        """Yield prefill dispatch parts with BLOCK-ALIGNED rows grouped
+        apart from unaligned ones: the runner's whole-block KV-write fast
+        path is all-or-nothing per dispatch, so one unaligned tail row used
+        to drop the entire group to the serialized row scatter. Aligned
+        parts dispatch FIRST — a request's packed subrows are uniform-width
+        except the tail, so only the (unaligned) tail can move later, which
+        preserves the write-before-attend order of its earlier subrows."""
+        bsz = self.engine_config.kv_block_size
+        aligned, rest = [], []
+        for s in prefill:
+            n = len(s.token_ids)
+            if (n % bsz == 0 and n >= bsz
+                    and int(s.positions[0]) % bsz == 0):
+                aligned.append(s)
+            else:
+                rest.append(s)
+        # don't split a group that would have dispatched whole anyway —
+        # two tiny parts cost an extra program execution for nothing
+        if not aligned or not rest or len(prefill) <= cap and (
+                len(aligned) < 2 or len(rest) < 2):
+            yield from _split(prefill, cap)
+            return
+        yield from _split(aligned, cap)
+        yield from _split(rest, cap)
 
     def _pack_prefill_rows(self, prefill: list) -> list:
         """Split prefill chunks into subrows of <= prefill_pack_tokens.

@@ -228,9 +228,15 @@ class ModelRunner:
         return scope()
 
     def _make_block_buckets(self):
+        """Block-table width buckets, starting at 2: the decode gather reads
+        the full STATIC bucket width per row, so an 8-block minimum made
+        short-context decode read 4x over-width slabs (ablation on v5e,
+        B=64 ctx 128 bs 128: history attention 2.3 ms/iter of an 8.3 ms
+        step — most of it bucket padding). x4 steps keep the program-variant
+        count unchanged."""
         mx = self.ecfg.max_blocks_per_seq
         buckets = []
-        b = 8
+        b = 2
         while b < mx:
             buckets.append(b)
             b *= 4

@@ -187,3 +187,51 @@ async def test_model_async_end_to_end(tiny_config):
         assert eng.ttft_observations and eng.itl_observations
     finally:
         await eng.stop(drain_timeout=5)
+
+
+@pytest.mark.asyncio
+async def test_generate_stream_coalesce_batches_queued_tokens():
+    """coalesce=True yields List[int] batches draining everything queued —
+    one SSE chunk per multistep window instead of one per token (measured
+    ~0.9 ms/token of event-loop + detokenize overhead at 64 streams)."""
+    import jax
+
+    from vllm_i64_tpu.config import ModelConfig
+    from vllm_i64_tpu.models import complexity_deep as cdm
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      num_experts=4, top_k=2, shared_expert=True)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=8,
+                        max_kv_blocks=32, max_prefill_tokens=32,
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,), multistep_decode=8)
+    ae = AsyncEngine(Engine(params, cfg, ecfg))
+    await ae.start()
+    try:
+        sp = SamplingParams(temperature=0.0, max_tokens=12)
+        got = []
+        saw_batch = False
+        async for item in ae.generate_stream(list(range(4, 14)), sp,
+                                             coalesce=True):
+            if isinstance(item, tuple):
+                assert item[0] == "__done__"
+                break
+            assert isinstance(item, list)
+            saw_batch = True
+            got.extend(item)
+        assert len(got) == 12
+        assert saw_batch
+        # plain mode still yields ints (contract unchanged)
+        got2 = []
+        async for item in ae.generate_stream(list(range(4, 14)), sp):
+            if isinstance(item, tuple):
+                break
+            assert isinstance(item, int)
+            got2.append(item)
+        assert got2 == got
+    finally:
+        await ae.stop(drain_timeout=5)

@@ -124,9 +124,13 @@ def stream_one(port: int, prompt: str, max_tokens: int) -> dict:
                 payload = json.loads(line[6:])
             except json.JSONDecodeError:
                 continue
-            if payload.get("choices", [{}])[0].get("text", ""):
-                stamps.append(time.perf_counter() - t0)
-    return {"ttft": stamps[0] if stamps else None,
+            text = payload.get("choices", [{}])[0].get("text", "")
+            if text:
+                # SSE chunks are COALESCED (one per delivery batch); the
+                # synthetic tokenizer decodes 1 char per token, so chars
+                # count tokens
+                stamps.append((time.perf_counter() - t0, len(text)))
+    return {"ttft": stamps[0][0] if stamps else None,
             "stamps": stamps, "total": time.perf_counter() - t0}
 
 
@@ -244,6 +248,16 @@ def main() -> None:
             print(f"[http-bench] monitor failed: {e!r}", file=_sys.stderr)
 
         ok = [r for r in results if r and "error" not in r and r["ttft"]]
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{args.port}/v1/metrics",
+                    timeout=10) as r:
+                met = json.loads(r.read())
+            lat = met.get("latency", met)
+            print(f"[http-bench] server-side latency: "
+                  f"{json.dumps(lat)[:400]}", file=_sys.stderr, flush=True)
+        except Exception:
+            pass
         errors = len(results) - len(ok)
         err_samples = [r["error"] for r in results
                        if r and "error" in r][:3]
@@ -253,10 +267,11 @@ def main() -> None:
             print(f"[http-bench] exceptions={len(err_samples)} "
                   f"empty_streams={empty} samples: {err_samples}",
                   file=_sys.stderr, flush=True)
-        total_tokens = sum(len(r["stamps"]) for r in ok)
+        total_tokens = sum(n for r in ok for _, n in r["stamps"])
         ttfts = sorted(r["ttft"] for r in ok)
         itls = sorted(
-            b - a for r in ok for a, b in zip(r["stamps"], r["stamps"][1:]))
+            b[0] - a[0]
+            for r in ok for a, b in zip(r["stamps"], r["stamps"][1:]))
         pct = lambda xs, p: xs[min(int(len(xs) * p), len(xs) - 1)] if xs else 0
         print(json.dumps({
             "metric": ("http_uniform_throughput" if args.uniform else "http_mixed_throughput"),

@@ -237,12 +237,13 @@ class CompletionsMixin:
             sampling_params=req.to_sampling_params(tokenizer=self.tokenizer),
             priority=priority,
             cache_namespace=ns,
+            coalesce=True,  # one SSE chunk per delivery batch, not per token
             **soft_kw,
         ):
             if isinstance(item, tuple) and item[0] == "__done__":
                 finish_reason = item[1]
                 break
-            output_ids.append(item)
+            output_ids.extend(item if isinstance(item, list) else [item])
             full = self._decode(output_ids)
             delta = full[len(prev_text):]
             prev_text = full

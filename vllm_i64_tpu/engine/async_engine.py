@@ -177,8 +177,16 @@ class AsyncEngine:
         cache_namespace: Optional[bytes] = None,
         soft_embeds=None,
         soft_positions=None,
+        coalesce: bool = False,
     ) -> AsyncIterator:
-        """Yields int token ids, then a final ("__done__", finish_reason)."""
+        """Yields int token ids, then a final ("__done__", finish_reason).
+
+        ``coalesce=True`` yields List[int] batches instead of single ints:
+        everything already queued drains into one item. Multistep windows
+        deliver up to 16 tokens per engine step; emitting them as one SSE
+        chunk instead of 16 removes most of the per-token event-loop +
+        detokenize work (measured: the server's non-engine time was ~0.9 ms
+        PER TOKEN across 64 concurrent streams)."""
         rid = await self._admit(prompt_token_ids, sampling_params, priority,
                                 timeout_s, cache_namespace,
                                 soft_embeds, soft_positions)
@@ -188,6 +196,24 @@ class AsyncEngine:
             while True:
                 item = await queue.get()
                 if item is None:
+                    break
+                if coalesce and not isinstance(item, tuple):
+                    batch = [item]
+                    trailer = None
+                    while True:
+                        try:
+                            nxt = queue.get_nowait()
+                        except asyncio.QueueEmpty:
+                            break
+                        if nxt is None or isinstance(nxt, tuple):
+                            trailer = nxt
+                            break
+                        batch.append(nxt)
+                    yield batch
+                    if trailer is None:
+                        continue
+                    if isinstance(trailer, tuple):
+                        yield trailer
                     break
                 yield item
                 if isinstance(item, tuple) and item[0] == DONE:

@@ -593,7 +593,7 @@ class AsyncRouterEngine:
     async def generate_stream(self, prompt_token_ids, sampling_params=None,
                               priority: int = 0, timeout_s=None,
                               cache_namespace=None, soft_embeds=None,
-                              soft_positions=None):
+                              soft_positions=None, coalesce: bool = False):
         if soft_embeds is not None:
             raise ValueError("VLM soft tokens are not routable cross-host")
         sid = await self._admit(prompt_token_ids, sampling_params, priority,
@@ -604,6 +604,24 @@ class AsyncRouterEngine:
             while True:
                 item = await queue.get()
                 if item is None:
+                    break
+                if coalesce and not isinstance(item, tuple):
+                    batch = [item]
+                    trailer = None
+                    while True:
+                        try:
+                            nxt = queue.get_nowait()
+                        except self._asyncio.QueueEmpty:
+                            break
+                        if nxt is None or isinstance(nxt, tuple):
+                            trailer = nxt
+                            break
+                        batch.append(nxt)
+                    yield batch
+                    if trailer is None:
+                        continue
+                    if isinstance(trailer, tuple):
+                        yield trailer
                     break
                 yield item
                 if isinstance(item, tuple) and item[0] == self.DONE:

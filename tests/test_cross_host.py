@@ -269,3 +269,45 @@ async def test_http_serving_over_router():
             await client.close()
     finally:
         worker._stop.set()
+
+
+@pytest.mark.asyncio
+async def test_router_engine_stream_coalesce():
+    """AsyncRouterEngine honors the coalesce contract (the SSE path passes
+    coalesce=True to whichever async engine serves)."""
+    import jax
+
+    from vllm_i64_tpu.config import EngineConfig, ModelConfig
+    from vllm_i64_tpu.core.sampling import SamplingParams
+    from vllm_i64_tpu.engine import Engine
+    from vllm_i64_tpu.models import complexity_deep as cdm
+    from vllm_i64_tpu.parallel.cross_host import (
+        AsyncRouterEngine,
+        CrossHostRouter,
+    )
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=8,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      num_experts=4, top_k=2, shared_expert=True)
+    params = cdm.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(max_batch_size=2, max_seq_len=64, kv_block_size=16,
+                        max_kv_blocks=32, max_prefill_tokens=32,
+                        decode_batch_buckets=(1, 2),
+                        prefill_batch_buckets=(1, 2),
+                        prefill_token_buckets=(16,), multistep_decode=4)
+    router = CrossHostRouter(local_engine=Engine(params, cfg, ecfg))
+    ae = AsyncRouterEngine(router)
+    await ae.start()
+    try:
+        got = []
+        async for item in ae.generate_stream(
+                list(range(5, 21)),
+                SamplingParams(temperature=0.0, max_tokens=6),
+                coalesce=True):
+            if isinstance(item, tuple):
+                break
+            got.extend(item if isinstance(item, list) else [item])
+        assert len(got) == 6
+    finally:
+        await ae.stop(drain_timeout=5)

@@ -162,3 +162,26 @@ def test_serve_flags_reach_engine_config():
     assert ecfg.multistep_decode == 16
     assert ecfg.enable_kv_swap and ecfg.kv_swap_max_mb == 64
     assert ecfg.kv_fp8_auto
+
+
+@pytest.mark.asyncio
+async def test_async_stream_coalesced_includes_first_token(coordinator):
+    """coalesce=True must still deliver the prefill-sampled token 0 first
+    (the out-of-band _pending_first merge happens before queue drains)."""
+    coord, params, cfg = coordinator
+    eng = AsyncDisaggregatedEngine(coord)
+    await eng.start()
+    try:
+        sp = SamplingParams(temperature=0.0, max_tokens=4)
+        prompt = list(range(13, 29))
+        expected = Engine(params, cfg, _ecfg()).generate(
+            list(prompt), sp).output_tokens
+        got = []
+        async for item in eng.generate_stream(list(prompt), sp,
+                                              coalesce=True):
+            if isinstance(item, tuple):
+                break
+            got.extend(item if isinstance(item, list) else [item])
+        assert got == expected
+    finally:
+        await eng.stop(drain_timeout=5)

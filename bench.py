@@ -59,8 +59,11 @@ def main() -> None:
                         "kernel feeding the W8A8 GEMMs (numerics identical; "
                         "measured +3.5%% on v5e, 2026-08-19 A/B)")
     p.add_argument("--block-size", type=int, default=128,
-                   help="KV cache block size in tokens (v5e sweep: 128 "
-                        "more than halves decode gather time vs 16)")
+                   help="KV cache block size in tokens (v5e sweeps: 128 "
+                        "more than halves decode gather time vs 16; 256 "
+                        "LOSES both configs — main 3322 vs 4775 tok/s, "
+                        "longctx 165 vs 210 — coarser blocks over-read at "
+                        "short ctx and bloat window merges)")
     p.add_argument("--fuse-shared", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fold the shared expert into the flat-expert MoE "

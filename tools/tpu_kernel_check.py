@@ -149,6 +149,71 @@ def main() -> int:
 
     ok &= check("paged_prefill_attention_pallas (T=1024)", prefill_attn)
 
+    def int4_mm():
+        from vllm_i64_tpu.ops.int4_matmul import int4_matmul, int4_swiglu
+        from vllm_i64_tpu.ops.quant import (
+            PreQuantActs,
+            dequantize_int4,
+            quantize_activations_int8,
+            quantize_int4,
+        )
+
+        k, n, m = 1024, 4096, 64
+        w = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.float32)
+        u = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.float32)
+        q4 = quantize_int4(w, layout="split")
+        q4u = quantize_int4(u, layout="split")
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        # decode regime: W4A8 fixup kernel via PreQuantActs
+        xq, xs = quantize_activations_int8(x)
+        pq = PreQuantActs(xq, xs, x.shape, x.dtype)
+        out = np.asarray(int4_matmul(pq, q4), np.float32)
+        ref = (np.asarray(xq, np.float32) * np.asarray(xs)) @ np.asarray(
+            dequantize_int4(q4), np.float32)
+        np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)
+        outs = np.asarray(int4_swiglu(pq, q4, q4u), np.float32)
+        g = ref
+        uu = (np.asarray(xq, np.float32) * np.asarray(xs)) @ np.asarray(
+            dequantize_int4(q4u), np.float32)
+        refs = g / (1 + np.exp(-g)) * uu
+        np.testing.assert_allclose(outs, refs, atol=5e-2, rtol=5e-2)
+
+    ok &= check("int4 W4A8 fixup kernels (64x1024x4096)", int4_mm)
+
+    def int4_prefill():
+        from vllm_i64_tpu.ops.int4_matmul import int4_matmul
+        from vllm_i64_tpu.ops.quant import dequantize_int4, quantize_int4
+
+        k, n, m = 1024, 4096, 2048
+        w = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.float32)
+        q4 = quantize_int4(w, layout="split")
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        out = np.asarray(int4_matmul(x, q4), np.float32)
+        ref = np.asarray(x, np.float32) @ np.asarray(
+            dequantize_int4(q4), np.float32)
+        np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)
+
+    ok &= check("int4 weight-dequant big-dot kernel (2048x1024x4096)",
+                int4_prefill)
+
+    def fused_norm_quant_k():
+        from vllm_i64_tpu.ops.fused_norm import rmsnorm_quant_pallas
+        from vllm_i64_tpu.ops.norms import rms_norm
+        from vllm_i64_tpu.ops.quant import quantize_activations_int8
+
+        m, h = 64, 1024
+        x = jnp.asarray(rng.standard_normal((m, h)), jnp.bfloat16)
+        wn = jnp.asarray(rng.standard_normal((h,)) * 0.1 + 1.0, jnp.bfloat16)
+        q, s = rmsnorm_quant_pallas(x, wn, 1e-6)
+        qr, sr = quantize_activations_int8(rms_norm(x, wn, 1e-6))
+        assert int(jnp.sum(jnp.abs(q.astype(jnp.int32)
+                                   - qr.astype(jnp.int32)) > 1)) == 0
+        np.testing.assert_allclose(np.asarray(s, np.float32),
+                                   np.asarray(sr, np.float32),
+                                   rtol=1e-2, atol=1e-5)
+
+    ok &= check("rmsnorm_quant_pallas (64x1024)", fused_norm_quant_k)
+
     log("ALL KERNELS OK" if ok else "KERNEL CHECK FAILURES")
     return 0 if ok else 1
 

@@ -148,3 +148,11 @@ class TestCLIEstimate:
         out = capsys.readouterr().out
         assert "tr-hash-moe-500m" in out
         assert "dense-306" in out
+
+
+def test_cli_compilation_cache_flag(monkeypatch, tmp_path):
+    a = _parse(["serve", "--no-model", "--compilation-cache",
+                str(tmp_path)], {})
+    assert a.compilation_cache == str(tmp_path)
+    a2 = _parse(["serve", "--no-model"], {})
+    assert a2.compilation_cache is None

@@ -45,6 +45,18 @@ def cmd_serve(args) -> None:
     import jax
     import jax.numpy as jnp
 
+    if args.compilation_cache:
+        # persistent XLA compilation cache (the TPU analog of the
+        # reference's --compile knob, ref: core/compile.py + cli.py:151-158
+        # — there it opts INTO compilation; here everything is always jit
+        # compiled, so the knob instead makes compilations survive process
+        # restarts: bucketed step programs cost 20-40s each to build)
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logger.info("persistent compilation cache: %s",
+                    args.compilation_cache)
+
     from .api import Server
     from .config import EngineConfig, ModelConfig
     from .core.chat_template import ChatTemplate, load_chat_template
@@ -488,6 +500,10 @@ def main() -> None:
     p.add_argument("--prefill-devices", type=int, default=1,
                    help="devices assigned to the prefill worker under "
                         "--disaggregated (rest decode)")
+    p.add_argument("--compilation-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory — step "
+                        "programs (20-40s compiles each) survive server "
+                        "restarts (analog of the reference's --compile)")
     p.add_argument("--log-json", action="store_true")
     p.add_argument("--api-key", default=None)
     p.add_argument("--rate-limit", type=int, default=0)

@@ -1,15 +1,14 @@
 #!/usr/bin/env python
-"""Itemize prefill costs on the real chip by ablation.
+"""Itemize chunked-prefill step costs on the real chip by ablation.
 
 Times the production prefill step program (flagship model, int8 W8A8,
-bench shape: 16 rows x 128 tokens = 2048 tokens/dispatch) with individual
-components replaced by cheap stand-ins, each in a fresh ModelRunner so the
-program recompiles. The difference vs the full program is that component's
-share of the dispatch. Prefill measured at ~25 TFLOP/s (12% of v5e peak)
-in the round-2 profile — this tool says where the other 88% goes.
+fused norm+quant, flash/gather attention) at the longctx serving shapes —
+a (B, T) chunk of long prompts with the paged cache holding the earlier
+chunks — with individual components replaced by cheap stand-ins, each in a
+fresh ModelRunner so the program recompiles. The difference vs the full
+program is that component's share of the dispatch.
 
-Prints one JSON line per variant:
-  {"variant": ..., "ms_per_dispatch": ..., "tflops": ...}
+Prints one JSON line per variant: {"variant": ..., "ms_per_dispatch": ...}.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -21,16 +20,14 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=16)
-    ap.add_argument("--tokens", type=int, default=128, help="tokens per row")
-    ap.add_argument("--dispatches", type=int, default=8, help="timed dispatches")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=512, help="tokens per row")
+    ap.add_argument("--ctx", type=int, default=2048,
+                    help="total context after this chunk (chunk start = "
+                         "ctx - chunk)")
+    ap.add_argument("--dispatches", type=int, default=8)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--no-w8a8", action="store_true")
-    ap.add_argument("--pipeline", action="store_true",
-                    help="defer host readbacks and resolve once at the end "
-                         "(device-time measurement; the default per-dispatch "
-                         "readback includes the ~40 ms tunnel round trip)")
     ap.add_argument("--variants", default="")
     args = ap.parse_args()
 
@@ -65,33 +62,36 @@ def main() -> None:
     params = materialize_lm_head(params, cfg)
     params = jax.tree_util.tree_map(jax.device_put, params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
-    n_params = cdm.num_parameters(params)
-    print(f"[ablate] params ready ({n_params/1e6:.1f}M)",
-          file=_sys.stderr, flush=True)
+    print("[ablate] params ready", file=_sys.stderr, flush=True)
 
-    b, t, bs = args.rows, args.tokens, args.block_size
-    blocks_per_seq = -(-t // bs) + 1
+    b, t, bs = args.batch, args.chunk, args.block_size
+    ctx = args.ctx
+    start = ctx - t
+    assert start >= 0 and start % bs == 0 and t % bs == 0
+    blocks_per_seq = -(-ctx // bs)
     nb = b * blocks_per_seq + 2
 
     ecfg = EngineConfig(
         max_batch_size=b,
-        max_seq_len=max(256, 2 * t),
+        max_seq_len=max(256, ctx + bs),
         max_kv_blocks=nb,
         kv_block_size=bs,
         quantization="int8",
         decode_batch_buckets=(b,),
         prefill_batch_buckets=(b,),
         prefill_token_buckets=(t,),
-        w8a8=not args.no_w8a8,
-        fused_norm_quant=not args.no_w8a8,
+        w8a8=True,
+        fused_norm_quant=True,
         fuse_shared_expert=True,
+        decode_chaining=False,
     )
 
     rng = np.random.default_rng(0)
-    block_tables = np.arange(2, 2 + b * blocks_per_seq, dtype=np.int32).reshape(
-        b, blocks_per_seq)
-    positions = np.tile(np.arange(t, dtype=np.int32)[None], (b, 1))
-    ctx_lens = np.full(b, t, np.int32)
+    block_tables = np.arange(
+        2, 2 + b * blocks_per_seq, dtype=np.int32).reshape(b, blocks_per_seq)
+    ctx_lens = np.full(b, ctx, np.int32)
+    positions = np.broadcast_to(
+        start + np.arange(t, dtype=np.int32)[None], (b, t)).copy()
     last_idx = np.full(b, t - 1, np.int32)
     valid = np.ones((b, t), bool)
     slot_ids = np.arange(b, dtype=np.int32)
@@ -112,51 +112,50 @@ def main() -> None:
         min_tokens=np.zeros(b, np.int32),
     )
     features = SamplerFeatures()
-    # FLOPs of the dense path: ~2 * active params * tokens (routed top-k
-    # experts + shared fold counted once — good enough for a % readout)
-    flops = 2.0 * n_params * b * t
 
     def run_variant(name):
         r = runner_mod.ModelRunner(params, cfg, ecfg)
         t0 = time.perf_counter()
 
-        def dispatch(defer=False):
-            toks = rng.integers(3, cfg.vocab_size, size=(b, t)).astype(np.int64)
-            out, _ = r.execute(
+        def one():
+            toks = rng.integers(3, cfg.vocab_size, size=(b, t)).astype(
+                np.int64)
+            return r.execute(
                 toks, positions, block_tables, ctx_lens, last_idx, valid,
                 slot_ids, sample_mask, sample_args, features,
-                kind="prefill", defer=defer)
-            return out
+                kind="prefill")
 
-        dispatch()
+        one()
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        if args.pipeline:
-            outs = [dispatch(defer=True) for _ in range(args.dispatches)]
-            np.asarray(outs[-1])
-        else:
-            for _ in range(args.dispatches):
-                dispatch()
+        for _ in range(args.dispatches):
+            one()
         ms = (time.perf_counter() - t0) / args.dispatches * 1000
-        print(json.dumps({"variant": name,
-                          "ms_per_dispatch": round(ms, 3),
-                          "tflops": round(flops / (ms / 1000) / 1e12, 1),
-                          "compile_s": round(compile_s, 1)}), flush=True)
+        print(json.dumps({
+            "variant": name, "ms_per_dispatch": round(ms, 2),
+            "tokens_per_dispatch": b * t,
+            "tok_per_s": round(b * t / ms * 1000),
+            "compile_s": round(compile_s, 1)}), flush=True)
         del r
         return ms
 
-    # --- stand-ins ----------------------------------------------------------
-    def fake_attn(q, k_cache, v_cache, block_tables_, positions_, ctx_lens_,
-                  **kw):
-        # cheap dep on the cache so the KV write isn't reordered away
-        return q + (v_cache[0, 0, 0, 0] * 0).astype(q.dtype)
+    real_attn = attn_ops.paged_attention
+    real_write = attn_ops.write_kv
+    real_moe = cdm.token_routed_mlp
+    real_lm = cdm.lm_logits
 
-    def fake_write_kv(k_cache, v_cache, k, v, block_tables_, positions_,
-                      valid_=None, **kw):
-        # keep the QKV GEMM alive with a 1-element dep, skip the scatter
-        k_cache = k_cache.at[0, 0, 0, 0].add(k[0, 0, 0, 0].astype(k_cache.dtype))
-        v_cache = v_cache.at[0, 0, 0, 0].add(v[0, 0, 0, 0].astype(v_cache.dtype))
+    def fake_attn(q, k_cache, v_cache, block_tables, positions, ctx_lens,
+                  *, scale=None, sliding_window=None, integer_softmax=False):
+        return q * 0.99
+
+    def fake_write(k_cache, v_cache, k, v, block_tables, positions,
+                   valid=None, *, block_aligned=False):
         return k_cache, v_cache
+
+    def fake_moe(x, token_ids, **kw):
+        if hasattr(x, "to_float"):
+            return x.to_float()
+        return x
 
     def fake_lm(params_, cfg_, hidden):
         w = params_.get("lm_head_t", params_.get("embed"))
@@ -168,46 +167,38 @@ def main() -> None:
         return jnp.pad(out, ((0, 0), (0, cfg_.vocab_size - 128)),
                        constant_values=-1e9)
 
-    def fake_sampler(logits, *, features, key, counts=None, **kw):
-        return jnp.argmax(logits[:, :128], axis=-1).astype(jnp.int32)
+    variants = {}
 
-    def fake_moe(x, token_ids, **kw):
-        # x may be a PreQuantActs marker (fused norm+quant) — return floats
-        return x.to_float() if hasattr(x, "to_float") else x
+    def register(name, patches):
+        variants[name] = patches
 
-    variants = {
-        "full": {},
-        "no_attn": {(attn_ops, "paged_attention"): fake_attn,
-                    (cdm, "paged_attention"): fake_attn},
-        "no_write_kv": {(attn_ops, "write_kv"): fake_write_kv,
-                        (cdm, "write_kv"): fake_write_kv},
-        "no_moe": {(cdm, "token_routed_mlp"): fake_moe},
-        "no_lm_head": {(cdm, "lm_logits"): fake_lm},
-        "no_sampler": {(runner_mod, "sample_tokens"): fake_sampler},
-        "gemms_only": {(attn_ops, "paged_attention"): fake_attn,
-                       (cdm, "paged_attention"): fake_attn,
-                       (attn_ops, "write_kv"): fake_write_kv,
-                       (cdm, "write_kv"): fake_write_kv,
-                       (cdm, "lm_logits"): fake_lm,
-                       (runner_mod, "sample_tokens"): fake_sampler},
-    }
+    register("full", {})
+    register("no_attn", {(attn_ops, "paged_attention"): fake_attn,
+                         (cdm, "paged_attention"): fake_attn})
+    register("no_kv_write", {(attn_ops, "write_kv"): fake_write,
+                             (cdm, "write_kv"): fake_write})
+    register("no_moe", {(cdm, "token_routed_mlp"): fake_moe})
+    register("no_lm_head", {(cdm, "lm_logits"): fake_lm})
+    register("gemms_only",
+             {(attn_ops, "paged_attention"): fake_attn,
+              (cdm, "paged_attention"): fake_attn,
+              (attn_ops, "write_kv"): fake_write,
+              (cdm, "write_kv"): fake_write,
+              (cdm, "token_routed_mlp"): fake_moe,
+              (cdm, "lm_logits"): fake_lm})
 
-    chosen = ([v.strip() for v in args.variants.split(",") if v.strip()]
-              or list(variants))
+    chosen = [v for v in args.variants.split(",") if v] or list(variants)
     for name in chosen:
         patches = variants[name]
         saved = {}
-        for (mod, attr), fn in patches.items():
-            saved[(mod, attr)] = getattr(mod, attr)
-            setattr(mod, attr, fn)
         try:
+            for (mod, attr), repl in patches.items():
+                saved[(mod, attr)] = getattr(mod, attr)
+                setattr(mod, attr, repl)
             run_variant(name)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"variant": name,
-                              "error": repr(e)[:200]}), flush=True)
         finally:
-            for (mod, attr), fn in saved.items():
-                setattr(mod, attr, saved[(mod, attr)])
+            for (mod, attr), orig in saved.items():
+                setattr(mod, attr, orig)
 
 
 if __name__ == "__main__":

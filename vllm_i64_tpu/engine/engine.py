@@ -1228,6 +1228,15 @@ class Engine:
         tp = self.engine_config.prefill_pack_tokens
         if not tp or tp <= 0:
             return prefill
+        # subrows must FILL a token bucket: a pack size below a bucket
+        # boundary buckets up anyway and serves padding (longctx bench,
+        # round 4: pack 256 under buckets (128, 512) made every long-prompt
+        # dispatch 50% pad columns — 2x prefill compute). Round the pack
+        # size up to the bucket it would land in.
+        for b in self.engine_config.prefill_token_buckets:
+            if b >= tp:
+                tp = b
+                break
         out = []
         for s in prefill:
             n = len(s.token_ids)

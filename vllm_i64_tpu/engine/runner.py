@@ -33,6 +33,40 @@ logger = logging.getLogger("vllm_i64_tpu.runner")
 
 from dataclasses import dataclass
 
+# Step programs compile with the scoped-VMEM limit raised from the 16 MB
+# default: XLA-TPU stack-allocates a pallas call's q input and output in
+# scoped VMEM when the call sits inside the layer scan, which is exactly
+# what the flash-prefill kernel needs at serving shapes (B=16 T=512: 32 MB
+# staging). 98 MB leaves 30 MB of the v5e's 128 MB VMEM for kernel scratch
+# and XLA's own fusions; A/B'd neutral on the decode/main bench config.
+SCOPED_VMEM_LIMIT_KIB = 100352
+# staging the gate in ops/attention.py may admit against that limit
+PREFILL_STAGING_BUDGET = 64 * 1024 * 1024
+
+
+def _prefill_compiler_options():
+    """TPU-only compile options for PREFILL step programs.
+
+    Only prefill programs get the raised scoped-VMEM limit: a same-epoch
+    A/B on v5e (2026-08-20) showed the raise costs the decode-dominated
+    main bench config ~20% (5134 -> 4092 tok/s) — XLA's fusion/prefetch
+    heuristics degrade with the larger budget — while prefill needs it for
+    the flash kernel's q/out staging. The CPU backend rejects unknown
+    options, so it gets none."""
+    import os
+
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+    except Exception:  # pragma: no cover
+        return None
+    kib = int(os.environ.get(
+        "VLLM_I64_TPU_SCOPED_VMEM_KIB", SCOPED_VMEM_LIMIT_KIB))
+    if kib <= 0:
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
+
+
 # Serializes "set the process-global W8A8 flag -> trace/dispatch" so two
 # engines with different w8a8 settings stepped from different threads can
 # never interleave a flag flip between another runner's flag-set and its
@@ -193,12 +227,29 @@ class ModelRunner:
         # (core/sampling.make_param_arrays).
         self._base_key = jax.random.PRNGKey(0)
 
+        # raised scoped-VMEM limit admits the flash-prefill kernel's q/out
+        # staging inside the layer scan (see SCOPED_VMEM_LIMIT_KIB); the
+        # CPU backend ignores the TPU-only option
+        from ..ops import attention as _attn2
+
+        _attn2.set_prefill_staging_budget(PREFILL_STAGING_BUDGET)
         self.block_buckets = self._make_block_buckets()
         self._step_fn = functools.partial(
             jax.jit,
             static_argnames=("features", "return_logits",
                              "block_aligned_write"),
             donate_argnames=("kv_k", "kv_v", "counts"),
+        )(self._step_impl)
+        # prefill dispatches compile under the raised scoped-VMEM limit so
+        # the flash-prefill kernel's q/out staging fits inside the layer
+        # scan; decode programs keep the default (see
+        # _prefill_compiler_options for the A/B)
+        self._prefill_step_fn = functools.partial(
+            jax.jit,
+            static_argnames=("features", "return_logits",
+                             "block_aligned_write"),
+            donate_argnames=("kv_k", "kv_v", "counts"),
+            compiler_options=_prefill_compiler_options(),
         )(self._step_impl)
         self._multi_decode_fn = functools.partial(
             jax.jit,
@@ -620,8 +671,9 @@ class ModelRunner:
             )
         )
         # padding rows must not look greedy-sampled into counts
+        step_fn = self._prefill_step_fn if kind == "prefill" else self._step_fn
         with self._sync_w8a8():
-            tokens, logits, self.kv_k, self.kv_v, self.counts = self._step_fn(
+            tokens, logits, self.kv_k, self.kv_v, self.counts = step_fn(
             self.params,
             self.kv_k,
             self.kv_v,
@@ -671,7 +723,8 @@ class ModelRunner:
         """Run the verify program for one sequence; returns (T, V) logits."""
         if not hasattr(self, "_verify_fn"):
             self._verify_fn = jax.jit(
-                self._verify_impl, donate_argnames=("kv_k", "kv_v"))
+                self._verify_impl, donate_argnames=("kv_k", "kv_v"),
+                compiler_options=_prefill_compiler_options())
         t_actual = token_ids.shape[1]
         mb = _bucket(max(int(block_tables.shape[1]), 1), self.block_buckets)
         bt = np.zeros((1, mb), np.int32)

@@ -39,21 +39,36 @@ _PALLAS_DECODE = False
 # remote-compile tunnel. Off by default; flip for shapes where the scatter
 # regresses.
 _PALLAS_KV_WRITE = False
-# prefill switches from the XLA gather path (which materializes the (T, S)
-# score tensor) to the Pallas flash kernel at this query length — measured
-# crossover on v5e is flat up to 2k (9.1 vs 9.6 ms at B=4 T=512); beyond it
-# the kernel's O(T*d) memory wins outright
-_PALLAS_PREFILL_MIN_T = 1024
-# Measured on v5e 2026-08-19: INSIDE the production layer scan XLA-TPU
-# stack-allocates the pallas call's full q input and output in scoped VMEM
-# (16 MB limit) regardless of out_specs/aliasing, so the kernel fails to
-# compile at serving shapes (B=16 T=1024: "Scoped allocation 22.43M ...
-# exceeded scoped vmem limit"; even B=2 trips it once the loop body's other
-# temps join). The XLA gather path matches the kernel's speed at every
-# context these models serve (<= 2048), so it is the default; the kernel
-# remains for standalone/long-context use (VLLM_I64_TPU_PALLAS_PREFILL=1
-# forces it, subject to the q-size gate below).
-_PALLAS_PREFILL = False
+# Prefill dispatch: the XLA gather path materializes the (B, Hkv, G, T, S)
+# fp32 score tensor — its HBM traffic scales with T*S — while the flash
+# kernel streams K/V pages once and keeps O(T*d) state. Measured in-scan on
+# v5e (2026-08-20, tools/tpu_prefill_vmem_repro.py): flash wins 2.3x at
+# B=16 T=512 S=2048 (3.06 vs 6.97 ms/layer), 1.9x at T=128 S=2048, 1.2x at
+# T=512 S=512, and only loses at T=128 S=128 (0.91x). Dispatch rule: flash
+# when the query chunk is tile-aligned and the block-table span is >= 512
+# tokens.
+_PALLAS_PREFILL_MIN_T = 128
+_PALLAS_PREFILL_MIN_SPAN = 512
+# XLA-TPU stack-allocates the pallas call's full q input and output in
+# scoped VMEM whenever the call sits inside a lax.scan body (the layer
+# stack) — with the default 16 MB scoped limit the kernel failed to compile
+# at serving shapes (round 3: "Scoped allocation 22.43M ... exceeded scoped
+# vmem limit"; explicit HBM out_specs / memory-space constraints do not
+# move the RESULT buffer). The fix (round 4): the engine compiles its step
+# programs with xla_tpu_scoped_vmem_limit_kib raised to 98 MB
+# (engine/runner.SCOPED_VMEM_LIMIT_KIB) and tells this module the budget it
+# bought via set_prefill_staging_budget(); the dispatch gate below admits
+# the kernel only when q + out staging fits. Standalone callers without the
+# raised limit keep the conservative 8 MB default.
+_PALLAS_PREFILL = True
+_PREFILL_STAGING_BUDGET = 8 * 1024 * 1024
+
+
+def set_prefill_staging_budget(nbytes: int) -> None:
+    """Declare how much scoped VMEM the compiled program may stack-allocate
+    for the flash-prefill q/out staging (call before tracing)."""
+    global _PREFILL_STAGING_BUDGET
+    _PREFILL_STAGING_BUDGET = int(nbytes)
 
 
 _WARNED_ENVS: set = set()
@@ -90,6 +105,8 @@ def _use_pallas_prefill() -> bool:
             return False
     elif not _PALLAS_PREFILL:
         return False
+    if _interpret_kernels():
+        return True  # CPU-mesh validation runs the kernel in interpret mode
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
@@ -311,24 +328,21 @@ def paged_attention(
             block_size=k_cache.shape[1], scale=scale,
         )
         return out[:, None]
-    # long-context prefill: flash kernel instead of dense gather + (T, S)
-    # scores. Requires the engine's chunked-prefill layout (contiguous
-    # per-row query positions) and lane-aligned pages.
+    # chunked-prefill flash kernel instead of dense gather + (T, S) scores.
+    # Requires the engine's chunked-prefill layout (contiguous per-row query
+    # positions) and lane-aligned pages. Wins at every measured serving
+    # shape with a context span >= 512 tokens (see _PALLAS_PREFILL above).
     if (
         t >= _PALLAS_PREFILL_MIN_T
         and t % 128 == 0
+        and block_tables.shape[1] * k_cache.shape[1] >= _PALLAS_PREFILL_MIN_SPAN
         and sliding_window is None
         and not integer_softmax
         and hkv_d % 128 == 0
         and k_cache.shape[1] % 8 == 0
-        # XLA-TPU stack-allocates a pallas call's q input and output inside
-        # a loop body in scoped VMEM (16 MB limit) regardless of
-        # out_specs/aliasing — measured on v5e 2026-08-19: B=16 T=1024
-        # fails compile with "Scoped allocation ... exceeded scoped vmem
-        # limit" (B=2 fits). Gate the kernel to shapes whose q tensor
-        # stays <= 4 MB (q + out + scratch ~= 12 MB); the gather path
-        # handles the rest and matches the kernel's speed at <= 2k ctx.
-        and b * t * hq * d * q.dtype.itemsize <= 4 * 1024 * 1024
+        # q + out staging must fit the scoped-VMEM budget the compiling
+        # program declared (set_prefill_staging_budget)
+        and 2 * b * t * hq * d * q.dtype.itemsize <= _PREFILL_STAGING_BUDGET
         and _use_pallas_prefill()
     ):
         from .prefill_attention_pallas import paged_prefill_attention_pallas
@@ -336,6 +350,7 @@ def paged_attention(
         return paged_prefill_attention_pallas(
             q, k_cache, v_cache, block_tables, positions, ctx_lens,
             block_size=k_cache.shape[1], scale=scale,
+            interpret=_interpret_kernels(),
         )
     _, _, hkv, _ = k_cache.shape
     g = hq // hkv

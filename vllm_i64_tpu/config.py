@@ -90,6 +90,19 @@ class ModelConfig:
     #     token_routed_i64/layer.py:229-299). Requires a mesh; wins for
     #     many-expert configs when ep_size > top_k * capacity_factor.
     moe_backend: str = "masked_dense"
+    # ep_a2a capacity: per-destination slots C = ceil(K*N/ep * factor).
+    ep_capacity_factor: float = 1.5
+    # What to do when a batch's deterministic routing exceeds capacity
+    # (exact host-side prediction, ops/ep_dispatch.count_ep_overflow):
+    #   "warn"       — count into step_mix["ep_overflow_pairs"] + log once
+    #                  per step; dropped pairs degrade (their mix-weighted
+    #                  expert term is simply missing), never corrupt.
+    #   "error"      — fail the step before dispatch (crash recovery fails
+    #                  the running requests; nothing silently degrades).
+    #   "never_drop" — at engine init raise ep_capacity_factor to the
+    #                  table-audit bound that makes overflow IMPOSSIBLE for
+    #                  any token batch (ops/ep_dispatch.audit_route_table).
+    ep_overflow_policy: str = "warn"
 
     # Attention features
     use_qk_norm: bool = True

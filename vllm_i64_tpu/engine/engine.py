@@ -285,7 +285,117 @@ class Engine:
                           "decode_rows": 0, "prefill_rows": 0,
                           "window_k_sum": 0, "window_tokens": 0,
                           "window_fallback_rows": 0,
-                          "fb_host": 0, "fb_capacity": 0}
+                          "fb_host": 0, "fb_capacity": 0,
+                          "ep_overflow_pairs": 0}
+
+        # EP a2a overflow guard (VERDICT r3 #6): routing is a pure function
+        # of (token_ids, table), so capacity overflow is PREDICTED exactly
+        # on the host and policed per ModelConfig.ep_overflow_policy —
+        # dropping is never silent. See ops/ep_dispatch module docstring.
+        self._ep_tables = None
+        self._ep_size = 1
+        if (self.model_config.moe_backend == "ep_a2a"
+                and self.runner is not None):
+            self._init_ep_overflow_guard()
+
+    # -- EP overflow guard ----------------------------------------------------
+
+    def _init_ep_overflow_guard(self) -> None:
+        from ..ops.ep_dispatch import audit_route_table
+
+        mesh = getattr(self.runner, "mesh", None)
+        try:
+            self._ep_size = int(mesh.shape.get("ep", 1)) if mesh else 1
+        except Exception:
+            self._ep_size = 1
+        mp = self.runner.params.get("layers", {}).get("mlp", {})
+        rt = mp.get("route_table")
+        if rt is None or self._ep_size <= 1:
+            return  # ep=1: capacity >= all pairs, dropping impossible
+        self._ep_tables = np.asarray(rt)  # (L, K, V)
+        worst = 0.0
+        for li in range(self._ep_tables.shape[0]):
+            a = audit_route_table(
+                self._ep_tables[li],
+                num_experts=self.model_config.num_experts,
+                ep_size=self._ep_size)
+            worst = max(worst, a["safe_capacity_factor"])
+        cf = self.model_config.ep_capacity_factor
+        if self.model_config.ep_overflow_policy == "never_drop" and worst > cf:
+            # raise capacity BEFORE any step program traces — overflow
+            # becomes impossible for any token batch (table-audit bound).
+            # The runner compiles lazily, so swapping its config here (it
+            # was constructed moments ago in __init__) retraces nothing.
+            self.model_config = self.model_config.replace(
+                ep_capacity_factor=float(worst))
+            self.runner.cfg = self.model_config
+            logger.info(
+                "ep_a2a never_drop: capacity factor %.2f -> %.2f "
+                "(route-table audit over %d layers)",
+                cf, worst, self._ep_tables.shape[0])
+
+    def _ep_count_dispatch(self, token_ids: np.ndarray,
+                           padded_tokens: int) -> int:
+        from ..ops.ep_dispatch import count_ep_overflow
+
+        total = 0
+        cf = self.model_config.ep_capacity_factor
+        for li in range(self._ep_tables.shape[0]):
+            total += count_ep_overflow(
+                token_ids, self._ep_tables[li],
+                num_experts=self.model_config.num_experts,
+                ep_size=self._ep_size, capacity_factor=cf,
+                padded_tokens=padded_tokens)
+        return total
+
+    def _ep_apply_overflow(self, dropped: int, where: str) -> None:
+        if dropped <= 0:
+            return
+        self._step_mix["ep_overflow_pairs"] += dropped
+        msg = (f"ep_a2a capacity overflow: {dropped} (route, token) pairs "
+               f"over capacity in {where} (factor "
+               f"{self.model_config.ep_capacity_factor}, ep={self._ep_size})")
+        if self.model_config.ep_overflow_policy == "error":
+            raise RuntimeError(msg)
+        logger.warning("%s — their expert contributions degrade", msg)
+
+    def _ep_check_scheduled(self, decode, prefill) -> None:
+        """Pre-dispatch check of this step's scheduled tokens (exact: the
+        deterministic routes of these ids against each layer's table).
+        Policy 'error' fails the step BEFORE anything executes."""
+        from .runner import _bucket
+
+        dropped = 0
+        if decode:
+            ids = np.concatenate([s.token_ids for s in decode])
+            padded = _bucket(len(decode), self.engine_config.decode_batch_buckets)
+            dropped += self._ep_count_dispatch(ids, padded)
+        if prefill:
+            ids = np.concatenate([s.token_ids for s in prefill])
+            b = _bucket(len(prefill), self.engine_config.prefill_batch_buckets)
+            t = _bucket(max(len(s.token_ids) for s in prefill),
+                        self.engine_config.prefill_token_buckets)
+            dropped += self._ep_count_dispatch(ids, b * t)
+        self._ep_apply_overflow(dropped, "scheduled batch")
+
+    def _ep_check_emitted(self, result) -> None:
+        """Post-hoc check of multistep-window iterations: tokens sampled
+        in-window routed through the MLPs on device before the host could
+        see them — reconstruct each iteration's dispatch from the emitted
+        sequences (detection one window late; exact counts)."""
+        from .runner import _bucket
+
+        rows = [toks for toks in result.values() if len(toks) > 1]
+        if not rows:
+            return
+        iters = max(len(t) for t in rows)
+        padded = _bucket(len(rows), self.engine_config.decode_batch_buckets)
+        dropped = 0
+        last = 1 if self._decode_chain is not None else 0
+        for j in range(iters - 1 + last):
+            ids = np.asarray([t[min(j, len(t) - 1)] for t in rows], np.int64)
+            dropped += self._ep_count_dispatch(ids, padded)
+        self._ep_apply_overflow(dropped, "multistep window")
 
     # -- request management ---------------------------------------------------
 
@@ -613,6 +723,8 @@ class Engine:
             self._check_stop_sequences(result)
             if self._merge_enabled and self._merge_primaries:
                 self._propagate_merged(result)
+            if self._ep_tables is not None:
+                self._ep_check_emitted(result)
             self.total_steps += 1
             step_ms = (time.perf_counter() - t0) * 1000
             self._perf["total_ms"] += step_ms
@@ -658,6 +770,8 @@ class Engine:
         else:
             decode = batch.decode_seqs
             prefill = self._pack_prefill_rows(batch.prefill_seqs)
+            if self._ep_tables is not None:
+                self._ep_check_scheduled(decode, prefill)
             k = self._multistep_window(batch)
             dec_cap = max(self.engine_config.decode_batch_buckets)
             pre_cap = max(self.engine_config.prefill_batch_buckets)
@@ -749,6 +863,8 @@ class Engine:
         self._check_stop_sequences(result)
         if self._merge_enabled and self._merge_primaries:
             self._propagate_merged(result)
+        if self._ep_tables is not None:
+            self._ep_check_emitted(result)
 
         self.total_steps += 1
         step_ms = (time.perf_counter() - t0) * 1000

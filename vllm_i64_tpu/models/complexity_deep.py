@@ -313,7 +313,8 @@ def _flat_mlp_width(w) -> int:
     return w.shape[-1] if getattr(w, "ndim", 0) == 2 else 0
 
 
-def _ep_mlp_block(mp: Params, cfg: ModelConfig, x: jax.Array, token_ids: jax.Array):
+def _ep_mlp_block(mp: Params, cfg: ModelConfig, x: jax.Array,
+                  token_ids: jax.Array, valid=None):
     """Token-routed MLP with expert-parallel dispatch
     (ModelConfig.moe_backend == "ep_a2a"; ops/ep_dispatch.ep_routed_experts).
     The routed experts run capacity-bounded on their owning devices and
@@ -334,6 +335,8 @@ def _ep_mlp_block(mp: Params, cfg: ModelConfig, x: jax.Array, token_ids: jax.Arr
         num_experts=cfg.num_experts,
         vocab_size=cfg.vocab_size,
         primary_weight=cfg.primary_weight,
+        capacity_factor=cfg.ep_capacity_factor,
+        valid=None if valid is None else valid.reshape(-1),
     )
     if mp.get("shared_gate") is None:
         return cfg.routed_output_scale * routed
@@ -350,7 +353,8 @@ def _ep_mlp_block(mp: Params, cfg: ModelConfig, x: jax.Array, token_ids: jax.Arr
             + cfg.shared_output_scale * shared)
 
 
-def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Array):
+def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array,
+               token_ids: jax.Array, valid=None):
     b, t, h = hidden.shape
     x = hidden.reshape(b * t, h)
     mp = p["mlp"]
@@ -360,7 +364,7 @@ def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array, token_ids: jax.Ar
     up_w = None if "gate_up" in mp else mp.get("up")
     if cfg.use_token_routed_mlp and cfg.num_experts > 1:
         if cfg.moe_backend == "ep_a2a":
-            return _ep_mlp_block(mp, cfg, x, token_ids).reshape(b, t, h)
+            return _ep_mlp_block(mp, cfg, x, token_ids, valid).reshape(b, t, h)
         # shared expert folded into the flat gate/up/down weights
         # (core/quantize_model.fuse_shared_expert_params): detected by the
         # extra trailing columns beyond the routed E*I width
@@ -449,7 +453,7 @@ def _layer_fn(
     mp = p["mlp"]
     h = _norm_maybe_quant(hidden, p["post_ln"], cfg.rms_norm_eps,
                           mp.get("gate_up", mp.get("gate")))
-    hidden = res + _mlp_block(p, cfg, h, token_ids)
+    hidden = res + _mlp_block(p, cfg, h, token_ids, valid)
 
     mu_next = mu_prev
     if cfg.mu_enabled:

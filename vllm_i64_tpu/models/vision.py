@@ -43,10 +43,21 @@ class VisionConfig:
     mlp_ratio: int = 4
     llm_hidden_size: int = 1024  # projection target
     projector_type: str = "mlp2x_gelu"  # or "linear"
+    # CLIP exactness knobs (ref towers are HF CLIPVisionModel,
+    # ref: vision.py:91-101): CLIP prepends a learned class token that
+    # patch tokens ATTEND to (dropping it post-hoc is NOT equivalent to
+    # not having it) and uses quick_gelu (x * sigmoid(1.702 x)) in the
+    # encoder MLPs. Defaults keep the lean from-scratch tower.
+    use_class_token: bool = False
+    hidden_act: str = "gelu"  # or "quick_gelu" (CLIP)
 
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def num_positions(self) -> int:
+        return self.num_patches + (1 if self.use_class_token else 0)
 
     @property
     def patch_dim(self) -> int:
@@ -73,7 +84,7 @@ def preprocess_images(images: np.ndarray, image_size: int = 224) -> np.ndarray:
 
 def init_vision_params(cfg: VisionConfig, key: jax.Array,
                        dtype=jnp.float32) -> Params:
-    keys = iter(jax.random.split(key, 8))
+    keys = iter(jax.random.split(key, 16))
     h = cfg.hidden_size
     mlp = h * cfg.mlp_ratio
 
@@ -97,11 +108,13 @@ def init_vision_params(cfg: VisionConfig, key: jax.Array,
     }
     params: Params = {
         "patch_embed": w((cfg.patch_dim, h)),
-        "pos_embed": w((cfg.num_patches, h)),
+        "pos_embed": w((cfg.num_positions, h)),
         "pre_ln_w": jnp.ones((h,), dtype),
         "pre_ln_b": jnp.zeros((h,), dtype),
         "blocks": blocks,
     }
+    if cfg.use_class_token:
+        params["class_embed"] = w((h,))
     if cfg.projector_type == "linear":
         params["proj_out"] = {"w1": w((h, cfg.llm_hidden_size)),
                               "b1": jnp.zeros((cfg.llm_hidden_size,), dtype)}
@@ -122,7 +135,13 @@ def _layer_norm(x, w, b, eps=1e-5):
     return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
 
 
-def _vit_block(p, x, num_heads):
+def _act(x, hidden_act: str):
+    if hidden_act == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
+        return x * jax.nn.sigmoid(1.702 * x)
+    return jax.nn.gelu(x)
+
+
+def _vit_block(p, x, num_heads, hidden_act="gelu"):
     b, n, h = x.shape
     d = h // num_heads
     res = x
@@ -138,7 +157,7 @@ def _vit_block(p, x, num_heads):
 
     res = x
     y = _layer_norm(x, p["ln2_w"], p["ln2_b"])
-    y = jax.nn.gelu(y @ p["fc1"] + p["fc1_b"])
+    y = _act(y @ p["fc1"] + p["fc1_b"], hidden_act)
     return res + (y @ p["fc2"] + p["fc2_b"])
 
 
@@ -151,18 +170,31 @@ def vision_encode(params: Params, cfg: VisionConfig,
     # patchify: (N, g, p, g, p, 3) -> (N, g*g, p*p*3)
     x = pixel_values.reshape(n, g, p, g, p, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, g * g, cfg.patch_dim)
-    x = x @ params["patch_embed"] + params["pos_embed"][None]
+    x = x @ params["patch_embed"]
+    if cfg.use_class_token:
+        cls = jnp.broadcast_to(
+            params["class_embed"][None, None], (n, 1, cfg.hidden_size)
+        ).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"][None]
     x = _layer_norm(x, params["pre_ln_w"], params["pre_ln_b"])
 
     def body(x, block):
-        return _vit_block(block, x, cfg.num_heads), None
+        return _vit_block(block, x, cfg.num_heads, cfg.hidden_act), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
+    if cfg.use_class_token:
+        # the reference projects patch tokens only; CLS is dropped AFTER
+        # the encoder so patches still attended to it (ref: vision.py CLIP
+        # branch "skip CLS token (index 0)")
+        x = x[:, 1:]
     po = params["proj_out"]
     out = x @ po["w1"] + po["b1"]
     if "w2" in po:
-        out = jax.nn.gelu(out) @ po["w2"] + po["b2"]
+        # torch nn.GELU default is the exact erf form (ref projector,
+        # vision.py _build_projector)
+        out = jax.nn.gelu(out, approximate=False) @ po["w2"] + po["b2"]
     return out
 
 
@@ -252,4 +284,130 @@ def load_vision_tower(state_dict: Dict[str, np.ndarray],
             "vision tower: loaded %d tensors, %d missing/mismatched kept "
             "random init (first few: %s)", len(loaded), len(missing),
             missing[:5])
+    return params
+
+
+def clip_vision_config(hf_cfg, llm_hidden_size: int,
+                       projector_type: str = "mlp2x_gelu") -> VisionConfig:
+    """VisionConfig mirroring a transformers CLIPVisionConfig."""
+    return VisionConfig(
+        image_size=hf_cfg.image_size,
+        patch_size=hf_cfg.patch_size,
+        hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        mlp_ratio=hf_cfg.intermediate_size // hf_cfg.hidden_size,
+        llm_hidden_size=llm_hidden_size,
+        projector_type=projector_type,
+        use_class_token=True,
+        hidden_act=getattr(hf_cfg, "hidden_act", "quick_gelu"),
+    )
+
+
+def load_clip_vision_tower(state_dict: Dict[str, np.ndarray],
+                           cfg: VisionConfig, dtype=jnp.float32,
+                           strict: bool = True) -> Params:
+    """Assemble tower params from a HF ``CLIPVisionModel`` state dict —
+    the exact tower family the reference wraps (ref: vision.py:91-101).
+
+    Key map (HF `vision_model.*` layout):
+      embeddings.class_embedding / patch_embedding.weight (conv, no bias) /
+      position_embedding.weight; pre_layrnorm (HF's spelling);
+      encoder.layers.{i}.self_attn.{q,k,v,out}_proj + layer_norm1/2 +
+      mlp.fc1/fc2. ``post_layernorm`` is intentionally skipped: the
+      reference consumes ``last_hidden_state``, which CLIP computes
+      WITHOUT it (post_layernorm only feeds pooled output).
+
+    Projector weights (``mm_projector.*`` from the reference module, torch
+    Sequential indices 0/2) load when present.
+    """
+    if not cfg.use_class_token:
+        raise ValueError("CLIP towers require use_class_token=True")
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[len("vision_model."):] if k.startswith("vision_model.") else k] \
+            = np.asarray(v, np.float32)
+    params = init_vision_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    h, L = cfg.hidden_size, cfg.num_layers
+    missing = []
+
+    def take(key):
+        w = sd.get(key)
+        if w is None:
+            missing.append(key)
+        return w
+
+    conv = take("embeddings.patch_embedding.weight")  # (h, 3, p, p)
+    if conv is not None:
+        # patchify flattens (p_row, p_col, chan); conv kernel is
+        # (out, in=3, kh, kw) -> permute to (kh, kw, in, out)
+        params["patch_embed"] = jnp.asarray(
+            conv.transpose(2, 3, 1, 0).reshape(cfg.patch_dim, h), dtype)
+    cls = take("embeddings.class_embedding")
+    if cls is not None:
+        params["class_embed"] = jnp.asarray(cls.reshape(h), dtype)
+    pos = take("embeddings.position_embedding.weight")
+    if pos is not None:
+        params["pos_embed"] = jnp.asarray(pos, dtype)
+    for pk, ck in (("pre_ln_w", "pre_layrnorm.weight"),
+                   ("pre_ln_b", "pre_layrnorm.bias")):
+        w = take(ck)
+        if w is not None:
+            params[pk] = jnp.asarray(w, dtype)
+
+    def stack(fmt, transpose=False):
+        rows = [take(fmt.format(i)) for i in range(L)]
+        if any(r is None for r in rows):
+            return None
+        return np.stack([r.T if transpose else r for r in rows])
+
+    pre = "encoder.layers.{}."
+    qw = stack(pre + "self_attn.q_proj.weight", transpose=True)
+    kw = stack(pre + "self_attn.k_proj.weight", transpose=True)
+    vw = stack(pre + "self_attn.v_proj.weight", transpose=True)
+    qb = stack(pre + "self_attn.q_proj.bias")
+    kb = stack(pre + "self_attn.k_proj.bias")
+    vb = stack(pre + "self_attn.v_proj.bias")
+    blocks = dict(params["blocks"])
+    if all(w is not None for w in (qw, kw, vw, qb, kb, vb)):
+        blocks["qkv"] = jnp.asarray(np.concatenate([qw, kw, vw], -1), dtype)
+        blocks["qkv_b"] = jnp.asarray(np.concatenate([qb, kb, vb], -1), dtype)
+    for pk, fmt, tr in (
+        ("proj", pre + "self_attn.out_proj.weight", True),
+        ("proj_b", pre + "self_attn.out_proj.bias", False),
+        ("ln1_w", pre + "layer_norm1.weight", False),
+        ("ln1_b", pre + "layer_norm1.bias", False),
+        ("ln2_w", pre + "layer_norm2.weight", False),
+        ("ln2_b", pre + "layer_norm2.bias", False),
+        ("fc1", pre + "mlp.fc1.weight", True),
+        ("fc1_b", pre + "mlp.fc1.bias", False),
+        ("fc2", pre + "mlp.fc2.weight", True),
+        ("fc2_b", pre + "mlp.fc2.bias", False),
+    ):
+        rows = stack(fmt, transpose=tr)
+        if rows is not None:
+            blocks[pk] = jnp.asarray(rows, dtype)
+    params["blocks"] = blocks
+
+    proj = dict(params["proj_out"])
+    if cfg.projector_type == "linear":
+        pairs = (("w1", "mm_projector.weight", True),
+                 ("b1", "mm_projector.bias", False))
+    else:  # torch nn.Sequential(Linear, GELU, Linear) indices 0 / 2
+        pairs = (("w1", "mm_projector.0.weight", True),
+                 ("b1", "mm_projector.0.bias", False),
+                 ("w2", "mm_projector.2.weight", True),
+                 ("b2", "mm_projector.2.bias", False))
+    for pk, ck, tr in pairs:
+        w = sd.get(ck)
+        if w is not None and pk in proj:
+            proj[pk] = jnp.asarray(w.T if tr else w, dtype)
+    params["proj_out"] = proj
+
+    if missing and strict:
+        raise ValueError(f"CLIP tower load missing {len(missing)} keys: "
+                         f"{missing[:6]}")
+    if missing:
+        logger.warning("CLIP tower: %d keys missing (kept init): %s",
+                       len(missing), missing[:6])
     return params

@@ -8,6 +8,12 @@ shape the reference's bench_comparative measures over the wire
 (ref: benchmarks/bench_comparative.py:29-70), but concurrent instead of
 sequential so continuous batching is actually exercised.
 
+The client is MULTIPROCESS x asyncio (VERDICT r3 #4): N worker processes,
+each running an aiohttp event loop over its share of the requests — the
+round-3 threading+urllib driver serialized 64 concurrent SSE streams on
+one GIL, which confounded every wire-TTFT measurement. ``--threads``
+selects the legacy driver for A/B.
+
 Prints one JSON line of aggregate metrics.
 
 Usage:
@@ -19,6 +25,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import argparse
 import json
+import multiprocessing
 import subprocess
 import threading
 import time
@@ -134,6 +141,95 @@ def stream_one(port: int, prompt: str, max_tokens: int) -> dict:
             "stamps": stamps, "total": time.perf_counter() - t0}
 
 
+async def _stream_one_async(session, port: int, prompt: str,
+                            max_tokens: int) -> dict:
+    body = {"prompt": prompt, "max_tokens": max_tokens,
+            "min_tokens": max_tokens, "temperature": 0.0, "stream": True}
+    t0 = time.perf_counter()
+    stamps = []
+    async with session.post(
+        f"http://127.0.0.1:{port}/v1/completions", json=body
+    ) as resp:
+        async for raw in resp.content:
+            line = raw.decode("utf-8", errors="replace").strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            try:
+                payload = json.loads(line[6:])
+            except json.JSONDecodeError:
+                continue
+            text = payload.get("choices", [{}])[0].get("text", "")
+            if text:
+                stamps.append((time.perf_counter() - t0, len(text)))
+    return {"ttft": stamps[0][0] if stamps else None,
+            "stamps": stamps, "total": time.perf_counter() - t0}
+
+
+async def _drive_async(port: int, jobs: list, concurrency: int) -> list:
+    import asyncio
+
+    import aiohttp
+
+    results = [None] * len(jobs)
+    queue: "asyncio.Queue" = asyncio.Queue()
+    for i, job in enumerate(jobs):
+        queue.put_nowait((i, job))
+
+    async with aiohttp.ClientSession(
+        timeout=aiohttp.ClientTimeout(total=900),
+        connector=aiohttp.TCPConnector(limit=0),
+    ) as session:
+        async def worker():
+            while True:
+                try:
+                    i, (p, g) = queue.get_nowait()
+                except asyncio.QueueEmpty:
+                    return
+                try:
+                    results[i] = await _stream_one_async(session, port, p, g)
+                except Exception as e:  # noqa: BLE001
+                    results[i] = {"error": repr(e)[:100]}
+
+        await asyncio.gather(*[worker() for _ in range(max(concurrency, 1))])
+    return results
+
+
+def _worker_proc(port: int, jobs: list, concurrency: int, conn) -> None:
+    """One client process: an asyncio loop over its share of the jobs."""
+    import asyncio
+
+    res = asyncio.run(_drive_async(port, jobs, concurrency))
+    conn.send(res)
+    conn.close()
+
+
+def drive_multiprocess(port: int, jobs: list, concurrency: int,
+                       workers: int):
+    """Split jobs over `workers` OS processes x asyncio — no shared GIL.
+
+    Per-request metrics (ttft/itl) are process-local perf_counter deltas;
+    only the aggregate wall clock is measured in the parent."""
+    workers = max(1, min(workers, concurrency, len(jobs)))
+    shards = [jobs[w::workers] for w in range(workers)]
+    conc = -(-concurrency // workers)
+    ctx = multiprocessing.get_context("spawn")
+    procs, pipes = [], []
+    t_start = time.perf_counter()
+    for shard in shards:
+        rx, tx = ctx.Pipe(duplex=False)
+        p = ctx.Process(target=_worker_proc, args=(port, shard, conc, tx))
+        p.start()
+        procs.append(p)
+        pipes.append(rx)
+    results = [None] * len(jobs)
+    for w, (p, rx) in enumerate(zip(procs, pipes)):
+        shard_res = rx.recv()
+        p.join()
+        for j, r in enumerate(shard_res):
+            results[w + j * workers] = r
+    return results, time.perf_counter() - t_start
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--serve", action="store_true")
@@ -142,6 +238,11 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=PORT)
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--concurrency", type=int, default=16)
+    ap.add_argument("--workers", type=int,
+                    default=min(8, multiprocessing.cpu_count()),
+                    help="client OS processes (asyncio loop each)")
+    ap.add_argument("--threads", action="store_true",
+                    help="legacy GIL-bound threading client (A/B only)")
     ap.add_argument("--uniform-gen", type=int, default=64,
                     help="generation length for --uniform jobs")
     ap.add_argument("--uniform", action="store_true",
@@ -195,7 +296,9 @@ def main() -> None:
         print(f"[http-bench] server up in {time.perf_counter()-t0:.0f}s",
               file=_sys.stderr, flush=True)
 
-        def drive(job_list):
+        def drive_threads(job_list):
+            """Legacy GIL-bound driver (--threads): kept for the A/B that
+            quantifies the client-side share of wire TTFT."""
             results = [None] * len(job_list)
             idx = {"v": 0}
             lock = threading.Lock()
@@ -221,6 +324,12 @@ def main() -> None:
             for t in threads:
                 t.join()
             return results, time.perf_counter() - t_start
+
+        def drive(job_list):
+            if args.threads:
+                return drive_threads(job_list)
+            return drive_multiprocess(args.port, job_list,
+                                      args.concurrency, args.workers)
 
         # warmup: the FULL mixed job list once, at the same concurrency —
         # every (prompt bucket, batch bucket, block-table bucket) program
@@ -281,6 +390,8 @@ def main() -> None:
             "errors": errors,
             "concurrency": args.concurrency,
             "wall_s": round(wall, 2),
+            "client": "threads" if args.threads else
+                      f"mp{args.workers}-asyncio",
             "ttft_ms_p50": round(pct(ttfts, 0.5) * 1000, 1),
             "ttft_ms_p99": round(pct(ttfts, 0.99) * 1000, 1),
             "itl_ms_p50": round(pct(itls, 0.5) * 1000, 1),

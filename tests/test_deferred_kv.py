@@ -148,3 +148,68 @@ def test_partial_merge_respects_steps_taken():
     assert (mk[0, 1, :3] == 1).all() and (mk[0, 1, 3] == 0).all()
     # row1: nothing written
     assert (mk[0, 3] == 0).all() and (mk[0, 4] == 0).all()
+
+
+def test_merge_sub_slab_exactness_and_history_preservation():
+    """Sub-slab merge (round 4): with production-shaped 128-row blocks the
+    merge must land windows at fine granularity without disturbing history
+    rows in the touched slab, across sub-slab AND block boundaries, for
+    every sub_rows choice."""
+    import pytest as _pytest
+
+    L, NB, BS, hkv, d = 2, 6, 128, 2, 8
+    B, K = 3, 16
+    rng = np.random.default_rng(7)
+    hist_k = jnp.asarray(rng.standard_normal((L, NB, BS, hkv, d)), jnp.float32)
+    hist_v = jnp.asarray(rng.standard_normal((L, NB, BS, hkv, d)), jnp.float32)
+    bt = jnp.asarray([[1, 2], [3, 4], [5, 0]], jnp.int32)
+    win_k = jnp.asarray(rng.standard_normal((L, B, K, hkv, d)), jnp.float32)
+    win_v = jnp.asarray(rng.standard_normal((L, B, K, hkv, d)), jnp.float32)
+    # row0 mid-slab; row1 crosses a sub-slab boundary; row2 crosses the
+    # BLOCK boundary (124 + 16 > 128)
+    ctx0 = jnp.asarray([5, 30, 124], jnp.int32)
+    steps = jnp.asarray([16, 7, 16], jnp.int32)
+
+    def expected():
+        k = np.array(hist_k)
+        v = np.array(hist_v)
+        for b in range(B):
+            for j in range(int(steps[b])):
+                pos = int(ctx0[b]) + j
+                blk = int(bt[b, pos // BS])
+                k[:, blk, pos % BS] = np.array(win_k[:, b, j])
+                v[:, blk, pos % BS] = np.array(win_v[:, b, j])
+        return k, v
+
+    want_k, want_v = expected()
+    for sub in (None, 8, 16, 32, 128):
+        got_k, got_v = merge_window_kv(
+            hist_k, hist_v, win_k, win_v, bt, ctx0, steps, sub_rows=sub)
+        got_k, got_v = np.asarray(got_k), np.asarray(got_v)
+        # the window rows landed exactly
+        for b in range(B):
+            for j in range(int(steps[b])):
+                pos = int(ctx0[b]) + j
+                blk = int(bt[b, pos // BS])
+                np.testing.assert_array_equal(
+                    got_k[:, blk, pos % BS], np.array(win_k[:, b, j]),
+                    err_msg=f"sub={sub} b={b} j={j}")
+        # history rows BEFORE ctx0 in the touched slab are preserved
+        for b in range(B):
+            pos0 = int(ctx0[b])
+            blk = int(bt[b, pos0 // BS])
+            r0 = pos0 % BS
+            np.testing.assert_array_equal(
+                got_k[:, blk, :r0], want_k[:, blk, :r0],
+                err_msg=f"sub={sub} history row clobbered (b={b})")
+        # untouched blocks are bit-identical
+        touched = {int(bt[b, (int(ctx0[b]) + j) // BS])
+                   for b in range(B) for j in range(max(int(steps[b]), 1))}
+        for blk in range(NB):
+            if blk not in touched:
+                np.testing.assert_array_equal(
+                    got_k[:, blk], np.array(hist_k[:, blk]),
+                    err_msg=f"sub={sub} untouched block {blk} changed")
+    with _pytest.raises(ValueError, match="must divide"):
+        merge_window_kv(hist_k, hist_v, win_k, win_v, bt, ctx0, steps,
+                        sub_rows=24)

@@ -593,6 +593,26 @@ def paged_attention_window(
     return out.reshape(b, t, hq, d).astype(q.dtype)
 
 
+def _merge_sub_rows(kwin: int, bs: int) -> int:
+    """Sub-slab row granularity for merge_window_kv.
+
+    MEASURED ON v5e (2026-08-20, tools/tpu_decode_ablate.py, B=64
+    ctx 128 K=16 bs=128): whole-block merge costs 1.08 ms/iter;
+    sub-slab s=16 costs 1.68 and s=32 costs 1.57 DESPITE 8x/4x less
+    HBM traffic — XLA's TPU scatter serializes per update and smaller
+    slabs pay the same per-update overhead on less data, so update
+    count (unchanged at L*B*W), not bytes, is the binding cost.
+    Default is therefore whole-block; VLLM_I64_TPU_MERGE_SUB_ROWS
+    overrides for A/B (0 = whole-block)."""
+    import os
+
+    env = os.environ.get("VLLM_I64_TPU_MERGE_SUB_ROWS")
+    if env is not None:
+        n = int(env)
+        return bs if n <= 0 else min(n, bs)
+    return bs
+
+
 def merge_window_kv(
     k_cache: jax.Array,  # (NB, bs, Hkv, d) per layer stacked: (L, NB, bs, ...)
     v_cache: jax.Array,
@@ -601,62 +621,80 @@ def merge_window_kv(
     block_tables: jax.Array,  # (B, MB)
     ctx0: jax.Array,  # (B,) window-start context
     steps_taken: jax.Array,  # (B,) active iterations this window
+    *,
+    sub_rows: Optional[int] = None,
 ):
     """Land a whole multistep window's K/V (all layers) in the paged cache.
 
     A row scatter of L*B*K individual (Hkv, d) rows serializes on TPU
     (measured ~3.2 ms per iteration amortized at L=30, B=16, K=16 — half
-    the decode step). Instead the window's tokens are blended into whole
-    BLOCK images (a K-token window spans at most ceil((K-1)/bs)+1 blocks
-    per row) and scattered block-at-a-time: L*B*W slab updates, W ~= 2.
-    Non-covered rows of a touched block keep their current cache content
-    (gathered first — program order keeps read-before-write in one jit).
-    Entries beyond a row's active steps (frozen/padding rows) drop via an
-    out-of-range destination."""
+    the decode step). Whole-BLOCK images fixed the serialization but blended
+    and scattered bs=128 rows to land a <=16-token window — an 8x traffic
+    overshoot. The cache is therefore viewed at SUB-SLAB granularity
+    (``sub_rows`` S, a power of two dividing the block size, default ~K):
+    the window's tokens blend into L*B*W sub-slab images with
+    W = ceil((K-1)/S)+1, and one scatter per cache lands them. Sub-slab
+    indices map through the block table (pos // bs picks the block,
+    (pos % bs) // S the slab inside it), so windows crossing block
+    boundaries work unchanged.
+
+    Non-covered rows of the slab holding ctx0 keep their current cache
+    content (gathered first — program order keeps read-before-write in one
+    jit); later slabs start past everything earlier windows wrote, so their
+    padding rows are never-read and zeros suffice. Entries beyond a row's
+    active steps (frozen/padding rows) drop via an out-of-range destination.
+    """
     l, nb, bs, hkv, d = k_cache.shape
     b, kwin = win_k.shape[1], win_k.shape[2]
     mb = block_tables.shape[1]
-    w = (kwin - 1) // bs + 2  # cache blocks a window can touch per row
+    s = sub_rows or _merge_sub_rows(kwin, bs)
+    if bs % s:
+        raise ValueError(f"sub_rows {s} must divide block_size {bs}")
+    spb = bs // s  # sub-slabs per block
+    w = (kwin - 1) // s + 2  # sub-slabs a window can touch per row
 
-    start_blk = ctx0 // bs  # (B,)
-    off0 = ctx0 % bs
+    start_sub = ctx0 // s  # (B,) sequence-relative sub-slab index
+    off0 = ctx0 % s
     wi = jnp.arange(w, dtype=jnp.int32)
-    blk_idx = start_blk[:, None] + wi[None]  # (B, W)
-    phys = jnp.take_along_axis(
+    sub_idx = start_sub[:, None] + wi[None]  # (B, W)
+    blk_idx = sub_idx // spb
+    phys_blk = jnp.take_along_axis(
         block_tables, jnp.clip(blk_idx, 0, mb - 1), axis=1
     ).astype(jnp.int32)
+    phys = phys_blk * spb + sub_idx % spb  # (B, W) flat sub-slab ids
 
-    r = jnp.arange(bs, dtype=jnp.int32)
-    j = wi[None, :, None] * bs + r[None, None, :] - off0[:, None, None]
-    valid = (j >= 0) & (j < steps_taken[:, None, None])  # (B, W, bs)
+    r = jnp.arange(s, dtype=jnp.int32)
+    j = wi[None, :, None] * s + r[None, None, :] - off0[:, None, None]
+    valid = (j >= 0) & (j < steps_taken[:, None, None])  # (B, W, s)
     any_valid = valid.any(-1)  # (B, W)
     jc = jnp.clip(j, 0, kwin - 1)
 
     def blend(cache, win):
         img = jnp.take_along_axis(
             win[:, :, None], jc[None, :, :, :, None, None], axis=3
-        )  # (L, B, W, bs, hkv, d)
-        # only slab 0 (the block holding ctx0) can contain real history —
-        # slabs w >= 1 start at (start_blk+1)*bs >= ctx0, past everything any
+        )  # (L, B, W, s, hkv, d)
+        # only slab 0 (the one holding ctx0) can contain real history —
+        # slabs w >= 1 start at (start_sub+1)*s >= ctx0, past everything any
         # earlier window wrote, so their non-covered rows are never-read
-        # padding and zeros are as good as a gather (halves merge read
-        # traffic: measured -0.5 ms/iter at L=30 B=64 K=16 bs=128 on v5e)
-        cur0 = jnp.take(cache, phys[:, 0], axis=1)[:, :, None]
+        # padding and zeros are as good as a gather
+        cur0 = jnp.take(
+            cache.reshape(l, nb * spb, s, hkv, d), phys[:, 0], axis=1
+        )[:, :, None]
         cur = jnp.concatenate(
-            [cur0, jnp.zeros((l, b, w - 1, bs, hkv, d), cache.dtype)], axis=2)
+            [cur0, jnp.zeros((l, b, w - 1, s, hkv, d), cache.dtype)], axis=2)
         return jnp.where(
             valid[None, :, :, :, None, None], img.astype(cache.dtype), cur)
 
     dst = jnp.where(any_valid, phys, jnp.int32(2**30))  # (B, W)
-    lay = jnp.arange(l, dtype=jnp.int32)[:, None, None] * nb
+    lay = jnp.arange(l, dtype=jnp.int32)[:, None, None] * (nb * spb)
     flat = jnp.minimum(lay + dst[None], jnp.int32(2**30)).reshape(-1)
 
-    kf = k_cache.reshape(l * nb, bs, hkv, d)
-    vf = v_cache.reshape(l * nb, bs, hkv, d)
+    kf = k_cache.reshape(l * nb * spb, s, hkv, d)
+    vf = v_cache.reshape(l * nb * spb, s, hkv, d)
     kf = kf.at[flat].set(
-        blend(k_cache, win_k).reshape(-1, bs, hkv, d), mode="drop")
+        blend(k_cache, win_k).reshape(-1, s, hkv, d), mode="drop")
     vf = vf.at[flat].set(
-        blend(v_cache, win_v).reshape(-1, bs, hkv, d), mode="drop")
+        blend(v_cache, win_v).reshape(-1, s, hkv, d), mode="drop")
     return kf.reshape(l, nb, bs, hkv, d), vf.reshape(l, nb, bs, hkv, d)
 
 

@@ -85,6 +85,203 @@ def _fused_swiglu_pallas(x, gq, uq, gs, us, tm, ti, tk, interpret=False):
     )(x, gq, uq, gs.reshape(1, i), us.reshape(1, i))
 
 
+def _round_to_bf16_grid(x: jax.Array) -> jax.Array:
+    """f32 -> f32 snapped to the bf16 grid, round-to-nearest-even.
+
+    Explicit bit manipulation rather than astype(bf16).astype(f32)
+    (elided by XLA's simplifier in interpret mode) or
+    lax.reduce_precision (no Mosaic TPU lowering). Matches hardware
+    f32->bf16 conversion for finite values; NaNs stay NaN."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    lsb = (u >> 16) & jnp.uint32(1)
+    u = (u + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _fused_swiglu_quant_kernel(
+    xq_ref, xs_ref, g_ref, u_ref, gs_ref, us_ref, m_ref,
+    oq_ref, os_ref, accg_ref, accu_ref, prod_ref, rmax_ref,
+    *, n_n: int, n_k: int,
+):
+    """Grid (N/ti, K/tk), K inner. int8 x int8 MXU dots accumulate in int32;
+    at each column tile's K end the SwiGLU+mask product lands in a
+    persistent (M, I) bf16 scratch and the running row max updates; the
+    final instance quantizes the whole product to int8 + row scales.
+
+    Numerics are BIT-IDENTICAL to the unfused chain: product cast to the
+    output dtype before the f32 row-max/round (matching
+    quantize_activations_int8 over the bf16 intermediate)."""
+    n, k = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init_acc():
+        accg_ref[:] = jnp.zeros_like(accg_ref)
+        accu_ref[:] = jnp.zeros_like(accu_ref)
+
+    @pl.when((n == 0) & (k == 0))
+    def _init_rmax():
+        rmax_ref[:] = jnp.zeros_like(rmax_ref)
+
+    xt = xq_ref[:]
+    accg_ref[:] += jnp.dot(xt, g_ref[:], preferred_element_type=jnp.int32)
+    accu_ref[:] += jnp.dot(xt, u_ref[:], preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _tile_done():
+        xs = xs_ref[:].astype(jnp.float32)  # (M, 1)
+        gate = accg_ref[:].astype(jnp.float32) * xs * gs_ref[:].astype(jnp.float32)
+        up = accu_ref[:].astype(jnp.float32) * xs * us_ref[:].astype(jnp.float32)
+        # cast order mirrors the unfused path: silu*up -> bf16, then f32
+        # mask multiply, then bf16 (token_routed_mlp shared-fold tail);
+        # the explicit bf16-grid round can't be elided in either mode
+        p = _round_to_bf16_grid(jax.nn.silu(gate) * up)
+        p = _round_to_bf16_grid(p * m_ref[:].astype(jnp.float32))
+        ti = p.shape[1]
+        prod_ref[:, pl.ds(n * ti, ti)] = p.astype(prod_ref.dtype)
+        rmax_ref[:] = jnp.maximum(
+            rmax_ref[:],
+            jnp.max(jnp.abs(p), axis=1, keepdims=True))
+
+    @pl.when((n == n_n - 1) & (k == n_k - 1))
+    def _emit():
+        # multiply by the reciprocal, NOT divide: XLA's algebraic
+        # simplifier rewrites x/const -> x*(1/const) in the unfused
+        # quantize_activations_int8, and Mosaic keeps a true divide —
+        # match the rewrite so the scales agree to the last ulp
+        scale = jnp.maximum(
+            rmax_ref[:] * jnp.float32(1.0 / 127.0), 1e-8)  # (M, 1)
+        os_ref[:] = scale
+        pf = prod_ref[:].astype(jnp.float32)
+        oq_ref[:] = jnp.clip(
+            jnp.round(pf / scale), -128, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("ti", "tk", "interpret"))
+def _fused_swiglu_quant_pallas(xq, xs, wq, ws, mask, ti, tk,
+                               interpret=False):
+    m, k = xq.shape
+    w2 = wq.shape[1]
+    w = w2 // 2
+    n_n, n_k = w // ti, k // tk
+    grid = (n_n, n_k)
+    return pl.pallas_call(
+        functools.partial(_fused_swiglu_quant_kernel, n_n=n_n, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, tk), lambda a, c: (0, c),
+                         memory_space=pltpu.VMEM),  # xq
+            pl.BlockSpec((m, 1), lambda a, c: (0, 0),
+                         memory_space=pltpu.VMEM),  # xs
+            pl.BlockSpec((tk, ti), lambda a, c: (c, a),
+                         memory_space=pltpu.VMEM),  # gate cols
+            pl.BlockSpec((tk, ti), lambda a, c: (c, a + n_n),
+                         memory_space=pltpu.VMEM),  # up cols
+            pl.BlockSpec((1, ti), lambda a, c: (0, a),
+                         memory_space=pltpu.VMEM),  # gate scales (pre-sliced)
+            pl.BlockSpec((1, ti), lambda a, c: (0, a),
+                         memory_space=pltpu.VMEM),  # up scales (pre-sliced)
+            pl.BlockSpec((m, ti), lambda a, c: (0, a),
+                         memory_space=pltpu.VMEM),  # mask cols
+        ],
+        out_specs=(
+            pl.BlockSpec((m, w), lambda a, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda a, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, w), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, ti), jnp.int32),
+            pltpu.VMEM((m, ti), jnp.int32),
+            pltpu.VMEM((m, w), jnp.bfloat16),
+            pltpu.VMEM((m, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * w * k,
+            bytes_accessed=m * k + 2 * k * w + 2 * m * w,
+            transcendentals=m * w,
+        ),
+        interpret=interpret,
+    )(xq, xs, wq, wq, ws[None, :w], ws[None, w:], mask)
+
+
+# sub-256-row decode/mixed dispatches can route through the fused epilogue;
+# prefill shapes keep the XLA chain (compute-bound, XLA pipelines better).
+# The M cap is a scoped-VMEM budget: pallas I/O is stack-allocated, and the
+# f32 mask (M, W) + bf16 product scratch dominate — m=512 at W=4096
+# measured 19.8 MB > the 16 MB limit on v5e.
+#
+# DEFAULT OFF (opt in via VLLM_I64_TPU_SWIGLU_QUANT=1): isolated at the
+# engine shape (m=64, k=1024, w=4096) the kernel wins (1.34 vs ~1.4-2.3 ms
+# per 20 calls), but in the compiled decode window it measured +0.33
+# ms/iter WORSE on v5e (tools/tpu_decode_ablate.py no_merge floor 6.80 vs
+# 6.47, 2026-08-20) — XLA loses cross-op fusion/scheduling freedom around
+# the opaque pallas call, the same serialization that keeps the int4
+# kernel's isolated -31% from appearing in-engine (see DESIGN.md).
+import os as _os
+
+_SWIGLU_QUANT_MAX_M = 256
+_SWIGLU_QUANT = _os.environ.get("VLLM_I64_TPU_SWIGLU_QUANT", "0") == "1"
+
+
+def set_swiglu_quant(enabled: bool) -> None:
+    global _SWIGLU_QUANT
+    _SWIGLU_QUANT = bool(enabled)
+
+
+def fused_swiglu_quant_eligible(x, gate_w, m: int, w2: int, k: int) -> bool:
+    from .quant import PreQuantActs
+
+    if not _SWIGLU_QUANT or not isinstance(x, PreQuantActs):
+        return False
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+    import os
+
+    interp = os.environ.get("VLLM_I64_TPU_PALLAS_INTERPRET") == "1"
+    return (
+        (on_tpu or interp)
+        and isinstance(gate_w, QTensor)
+        and gate_w.q.ndim == 2
+        and gate_w.q.dtype == jnp.int8
+        and m % 32 == 0  # int8 sublane tile
+        and m <= _SWIGLU_QUANT_MAX_M
+        and k % 128 == 0
+        and w2 % 256 == 0  # each half lane-aligned
+    )
+
+
+def fused_swiglu_quant(x, gate_up_w: QTensor, mask: jax.Array,
+                       *, interpret: bool = False):
+    """SwiGLU + routing-mask multiply + per-row int8 quantize, fused into
+    the gate_up W8A8 GEMM's epilogue. Returns PreQuantActs for the down
+    GEMM — the (M, W) intermediate never round-trips HBM in bf16 and the
+    separate row-max/round XLA passes disappear (the decode act-quantize
+    chain measured ~30% of GEMM time on v5e, tools/tpu_gemm_probe.py).
+
+    ``x`` must be PreQuantActs (the fused-norm-quant producer);
+    ``gate_up_w`` the flat concatenated [gate|up] int8 QTensor;
+    ``mask`` the (M, W) f32 routing/output-scale mask (token_routed_mlp
+    builds it for the shared-fold layout)."""
+    from .quant import PreQuantActs
+
+    xq, xs = x.rows()
+    m, k = xq.shape
+    w2 = gate_up_w.q.shape[1]
+    w = w2 // 2
+    ti = _pick_tile(w, 512)
+    tk = _pick_tile(k, 512)
+    oq, os_ = _fused_swiglu_quant_pallas(
+        xq, xs, gate_up_w.q, gate_up_w.s.astype(jnp.float32), mask,
+        ti, tk, interpret=interpret)
+    return PreQuantActs(oq, os_, (m, w), x.dtype)
+
+
 def _xla_fallback(x, gate_w, up_w):
     from .linear import linear
 

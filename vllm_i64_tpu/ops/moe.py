@@ -166,6 +166,32 @@ def token_routed_mlp(
         else:
             r_scale = jnp.asarray(routed_output_scale, acc_t)
             s_scale = jnp.asarray(shared_output_scale, acc_t)
+        from .dequant_matmul import w8a8_enabled
+        from .fused_swiglu import fused_swiglu_quant, fused_swiglu_quant_eligible
+
+        n_rows = x.shape[0]
+        if isinstance(gate_w, type(None)):
+            w_flat = 0
+        else:
+            w_flat = (gate_w.q.shape[-1] if hasattr(gate_w, "q")
+                      else gate_w.shape[-1])
+        if (up_w is None and w8a8_enabled()
+                and fused_swiglu_quant_eligible(
+                    x, gate_w, n_rows, w_flat, x.shape[-1])):
+            # decode fast path: SwiGLU + mask + per-row int8 quantize run in
+            # the gate_up GEMM's epilogue (ops/fused_swiglu.fused_swiglu_quant)
+            # — bit-identical to the unfused chain below
+            i_size = (w_flat // 2 - shared_fused_cols) // num_experts
+            mask_flat = jnp.repeat(
+                (mask * r_scale).astype(jnp.float32), i_size, axis=1)
+            shared_seg = jnp.broadcast_to(
+                s_scale.astype(jnp.float32), (n_rows, shared_fused_cols))
+            mask_all = jnp.concatenate([mask_flat, shared_seg], axis=1)
+            import os
+
+            interp = os.environ.get("VLLM_I64_TPU_PALLAS_INTERPRET") == "1"
+            pq = fused_swiglu_quant(x, gate_w, mask_all, interpret=interp)
+            return linear(pq, down_w)
         inter = fused_swiglu(x, gate_w, up_w)  # (N, E*I + shared_fused_cols)
         i_size = (inter.shape[-1] - shared_fused_cols) // num_experts
         mask_flat = jnp.repeat(mask * r_scale, i_size, axis=1)

@@ -261,9 +261,15 @@ def quantize_activations_int8(x: jax.Array):
     """Dynamic per-token (per-row) INT8 activation quantization.
 
     Mirrors ref core/quantization.py:103-116. Returns (q_int8, row_scale_f32).
+
+    The scale uses an explicit multiply by 1/127 rather than a divide:
+    XLA's algebraic simplifier applies that rewrite on some backends but
+    not inside Pallas kernels, and the fused epilogue
+    (ops/fused_swiglu.fused_swiglu_quant) must produce bit-identical
+    scales on every backend.
     """
     x = x.astype(jnp.float32)
     abs_max = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    scale = jnp.maximum(abs_max / 127.0, 1e-8)
+    scale = jnp.maximum(abs_max * jnp.float32(1.0 / 127.0), 1e-8)
     q = jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
     return q, scale

@@ -86,8 +86,13 @@ def main() -> None:
             tag = "enqueue"
         else:
             tag = "exec+sync"
+        pos = np.asarray(positions)
+        # per-row real chunk spans (first pos, ctx_len) to distinguish
+        # fresh chunks from re-dispatches
+        spans = list(zip(pos[:, 0].tolist(),
+                         np.asarray(ctx_lens).tolist()))[:8]
         events.append((tag, kw.get("kind", "?"), token_ids.shape,
-                       block_tables.shape, round(dt, 1)))
+                       block_tables.shape, round(dt, 1), spans))
         return out
 
     def dmd(*a, **kw):

@@ -850,11 +850,19 @@ class Engine:
                 n = self.scheduler.apply_decode_tokens(req, toks)
                 result[rid] = toks[:n]
                 self.total_tokens_generated += n
-        if multi is None or single:
+        if multi is None or single or batch.prefill_seqs:
             # prefill rows (and the pure single-step path) go through
             # update_after_step: chunk-progress advance + token append +
             # block growth. Decode rows already applied above are absent
-            # from `single`, so the sweep skips them.
+            # from `single`, so the sweep skips them. batch.prefill_seqs
+            # matters even when no token was sampled: a MID-prompt chunk
+            # riding behind a decode window produces no sample, and
+            # skipping the update froze prefill_done — the same chunk
+            # re-dispatched every step (idempotent KV writes kept outputs
+            # correct) until decode drained, serializing long-prompt
+            # admission behind the whole decode backlog (measured: 25
+            # identical (8,512) chunk dispatches in the mixed longctx
+            # trace, TTFT p50 4.0s -> the chunk count collapses to 4).
             self.scheduler.update_after_step(batch, single)
             for rid, tok in single.items():
                 result[rid] = [tok]

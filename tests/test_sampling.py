@@ -314,3 +314,46 @@ def test_engine_unseeded_sampling_varies(tiny_config):
     outs = {tuple(eng.generate([5, 17, 42], sp).output_tokens)
             for _ in range(4)}
     assert len(outs) > 1  # unseeded runs must differ
+
+
+def test_all_greedy_specialization_matches_generic(rng):
+    """The argmax-only all_greedy program (skips Gumbel noise +
+    log_softmax, the bulk of the decode sampler cost) must match the
+    generic program for every greedy batch, penalties included."""
+    logits = rng.standard_normal((4, V)).astype(np.float32)
+    params = [SamplingParams(temperature=0.0, repetition_penalty=1.3)] * 4
+    feats = SamplerFeatures.for_params(params)
+    assert feats.all_greedy and feats.penalties
+    counts = jnp.zeros((4, V), jnp.int32).at[:, :8].set(2)
+    fast = run_device(logits, params, counts=counts)
+    # force the generic program on the identical inputs
+    import dataclasses
+    generic = SamplerFeatures(
+        **{**dataclasses.asdict(feats), "all_greedy": False})
+    b = logits.shape[0]
+    out = sample_tokens(
+        jnp.asarray(logits), features=generic, key=jax.random.PRNGKey(0),
+        counts=counts,
+        temperature=jnp.zeros(b, jnp.float32),
+        top_k=jnp.zeros(b, jnp.int32),
+        top_p=jnp.ones(b, jnp.float32),
+        min_p=jnp.zeros(b, jnp.float32),
+        typical_p=jnp.ones(b, jnp.float32),
+        rep_pen=jnp.full(b, 1.3, jnp.float32),
+        freq_pen=jnp.zeros(b, jnp.float32),
+        pres_pen=jnp.zeros(b, jnp.float32),
+        seeds=jnp.full(b, 7, jnp.int32),
+        gen_index=jnp.zeros(b, jnp.int32),
+        eos_suppress=jnp.zeros(b, bool),
+        eos_ids=jnp.zeros(b, jnp.int32),
+        min_tokens=jnp.zeros(b, jnp.int32),
+    )
+    np.testing.assert_array_equal(fast, np.asarray(out))
+
+
+def test_for_params_all_greedy_flag():
+    assert SamplerFeatures.for_params(
+        [SamplingParams(temperature=0.0)] * 3).all_greedy
+    assert not SamplerFeatures.for_params(
+        [SamplingParams(temperature=0.0),
+         SamplingParams(temperature=0.7)]).all_greedy

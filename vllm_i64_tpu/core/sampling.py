@@ -109,6 +109,12 @@ class SamplerFeatures:
     min_p: bool = False
     typical_p: bool = False
     min_tokens: bool = False
+    # every row greedy: the compiled program is argmax-only — no Gumbel
+    # noise (B*V threefry draws), no log_softmax. Identical outputs (the
+    # generic program's final where() picks greedy_choice for greedy rows);
+    # measured as most of the 0.7 ms/iter decode sampler cost at B=64,
+    # V=32k on v5e.
+    all_greedy: bool = False
 
     @staticmethod
     def for_params(params_list) -> "SamplerFeatures":
@@ -123,6 +129,7 @@ class SamplerFeatures:
                 not p.is_greedy and p.typical_p < 1.0 for p in params_list
             ),
             min_tokens=any(p.min_tokens > 0 for p in params_list),
+            all_greedy=all(p.is_greedy for p in params_list),
         )
 
 
@@ -221,6 +228,9 @@ def sample_tokens(
         logits = jnp.where(is_eos & eos_suppress[:, None], NEG_INF, logits)
 
     greedy_choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if features.all_greedy:
+        return greedy_choice
 
     is_greedy = temperature <= 0.0
     safe_temp = jnp.where(is_greedy, 1.0, temperature)

@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--kv-dtype", default="bfloat16",
                     help="KV cache dtype (e.g. float8_e4m3fn halves "
                          "gather bytes at long context)")
+    ap.add_argument("--quantization", default="int8",
+                    choices=("int8", "int4"),
+                    help="weight path to itemize (int4 = W4A8 fused "
+                         "in-kernel-dequant Pallas kernels)")
     ap.add_argument("--variants", default="")
     args = ap.parse_args()
 
@@ -56,11 +60,24 @@ def main() -> None:
     cfg = get_preset("tr-hash-moe-500m")
     dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     params = cdm.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    params = quantize_params(params, cfg, "int8")
-    params = fuse_qkv_params(params)
-    params = fuse_shared_expert_params(params, cfg)
-    params = fuse_gate_up_params(params)
-    params = materialize_lm_head(params, cfg)
+    if args.quantization == "int4":
+        # mirror the engine's int4 flow: float fusions FIRST (128-aligns
+        # every dim), quantize after, then serving repack (split-nibble
+        # layout for the fused dequant kernels)
+        from vllm_i64_tpu.core.quantize_model import repack_int4_serving
+
+        params = fuse_qkv_params(params)
+        params = fuse_shared_expert_params(params, cfg)
+        params = fuse_gate_up_params(params)
+        params = quantize_params(params, cfg, "int4")
+        params = repack_int4_serving(params)
+        params = materialize_lm_head(params, cfg)
+    else:
+        params = quantize_params(params, cfg, "int8")
+        params = fuse_qkv_params(params)
+        params = fuse_shared_expert_params(params, cfg)
+        params = fuse_gate_up_params(params)
+        params = materialize_lm_head(params, cfg)
     params = jax.tree_util.tree_map(jax.device_put, params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     print("[ablate] params ready", file=_sys.stderr, flush=True)
@@ -74,7 +91,7 @@ def main() -> None:
         max_seq_len=max(256, args.ctx + 4 * k_steps),
         max_kv_blocks=nb,
         kv_block_size=bs,
-        quantization="int8",
+        quantization=args.quantization,
         kv_cache_dtype=args.kv_dtype,
         decode_batch_buckets=(b,),
         prefill_batch_buckets=(1,),

@@ -344,6 +344,18 @@ def main() -> None:
         drive(warm_jobs)
         print(f"[http-bench] warmup pass done in "
               f"{time.perf_counter()-t0w:.0f}s", file=_sys.stderr, flush=True)
+        # second warmup: same PREFIXES as pass 1, distinct tails — pass-1
+        # prompts seeded the prefix cache, so these take the cache-TRIMMED
+        # prefill shapes (the timed pass hits the same trim among its own
+        # shared-prefix prompts; without this pass one ~6s remote compile
+        # landed mid-measurement and set TTFT p50). Distinct full strings
+        # dodge the response cache / request merging.
+        warm2_jobs = [(p[:-1] + ("y" if p[-1] != "y" else "x"), g)
+                      for p, g in warm_jobs]
+        t0w = time.perf_counter()
+        drive(warm2_jobs)
+        print(f"[http-bench] prefix-trim warmup pass done in "
+              f"{time.perf_counter()-t0w:.0f}s", file=_sys.stderr, flush=True)
 
         results, wall = drive(jobs)
         try:

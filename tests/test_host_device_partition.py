@@ -88,10 +88,23 @@ class TestDeviceRows:
 
 
 class TestSpentProcessors:
-    def test_suppress_first_host_only_at_token0(self, eng):
+    def test_suppress_first_single_id_never_host(self, eng):
+        """Single-id step-0 suppression rides the device sampler
+        (suppress_step0 arg) — no processor, no host path at ANY step."""
         sp = SamplingParams(
             temperature=0.0, max_tokens=3,
             output_constraints=OutputConstraints(suppress_first_tokens=[7]))
+        rid = _rid(eng, sp)
+        assert not eng._needs_host(sp, rid)
+        assert rid not in eng._procs_by_rid
+
+    def test_suppress_first_multi_id_host_only_at_token0(self, eng):
+        """Multi-id suppression keeps the host processor, but only until
+        token 0 lands (then pruned back to the device path)."""
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=3,
+            output_constraints=OutputConstraints(
+                suppress_first_tokens=[7, 9]))
         rid = _rid(eng, sp)
         assert eng._needs_host(sp, rid)  # token 0: suppression live
         req = eng.scheduler.get_request(rid)
@@ -114,7 +127,8 @@ class TestSpentProcessors:
     def test_prune_noop_before_first_token(self, eng):
         sp = SamplingParams(
             temperature=0.0, max_tokens=3,
-            output_constraints=OutputConstraints(suppress_first_tokens=[7]))
+            output_constraints=OutputConstraints(
+                suppress_first_tokens=[7, 9]))
         rid = _rid(eng, sp)
         eng._prune_spent_processors()
         assert eng._needs_host(sp, rid)

@@ -274,9 +274,11 @@ def test_suppress_first_tokens_returns_to_device_path_after_token0():
         max_kv_blocks=40, max_prefill_tokens=32,
         decode_batch_buckets=(4,), prefill_batch_buckets=(1, 2, 4),
         prefill_token_buckets=(16,), multistep_decode=8))
+    # multi-id suppression: the one form that still builds a host
+    # processor chain (single-id rides the device sampler's suppress_step0)
     sp = SamplingParams(
         temperature=0.0, max_tokens=16, min_tokens=16,
-        output_constraints=OutputConstraints(suppress_first_tokens=[7]))
+        output_constraints=OutputConstraints(suppress_first_tokens=[7, 9]))
     rids = [eng.add_request(list(range(3 + i, 19 + i)), sp)
             for i in range(4)]
     # admission built a live processor chain -> host path for token 0

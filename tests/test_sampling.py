@@ -357,3 +357,72 @@ def test_for_params_all_greedy_flag():
     assert not SamplerFeatures.for_params(
         [SamplingParams(temperature=0.0),
          SamplingParams(temperature=0.7)]).all_greedy
+
+
+def test_suppress_step0_device_masks_only_first_token(rng):
+    """suppress_step0 (device-side bare-space masking) masks the given id
+    only on rows with gen_index == 0; -1 rows are untouched."""
+    logits = np.zeros((3, V), np.float32)
+    logits[:, 7] = 5.0  # argmax would be 7 everywhere
+    logits[:, 3] = 4.0  # runner-up
+    out = sample_tokens(
+        jnp.asarray(logits),
+        features=SamplerFeatures(all_greedy=True),
+        key=jax.random.PRNGKey(0),
+        temperature=jnp.zeros(3, jnp.float32),
+        top_k=jnp.zeros(3, jnp.int32),
+        top_p=jnp.ones(3, jnp.float32),
+        min_p=jnp.zeros(3, jnp.float32),
+        typical_p=jnp.ones(3, jnp.float32),
+        rep_pen=jnp.ones(3, jnp.float32),
+        freq_pen=jnp.zeros(3, jnp.float32),
+        pres_pen=jnp.zeros(3, jnp.float32),
+        seeds=jnp.zeros(3, jnp.int32),
+        gen_index=jnp.asarray([0, 2, 0], jnp.int32),
+        suppress_step0=jnp.asarray([7, 7, -1], jnp.int32),
+    )
+    # row 0: step 0 + suppressed 7 -> runner-up; row 1: gen_index 2 -> 7
+    # survives; row 2: no suppression -> 7
+    np.testing.assert_array_equal(np.asarray(out), [3, 7, 7])
+
+
+def test_suppress_single_id_stays_on_device_path(tiny_config):
+    """A single-id suppress constraint (the HTTP server's bare-space mask on
+    EVERY completion) must ride the device sampler — no host-sampled step-0
+    (the host path costs a B*V logits readback per prefill group and its own
+    return_logits program family)."""
+    from vllm_i64_tpu.core.logits_processor import OutputConstraints
+
+    eng = make_seed_engine(tiny_config, multistep=4)
+    base = eng.generate([5, 17, 42, 7],
+                        SamplingParams(temperature=0.0, max_tokens=4))
+    t0 = base.output_tokens[0]
+    host_before = eng._step_mix.get("fb_host", 0)
+    sup = eng.generate([5, 17, 42, 7], SamplingParams(
+        temperature=0.0, max_tokens=4,
+        output_constraints=OutputConstraints(suppress_first_tokens=[t0])))
+    assert sup.output_tokens[0] != t0
+    assert eng._step_mix.get("fb_host", 0) == host_before
+    # no live processors left behind (nothing to prune each step)
+    assert not eng._procs_by_rid
+
+
+def test_suppress_multi_id_falls_back_to_host_processor(tiny_config):
+    """Multi-id suppress lists keep the host SuppressTokensProcessor (the
+    device arg carries one id); output must still mask every given id at
+    step 0."""
+    from vllm_i64_tpu.core.logits_processor import OutputConstraints
+
+    eng = make_seed_engine(tiny_config, multistep=1)
+    base = eng.generate([5, 17, 42, 7],
+                        SamplingParams(temperature=0.0, max_tokens=2))
+    t0 = base.output_tokens[0]
+    sup1 = eng.generate([5, 17, 42, 7], SamplingParams(
+        temperature=0.0, max_tokens=2,
+        output_constraints=OutputConstraints(suppress_first_tokens=[t0])))
+    t1 = sup1.output_tokens[0]
+    sup2 = eng.generate([5, 17, 42, 7], SamplingParams(
+        temperature=0.0, max_tokens=2,
+        output_constraints=OutputConstraints(
+            suppress_first_tokens=[t0, t1])))
+    assert sup2.output_tokens[0] not in (t0, t1)

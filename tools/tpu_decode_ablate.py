@@ -121,6 +121,7 @@ def main() -> None:
         seeds=np.zeros(b, np.int32),
         gen_index=np.zeros(b, np.int32),
         eos_suppress=np.zeros(b, bool),
+        suppress_step0=np.full(b, -1, np.int32),
         eos_ids=np.full(b, -1, np.int32),  # never hit EOS
         min_tokens=np.zeros(b, np.int32),
     )

@@ -41,6 +41,11 @@ def serve(args) -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.compilation_cache:
+        # step-program compiles persist across server (and bench) restarts
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from vllm_i64_tpu.api import Server
     from vllm_i64_tpu.config import EngineConfig
     from vllm_i64_tpu.core.chat_template import ChatTemplate
@@ -105,6 +110,20 @@ def serve(args) -> None:
     )
     tok = SyntheticTokenizer(cfg.vocab_size)
     engine = Engine(params, cfg, ecfg, tokenizer=tok)
+    if not args.no_warmup:
+        # exhaustive program warmup matched to the bench workload (greedy +
+        # min_tokens): NO step program can compile mid-measurement. Client-
+        # side warmup passes (--client-warmup) are superseded by this.
+        from vllm_i64_tpu.core.sampling import SamplingParams
+
+        t0w = time.perf_counter()
+        n = engine.warmup(
+            sampling_examples=[SamplingParams(temperature=0.0,
+                                              min_tokens=1)],
+            include_host_sampling=False,
+        )
+        print(f"[serve] warmup: {n} step programs in "
+              f"{time.perf_counter() - t0w:.0f}s", flush=True)
     Server(engine, tokenizer=tok,
            chat_template=ChatTemplate.default(),
            model_name="tr-hash-moe-500m", host="127.0.0.1",
@@ -250,7 +269,16 @@ def main() -> None:
                          "(128-token prompts, 64 generated, all concurrent) "
                          "instead of the mixed long-tail — the apples-to-"
                          "apples serve-vs-engine comparison")
-    ap.add_argument("--startup-timeout", type=int, default=900)
+    ap.add_argument("--startup-timeout", type=int, default=1800)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the server's exhaustive program warmup")
+    ap.add_argument("--compilation-cache",
+                    default="/tmp/vllm_i64_tpu_xla_cache",
+                    help="persistent XLA compile cache dir ('' = off) — "
+                         "makes repeat bench runs start fast")
+    ap.add_argument("--client-warmup", action="store_true",
+                    help="legacy client-side warmup passes (superseded by "
+                         "the server's exhaustive program warmup)")
     args = ap.parse_args()
     if args.serve:
         serve(args)
@@ -274,9 +302,11 @@ def main() -> None:
     srv_log = open("/tmp/tpu_http_bench_server.log", "w")
     srv = subprocess.Popen(
         [_sys.executable, _os.path.abspath(__file__), "--serve",
-         "--port", str(args.port)]
+         "--port", str(args.port),
+         "--compilation-cache", args.compilation_cache]
         + (["--cpu"] if args.cpu else [])
-        + (["--tiny"] if args.tiny else []),
+        + (["--tiny"] if args.tiny else [])
+        + (["--no-warmup"] if args.no_warmup else []),
         stdout=srv_log, stderr=srv_log)
     try:
         t0 = time.perf_counter()
@@ -331,31 +361,29 @@ def main() -> None:
             return drive_multiprocess(args.port, job_list,
                                       args.concurrency, args.workers)
 
-        # warmup: the FULL mixed job list once, at the same concurrency —
-        # every (prompt bucket, batch bucket, block-table bucket) program
-        # compiles here instead of polluting the timed pass (remote
-        # compiles cost 20-40s each and dominated TTFT p99 otherwise).
-        # The warmup pass uses CONTENT-distinct prompts of identical
-        # shapes: reusing the same strings made the timed pass hit
-        # prefix-cache-shortened prefill shapes warmup never compiled.
-        warm_jobs = [(("z" + p[1:]) if len(p) > 1 else "z", g)
-                     for p, g in jobs]
-        t0w = time.perf_counter()
-        drive(warm_jobs)
-        print(f"[http-bench] warmup pass done in "
-              f"{time.perf_counter()-t0w:.0f}s", file=_sys.stderr, flush=True)
-        # second warmup: same PREFIXES as pass 1, distinct tails — pass-1
-        # prompts seeded the prefix cache, so these take the cache-TRIMMED
-        # prefill shapes (the timed pass hits the same trim among its own
-        # shared-prefix prompts; without this pass one ~6s remote compile
-        # landed mid-measurement and set TTFT p50). Distinct full strings
-        # dodge the response cache / request merging.
-        warm2_jobs = [(p[:-1] + ("y" if p[-1] != "y" else "x"), g)
-                      for p, g in warm_jobs]
-        t0w = time.perf_counter()
-        drive(warm2_jobs)
-        print(f"[http-bench] prefix-trim warmup pass done in "
-              f"{time.perf_counter()-t0w:.0f}s", file=_sys.stderr, flush=True)
+        # The server's exhaustive program warmup (Engine.warmup) makes the
+        # timed pass compile-free even cache-cold, so client warmup passes
+        # are OPT-IN now — the history: one warmup pass missed the
+        # prefix-cache-TRIMMED prefill shapes, a second pass over the same
+        # prefixes with distinct tails missed a GROUPING shape (arrival-
+        # timing-dependent) that then compiled mid-measurement and set
+        # TTFT p50 = 6.6s. Exhaustive enumeration is the fix; these passes
+        # remain only for A/B against the old methodology.
+        if args.client_warmup:
+            warm_jobs = [(("z" + p[1:]) if len(p) > 1 else "z", g)
+                         for p, g in jobs]
+            t0w = time.perf_counter()
+            drive(warm_jobs)
+            print(f"[http-bench] warmup pass done in "
+                  f"{time.perf_counter()-t0w:.0f}s",
+                  file=_sys.stderr, flush=True)
+            warm2_jobs = [(p[:-1] + ("y" if p[-1] != "y" else "x"), g)
+                          for p, g in warm_jobs]
+            t0w = time.perf_counter()
+            drive(warm2_jobs)
+            print(f"[http-bench] prefix-trim warmup pass done in "
+                  f"{time.perf_counter()-t0w:.0f}s",
+                  file=_sys.stderr, flush=True)
 
         results, wall = drive(jobs)
         try:

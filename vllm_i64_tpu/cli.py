@@ -225,6 +225,15 @@ def cmd_serve(args) -> None:
 
     engine = Engine(params, model_cfg, ecfg, tokenizer=tokenizer, mesh=mesh)
 
+    do_warmup = args.warmup == "full" or (
+        args.warmup == "auto" and jax.default_backend() != "cpu")
+    if do_warmup and params is not None:
+        t0 = time.perf_counter()
+        n = engine.warmup(log=logger.debug)
+        logger.info("warmup: %d step programs compiled in %.0fs "
+                    "(no runtime compiles can stall serving traffic)",
+                    n, time.perf_counter() - t0)
+
     retriever = None
     if args.rag_index:
         from .rag import Retriever
@@ -504,6 +513,14 @@ def main() -> None:
                    help="persistent XLA compilation cache directory — step "
                         "programs (20-40s compiles each) survive server "
                         "restarts (analog of the reference's --compile)")
+    p.add_argument("--warmup", default="auto",
+                   choices=["auto", "off", "full"],
+                   help="precompile every bucketed step program before "
+                        "serving (an uncompiled program hit mid-traffic "
+                        "stalls all in-flight requests for the compile). "
+                        "auto = full on TPU, off on CPU. Combine with "
+                        "--compilation-cache so later restarts warm from "
+                        "disk")
     p.add_argument("--log-json", action="store_true")
     p.add_argument("--api-key", default=None)
     p.add_argument("--rate-limit", type=int, default=0)

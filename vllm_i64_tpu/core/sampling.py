@@ -214,6 +214,7 @@ def sample_tokens(
     eos_suppress: Optional[jax.Array] = None,  # (B,) bool
     eos_ids: Optional[jax.Array] = None,  # (B,) i32
     min_tokens: Optional[jax.Array] = None,  # (B,) i32 (used by multistep)
+    suppress_step0: Optional[jax.Array] = None,  # (B,) i32; -1 = none
 ) -> jax.Array:
     """Vectorized batch sampling. Returns (B,) i32 token ids."""
     logits = logits.astype(jnp.float32)
@@ -221,6 +222,18 @@ def sample_tokens(
 
     if features.penalties:
         logits = _apply_penalties(logits, counts, rep_pen, freq_pen, pres_pen)
+
+    if suppress_step0 is not None:
+        # single-token step-0 suppression ON DEVICE (the server's bare-space
+        # masking, ref: logits_processor.py:291-309). Value-driven (-1 rows
+        # no-op), always compiled in: a host SuppressTokensProcessor forced
+        # EVERY completion's first token onto the return_logits=True host
+        # path — a B*V f32 readback + an extra program family per bucket.
+        row = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
+        hit = (gen_index == 0) & (suppress_step0 >= 0)
+        logits = jnp.where(
+            hit[:, None] & (row == suppress_step0[:, None]), NEG_INF, logits
+        )
 
     if features.min_tokens:
         row = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
@@ -297,6 +310,7 @@ def make_param_arrays(params_list: List[SamplingParams], requests) -> dict:
         eos_suppress=np.zeros(b, bool),
         eos_ids=np.zeros(b, np.int32),
         min_tokens=np.zeros(b, np.int32),
+        suppress_step0=np.full(b, -1, np.int32),
     )
     for i, (p, req) in enumerate(zip(params_list, requests)):
         out["temperature"][i] = p.temperature
@@ -318,6 +332,13 @@ def make_param_arrays(params_list: List[SamplingParams], requests) -> dict:
         out["eos_suppress"][i] = p.min_tokens > 0 and req.num_generated < p.min_tokens
         out["eos_ids"][i] = req.eos_token_id
         out["min_tokens"][i] = p.min_tokens
+        oc = p.output_constraints
+        if (oc is not None and oc.suppress_first_tokens
+                and len(oc.suppress_first_tokens) == 1):
+            # single-id step-0 suppression rides the device sampler; multi-id
+            # lists stay on the host processor path (engine keeps the
+            # SuppressTokensProcessor for those)
+            out["suppress_step0"][i] = int(oc.suppress_first_tokens[0])
     return out
 
 

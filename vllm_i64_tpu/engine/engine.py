@@ -582,7 +582,28 @@ class Engine:
                 stop_sequences=stop_seqs,
                 suppress_first_tokens=constraints.suppress_first_tokens,
             )
-        return constraints.build_processors(tokenizer=self.tokenizer, eos_token_id=eos)
+        procs = constraints.build_processors(
+            tokenizer=self.tokenizer, eos_token_id=eos)
+        # SINGLE-id step-0 suppression runs inside the device sampler
+        # (make_param_arrays reads it off params.output_constraints), so its
+        # host processor is redundant — and keeping it would put every HTTP
+        # completion's first token on the return_logits host path (the
+        # server attaches bare-space suppression to ALL completions). Rows
+        # that are host-path anyway (logprobs/bias/beams) keep the
+        # processor: the host sampler doesn't read suppress_step0.
+        if (constraints.suppress_first_tokens
+                and len(constraints.suppress_first_tokens) == 1
+                and not constraints.json_mode
+                and not constraints.regex_pattern
+                and not constraints.choices
+                and params.logprobs is None
+                and params.logit_bias is None
+                and params.num_beams <= 1):
+            from ..core.logits_processor import SuppressTokensProcessor
+
+            procs = [p for p in procs
+                     if not isinstance(p, SuppressTokensProcessor)]
+        return procs
 
     def _needs_host(self, params: SamplingParams, rid: int) -> bool:
         """Host-path rows: logprobs / bias / beams, or LIVE constraint
@@ -694,6 +715,59 @@ class Engine:
             else:
                 self.runner.clear_slot(slot)
         return slot
+
+    # -- program warmup ---------------------------------------------------------
+
+    def warmup(
+        self,
+        sampling_examples=None,
+        include_host_sampling: bool = True,
+        log=None,
+    ) -> int:
+        """Precompile the step programs serving traffic will dispatch.
+
+        Programs compile lazily per bucket combination, and WHICH
+        combination a step hits depends on request arrival timing — so
+        without warmup, a multi-second remote compile can land mid-traffic
+        and stall every in-flight request (observed: one fresh prefill
+        grouping shape set wire TTFT p50 to 6.6s at concurrency 64).
+
+        ``sampling_examples``: SamplingParams whose SamplerFeatures sets to
+        warm — each distinct feature set is its own program family. The
+        default covers plain greedy, greedy+min_tokens, nucleus sampling,
+        and the fully-generic set. Requests using an unwarmed feature set
+        still work; they compile on first dispatch.
+
+        Returns the number of programs compiled. See
+        Runner.warmup_programs for the enumeration.
+        """
+        if self.runner is None:
+            return 0
+        if sampling_examples is None:
+            sampling_examples = [
+                SamplingParams(temperature=0.0),
+                SamplingParams(temperature=0.0, min_tokens=1),
+                SamplingParams(temperature=0.8, top_p=0.95, top_k=40),
+                SamplingParams(
+                    temperature=0.8, top_p=0.9, top_k=40, min_p=0.05,
+                    typical_p=0.95, repetition_penalty=1.1,
+                    frequency_penalty=0.1, presence_penalty=0.1,
+                    min_tokens=1,
+                ),
+            ]
+        feature_sets = [
+            SamplerFeatures.for_params([p]) for p in sampling_examples
+        ]
+        logits_sets = []
+        if include_host_sampling:
+            # host-sampled rows (logprobs, logit_bias, stop sequences) ride
+            # return_logits=True programs; greedy + fully-generic cover the
+            # common cases (stop strings arrive with plain greedy params)
+            logits_sets = [feature_sets[0], feature_sets[-1]]
+        with self._lock:
+            return self.runner.warmup_programs(
+                feature_sets, logits_feature_sets=logits_sets, log=log,
+            )
 
     # -- stepping ---------------------------------------------------------------
 

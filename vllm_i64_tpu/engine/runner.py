@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import logging
 import threading
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -763,6 +764,174 @@ class ModelRunner:
             return
         self.kv_k = self.kv_k.astype(dtype)
         self.kv_v = self.kv_v.astype(dtype)
+
+    # -- exhaustive program warmup ------------------------------------------
+
+    def _warmup_sample_args(self, b: int) -> Dict[str, np.ndarray]:
+        """Neutral per-row sampler arrays — the compiled program specializes
+        on SamplerFeatures (static), never on these VALUES."""
+        return dict(
+            temperature=np.zeros(b, np.float32),
+            top_k=np.zeros(b, np.int32),
+            top_p=np.ones(b, np.float32),
+            min_p=np.zeros(b, np.float32),
+            typical_p=np.ones(b, np.float32),
+            rep_pen=np.ones(b, np.float32),
+            freq_pen=np.zeros(b, np.float32),
+            pres_pen=np.zeros(b, np.float32),
+            seeds=np.zeros(b, np.int32),
+            gen_index=np.zeros(b, np.int32),
+            eos_suppress=np.zeros(b, bool),
+            eos_ids=np.zeros(b, np.int32),
+            min_tokens=np.zeros(b, np.int32),
+            suppress_step0=np.full(b, -1, np.int32),
+        )
+
+    def warmup_programs(
+        self,
+        feature_sets,
+        logits_feature_sets=(),
+        include_prefill: bool = True,
+        include_decode: bool = True,
+        log=None,
+    ) -> int:
+        """Precompile every bucketed step program this config can dispatch.
+
+        Step programs compile lazily, keyed on (kind, batch bucket, token
+        bucket, block-table bucket, aligned-write flag, SamplerFeatures,
+        window length, return_logits). Which combination a serving step
+        hits depends on request ARRIVAL TIMING — nondeterministic under
+        concurrent load — so a single runtime compile (seconds of remote
+        compile on TPU) can land mid-traffic and stall every in-flight
+        request. This enumerates the reachable program space and dispatches
+        one bucket-exact dummy batch per program through the REAL
+        execute/dispatch paths, so warmed programs are identical to serving
+        programs by construction. (The reference has the same lazy-capture
+        stall with CUDA graphs; its fix is likewise an exhaustive capture
+        pass at startup, ref: i64_engine.py:200-231.)
+
+        Dummy dispatches write KV only into the reserved null block 0
+        (never owned by a request) and sampler-count rows are cleared per
+        slot at request assignment — warmup leaves no observable state.
+
+        NOT covered (compile on first use): VLM soft-embed programs (their
+        own treedef) and speculative-verify programs (policy OFF on TPU).
+
+        ``feature_sets``: SamplerFeatures to warm (each is its own program
+        family). ``logits_feature_sets``: subset additionally warmed with
+        return_logits=True (host-sampling / logprobs / stop-sequence rows).
+        Returns the number of programs dispatched.
+        """
+        ecfg, bs = self.ecfg, self.ecfg.kv_block_size
+        t0 = time.perf_counter()
+        fsets = list(dict.fromkeys(feature_sets))
+        lsets = list(dict.fromkeys(logits_feature_sets))
+        n = 0
+
+        def _log(msg):
+            if log is not None:
+                log(f"[warmup] {msg} ({time.perf_counter() - t0:.1f}s)")
+
+        # slot count maintenance ops (tiny eager scatters) also compile on
+        # first use — touch them so admission can't stall either
+        self.load_slot_history(0, np.zeros(1, np.int64))
+        self.clear_slot(0)
+
+        if include_decode:
+            window_ks = []
+            k = ecfg.multistep_decode
+            if k > 1:
+                window_ks.append(k)
+                mixed = min(k, ecfg.multistep_mixed or 0)
+                if 1 < mixed < k:
+                    window_ks.append(mixed)
+            for fs in fsets:
+                for b in ecfg.decode_batch_buckets:
+                    sargs = self._warmup_sample_args(b)
+                    for mb in self.block_buckets:
+                        # windows (the production decode path): dispatch,
+                        # then RESUME from the dispatched window's device-
+                        # resident carry — the chained entry point is a
+                        # distinct program-cache entry (committed inputs)
+                        for wk in window_ks:
+                            win = self.dispatch_multi_decode(
+                                np.zeros(b, np.int64),
+                                np.zeros(b, np.int32),
+                                np.zeros((b, mb), np.int32),
+                                np.ones(b, np.int32),
+                                np.zeros(b, np.int32),
+                                np.full(b, wk, np.int32),
+                                dict(sargs), fs, num_steps=wk,
+                            )
+                            win2 = self.resume_multi_decode(
+                                win,
+                                np.zeros((b, mb), np.int32),
+                                np.ones(b, np.int32),
+                            )
+                            self.resolve_window(win2)
+                            n += 2
+                            _log(f"decode window+resume b={b} mb={mb} "
+                                 f"k={wk} #{n}")
+                        # single-step decode (host-path rows, k=1 configs)
+                        for rl, ls in ((False, fsets), (True, lsets)):
+                            if fs not in ls:
+                                continue
+                            pos = np.full(b, max(mb * bs - 2, 0), np.int32)
+                            self.execute(
+                                np.zeros((b, 1), np.int64),
+                                pos[:, None],
+                                np.zeros((b, mb), np.int32),
+                                pos + 1,
+                                np.zeros(b, np.int32),
+                                np.ones((b, 1), bool),
+                                np.zeros(b, np.int32),
+                                np.ones(b, bool),
+                                dict(sargs), fs,
+                                return_logits=rl, kind="decode",
+                            )
+                            n += 1
+                            _log(f"decode single b={b} mb={mb} "
+                                 f"logits={rl} #{n}")
+
+        if include_prefill:
+            for fs in fsets:
+                for b in ecfg.prefill_batch_buckets:
+                    sargs = self._warmup_sample_args(b)
+                    for t in ecfg.prefill_token_buckets:
+                        for mb in self.block_buckets:
+                            if mb * bs < t:
+                                continue  # span can't fit t tokens
+                            start = mb * bs - t
+                            pos = np.broadcast_to(
+                                np.arange(start, start + t, dtype=np.int32),
+                                (b, t)).copy()
+                            aligned_states = [True, False] if (
+                                t % bs == 0 and t >= bs) else [False]
+                            for aligned in aligned_states:
+                                valid = np.ones((b, t), bool)
+                                if not aligned and t % bs == 0:
+                                    valid[:, -1] = False  # break alignment
+                                nv = int(valid[0].sum())
+                                for rl, ls in ((False, fsets), (True, lsets)):
+                                    if fs not in ls:
+                                        continue
+                                    self.execute(
+                                        np.zeros((b, t), np.int64),
+                                        pos,
+                                        np.zeros((b, mb), np.int32),
+                                        np.full(b, start + nv, np.int32),
+                                        np.full(b, nv - 1, np.int32),
+                                        valid,
+                                        np.zeros(b, np.int32),
+                                        np.ones(b, bool),
+                                        dict(sargs), fs,
+                                        return_logits=rl, kind="prefill",
+                                    )
+                                    n += 1
+                                    _log(f"prefill b={b} t={t} mb={mb} "
+                                         f"aligned={aligned} logits={rl} "
+                                         f"#{n}")
+        return n
 
     # -- KV swap to host (ref: kv_cache.py enable_swap/swap_out/swap_in
     # :711-813 — pinned-memory mirror; here: host numpy arrays) -------------

@@ -78,6 +78,43 @@ def test_warmup_compiles_programs_and_covers_traffic(setup):
         "warmup missed a step program ordinary traffic dispatched")
 
 
+def test_warmup_covers_api_default_traffic(setup):
+    """The HTTP API defaults repetition_penalty to 1.1 (reference serving
+    default), putting EVERY request in the penalties=True program family —
+    a warmup that only covers bare SamplingParams() features misses all of
+    it (observed on v5e: ~10 mid-pass remote compiles, wire TTFT p50 40s).
+    Also covers the span<token-bucket class: rows padded up to a token
+    bucket whose span clamp lands on a SMALLER block bucket."""
+    cfg, params, ecfg = setup
+    eng = Engine(params, cfg, ecfg())
+    eng.warmup(
+        sampling_examples=[SamplingParams(
+            temperature=0.0, repetition_penalty=1.1, min_tokens=1)],
+        include_host_sampling=False,
+    )
+    before = _cache_sizes(eng.runner)
+    rids = [
+        eng.add_request(
+            list(range(1, 2 + 3 * i)),
+            SamplingParams(temperature=0.0, repetition_penalty=1.1,
+                           min_tokens=4, max_tokens=6))
+        for i in range(4)
+    ]
+    done = 0
+    for _ in range(200):
+        for rid, toks in eng.step().items():
+            pass
+        done = sum(
+            1 for r in rids
+            if eng.scheduler.get_request(r) is None
+            or eng.scheduler.get_request(r).num_generated >= 6)
+        if done == len(rids):
+            break
+    assert done == len(rids)
+    assert _cache_sizes(eng.runner) == before, (
+        "API-default traffic dispatched an unwarmed program")
+
+
 def test_warmup_leaves_no_observable_state(setup):
     cfg, params, ecfg = setup
     warmed = Engine(params, cfg, ecfg())

@@ -46,6 +46,8 @@ def serve(args) -> None:
         jax.config.update("jax_compilation_cache_dir",
                           args.compilation_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if _os.environ.get("VLLM_LOG_COMPILES"):
+        jax.config.update("jax_log_compiles", True)
     from vllm_i64_tpu.api import Server
     from vllm_i64_tpu.config import EngineConfig
     from vllm_i64_tpu.core.chat_template import ChatTemplate
@@ -117,9 +119,12 @@ def serve(args) -> None:
         from vllm_i64_tpu.core.sampling import SamplingParams
 
         t0w = time.perf_counter()
+        # match the bench client's EXACT traffic shape: greedy + min_tokens
+        # through the HTTP API, whose repetition_penalty default is 1.1 —
+        # the features must match or every program recompiles mid-pass
         n = engine.warmup(
-            sampling_examples=[SamplingParams(temperature=0.0,
-                                              min_tokens=1)],
+            sampling_examples=[SamplingParams(temperature=0.0, min_tokens=1,
+                                              repetition_penalty=1.1)],
             include_host_sampling=False,
         )
         print(f"[serve] warmup: {n} step programs in "

@@ -744,10 +744,17 @@ class Engine:
         if self.runner is None:
             return 0
         if sampling_examples is None:
+            # mirror what real clients send: the HTTP API defaults
+            # repetition_penalty to 1.1 (reference serving default), so
+            # every API request lands in the penalties=True program family
+            # — warm both the API-shaped sets and the bare library ones
             sampling_examples = [
                 SamplingParams(temperature=0.0),
-                SamplingParams(temperature=0.0, min_tokens=1),
-                SamplingParams(temperature=0.8, top_p=0.95, top_k=40),
+                SamplingParams(temperature=0.0, repetition_penalty=1.1),
+                SamplingParams(temperature=0.0, repetition_penalty=1.1,
+                               min_tokens=1),
+                SamplingParams(temperature=0.8, top_p=0.95, top_k=40,
+                               repetition_penalty=1.1),
                 SamplingParams(
                     temperature=0.8, top_p=0.9, top_k=40, min_p=0.05,
                     typical_p=0.95, repetition_penalty=1.1,

@@ -68,6 +68,13 @@ def _prefill_compiler_options():
     return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
+# Debug: log each UNIQUE dispatched program combo (kind, buckets, statics)
+# so warmup coverage can be diffed against real traffic (VERDICT r3 #4).
+import os as _os
+
+_LOG_DISPATCH = bool(_os.environ.get("VLLM_LOG_DISPATCH"))
+
+
 # Serializes "set the process-global W8A8 flag -> trace/dispatch" so two
 # engines with different w8a8 settings stepped from different threads can
 # never interleave a flag flip between another runner's flag-set and its
@@ -235,6 +242,7 @@ class ModelRunner:
 
         _attn2.set_prefill_staging_budget(PREFILL_STAGING_BUDGET)
         self.block_buckets = self._make_block_buckets()
+        self._seen_combos = set()
         self._step_fn = functools.partial(
             jax.jit,
             static_argnames=("features", "return_logits",
@@ -503,6 +511,12 @@ class ModelRunner:
             padded_args["gen_index"],
         )
         slots = pad1(slot_ids.astype(np.int32))
+        if _LOG_DISPATCH:
+            combo = ("win", b, mb, num_steps, features)
+            if combo not in self._seen_combos:
+                self._seen_combos.add(combo)
+                logging.getLogger(__name__).warning(
+                    "DISPATCH-COMBO win %s", combo)
         with self._sync_w8a8():
             (emitted, carry, self.kv_k, self.kv_v,
              self.counts) = self._multi_decode_fn(
@@ -527,6 +541,12 @@ class ModelRunner:
         ctx view only sizes the block-table bucket (with +2k headroom)."""
         k = prev.num_steps
         mb = self._window_mb(block_tables, ctx_lens_host, 2 * k)
+        if _LOG_DISPATCH:
+            combo = ("resume", prev.b, mb, k, prev.features)
+            if combo not in self._seen_combos:
+                self._seen_combos.add(combo)
+                logging.getLogger(__name__).warning(
+                    "DISPATCH-COMBO resume %s", combo)
         bt = np.zeros((prev.b, mb), np.int32)
         bt[: prev.b_actual, : min(block_tables.shape[1], mb)] = (
             block_tables[:, :mb]
@@ -673,6 +693,13 @@ class ModelRunner:
         )
         # padding rows must not look greedy-sampled into counts
         step_fn = self._prefill_step_fn if kind == "prefill" else self._step_fn
+        if _LOG_DISPATCH:
+            combo = (kind, b, t, mb, aligned, bool(return_logits),
+                     soft_embeds is not None, features)
+            if combo not in self._seen_combos:
+                self._seen_combos.add(combo)
+                logging.getLogger(__name__).warning(
+                    "DISPATCH-COMBO exec %s", combo)
         with self._sync_w8a8():
             tokens, logits, self.kv_k, self.kv_v, self.counts = step_fn(
             self.params,
@@ -899,19 +926,26 @@ class ModelRunner:
                     sargs = self._warmup_sample_args(b)
                     for t in ecfg.prefill_token_buckets:
                         for mb in self.block_buckets:
-                            if mb * bs < t:
-                                continue  # span can't fit t tokens
-                            start = mb * bs - t
+                            # mb < ceil(t/bs) is REACHABLE: groups pad rows
+                            # up to the token bucket, and the span clamp
+                            # sizes mb from the rows' ACTUAL max position —
+                            # e.g. 8 rows of 200 tokens grouped into the
+                            # 512 bucket dispatch (b8, t512, mb2)
+                            start = max(mb * bs - t, 0)
+                            nfull = min(t, mb * bs)
                             pos = np.broadcast_to(
                                 np.arange(start, start + t, dtype=np.int32),
                                 (b, t)).copy()
                             aligned_states = [True, False] if (
                                 t % bs == 0 and t >= bs) else [False]
                             for aligned in aligned_states:
-                                valid = np.ones((b, t), bool)
-                                if not aligned and t % bs == 0:
-                                    valid[:, -1] = False  # break alignment
+                                valid = np.zeros((b, t), bool)
+                                valid[:, :nfull] = True
+                                if not aligned and nfull % bs == 0:
+                                    valid[:, nfull - 1] = False
                                 nv = int(valid[0].sum())
+                                if nv < 1:
+                                    continue
                                 for rl, ls in ((False, fsets), (True, lsets)):
                                     if fs not in ls:
                                         continue

@@ -316,3 +316,49 @@ def test_w8a8_engine_end_to_end(tiny_config):
         assert all(0 <= t < tiny_config.vocab_size for t in r.output_tokens)
     finally:
         set_w8a8(False)
+
+
+def test_no_float_matmul_residue_any_prep_order(tiny_config):
+    """EVERY param-prep ordering must leave zero un-quantized matmul
+    weights. A pre-fused float gate_up was invisible to quantize_params
+    (key not in _MLP_MATMUL_KEYS) and silently kept a 503 MB bf16 weight
+    inside an 'int4' flagship model — the model streamed MORE bytes than
+    int8 and every in-engine int4 measurement was invalid."""
+    from vllm_i64_tpu.core.quantize_model import (
+        fuse_gate_up_params, fuse_qkv_params, fuse_shared_expert_params,
+        repack_int4_serving)
+    from vllm_i64_tpu.ops.quant import Q4Tensor, QTensor
+
+    def float_matmul_leaves(params):
+        bad = []
+        layers = params["layers"]
+        for key, w in list(layers.items()) + list(layers["mlp"].items()):
+            if key in ("mlp", "route_table") or not hasattr(w, "dtype"):
+                continue
+            if key.endswith("norm") or "mu_vec" in key or key == "gate_vec":
+                continue
+            if isinstance(w, (QTensor, Q4Tensor)):
+                continue
+            if hasattr(w, "ndim") and w.ndim >= 3:  # matmul-shaped
+                bad.append(key)
+        return bad
+
+    for method in ("int8", "int4"):
+        for fuse_first in (False, True):
+            params = cdm.init_params(tiny_config, jax.random.PRNGKey(0))
+            params = fuse_qkv_params(params)
+            params = fuse_shared_expert_params(params, tiny_config)
+            if fuse_first:
+                # after the shared-expert fold the expert weights are flat
+                # 3-d, so a float pre-fuse produces the 'gate_up' key
+                # quantize_params must recognize
+                params = fuse_gate_up_params(params)
+                assert "gate_up" in params["layers"]["mlp"]
+            params = quantize_params(params, tiny_config, method)
+            params = repack_int4_serving(params)
+            if not fuse_first:
+                params = fuse_gate_up_params(params)
+            bad = float_matmul_leaves(params)
+            assert not bad, (
+                f"{method} fuse_first={fuse_first}: float matmul leaves "
+                f"survived quantization: {bad}")

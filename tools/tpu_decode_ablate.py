@@ -60,24 +60,20 @@ def main() -> None:
     cfg = get_preset("tr-hash-moe-500m")
     dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     params = cdm.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    if args.quantization == "int4":
-        # mirror the engine's int4 flow: float fusions FIRST (128-aligns
-        # every dim), quantize after, then serving repack (split-nibble
-        # layout for the fused dequant kernels)
-        from vllm_i64_tpu.core.quantize_model import repack_int4_serving
+    # mirror the ENGINE's exact param-prep order (engine/engine.py:149-185):
+    # float fusions -> quantize -> int4 serving repack -> gate_up fusion
+    # (a no-op for int4: gate/up stay separate Q4 tensors) -> lm head.
+    # An earlier version fused gate_up BEFORE quantize_params, which left
+    # the fused (L, H, 2I) weight bf16 (503 MB!) and invalidated every
+    # int4 "in-engine" number this tool produced.
+    from vllm_i64_tpu.core.quantize_model import repack_int4_serving
 
-        params = fuse_qkv_params(params)
-        params = fuse_shared_expert_params(params, cfg)
-        params = fuse_gate_up_params(params)
-        params = quantize_params(params, cfg, "int4")
-        params = repack_int4_serving(params)
-        params = materialize_lm_head(params, cfg)
-    else:
-        params = quantize_params(params, cfg, "int8")
-        params = fuse_qkv_params(params)
-        params = fuse_shared_expert_params(params, cfg)
-        params = fuse_gate_up_params(params)
-        params = materialize_lm_head(params, cfg)
+    params = fuse_qkv_params(params)
+    params = fuse_shared_expert_params(params, cfg)
+    params = quantize_params(params, cfg, args.quantization)
+    params = repack_int4_serving(params)
+    params = fuse_gate_up_params(params)
+    params = materialize_lm_head(params, cfg)
     params = jax.tree_util.tree_map(jax.device_put, params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     print("[ablate] params ready", file=_sys.stderr, flush=True)
@@ -125,7 +121,9 @@ def main() -> None:
         eos_ids=np.full(b, -1, np.int32),  # never hit EOS
         min_tokens=np.zeros(b, np.int32),
     )
-    features = SamplerFeatures()
+    # match the engine-bench workload's compiled program: plain greedy
+    # batches run the argmax-only all_greedy sampler program
+    features = SamplerFeatures(all_greedy=True)
 
     def run_variant(name):
         r = runner_mod.ModelRunner(params, cfg, ecfg)

@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--layers", type=int, default=20)
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--variants", default="w8a8,int4")
+    ap.add_argument("--ei", type=int, default=4096,
+                    help="MoE intermediate width (flat E*I [+ shared fold]);"
+                         " the ENGINE serves 8448 = 8192 + 256 — 256x33,"
+                         " which collapses halving-only tile pickers")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +39,7 @@ def main():
         repack_int4_split,
     )
 
-    H, QKV, EI = 1024, 1536, 4096
+    H, QKV, EI = 1024, 1536, args.ei
     L, M = args.layers, args.m
     rng = np.random.default_rng(0)
 
@@ -79,8 +83,11 @@ def main():
         return (h + d).astype(jnp.bfloat16)
 
     def chain(layer_fn, weights, flat):
+        # flat passes as an ARGUMENT: closed-over device arrays become HLO
+        # constants and the remote-compile request ships the whole model
+        # (HTTP 413 at the engine's real 8448 MoE width)
         @jax.jit
-        def run(x, seed):
+        def run(x, seed, flat):
             x = x + seed.astype(x.dtype) * 0
 
             def body(x, lw):
@@ -89,7 +96,7 @@ def main():
             x, _ = jax.lax.scan(body, x, flat)
             return x
 
-        return run
+        return lambda x, seed: run(x, seed, flat)
 
     flat_i8 = {nm: (w_i8[nm].q, w_i8[nm].s) for nm, _, _ in shapes}
     flat_i4 = {nm: (w_i4[nm].packed, w_i4[nm].scales, w_i4[nm].zeros)
@@ -105,13 +112,16 @@ def main():
               "w4a8-plls": sum(L * k * n // 2 for _, k, n in shapes)}
 
     for name, (run, x) in runs.items():
-        r = run(x, jnp.int32(0))
-        jax.block_until_ready(r)
+        # two synced warmups: the first absorbs weight upload + compile,
+        # the second first-execution effects (np.asarray because
+        # block_until_ready does NOT sync on the axon backend)
+        np.asarray(run(x, jnp.int32(0)))
+        np.asarray(run(x, jnp.int32(1)))
         t0 = time.perf_counter()
         xx = x
         for it in range(args.iters):
             xx = run(xx, jnp.int32(it))
-        jax.block_until_ready(xx)
+        np.asarray(xx)  # block_until_ready does NOT sync on axon
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{name}: {dt*1e3:.3f} ms per {L}-layer pass  "
               f"({wbytes[name]/dt/1e9:.0f} GB/s weight stream)", flush=True)

@@ -27,6 +27,10 @@ _LAYER_MATMUL_KEYS: Set[str] = {
 }
 _MLP_MATMUL_KEYS: Set[str] = {
     "gate", "up", "down", "shared_gate", "shared_up", "shared_down",
+    # pre-fused gate_up (fuse_gate_up_params run before quantization) must
+    # quantize too — leaving it float silently kept a 503 MB bf16 weight
+    # in an "int4" model (caught via the ablation tool's weight_mb readout)
+    "gate_up",
 }
 
 

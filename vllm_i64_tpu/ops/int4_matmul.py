@@ -338,11 +338,19 @@ def _eligible(q4: Q4Tensor, m: int) -> bool:
     )
 
 
-def _pick_tile(dim: int, target: int) -> int:
-    t = min(dim, target)
-    while dim % t:
-        t //= 2
-    return max(t, 1)
+def _pick_tile(dim: int, target: int, quantum: int = 1) -> int:
+    """Largest divisor of ``dim`` that is a multiple of ``quantum`` and
+    <= ``target``. A halving-only search ("while dim % t: t //= 2") missed
+    every non-power-of-two divisor: the ENGINE's MoE width is 8448
+    (E*I 8192 + 256 shared fold) = 128 x 66, where halving collapsed the
+    output tile to 256 (33 grid steps) while 1408/2816/4224 are legal —
+    the whole reason the int4 kernels measured -31% isolated at the
+    A/B tool's round 4096 width but LOST in-engine at 8448."""
+    best = 1
+    for t in range(quantum, min(dim, target) + 1, quantum):
+        if dim % t == 0:
+            best = t
+    return best
 
 
 def _tiles(m: int, k: int, n: int, gs: int):
@@ -350,13 +358,13 @@ def _tiles(m: int, k: int, n: int, gs: int):
     and grid steps few. Decode (small m) takes the fattest tiles — the
     kernel is bandwidth-bound and per-step overhead is the enemy; prefill
     keeps moderate tiles so the x tile and f32 accumulators fit VMEM."""
-    tm = _pick_tile(m, 256)
+    tm = _pick_tile(m, 256, 8)
     n_groups = k // gs
     if m <= 128:
-        tn = _pick_tile(n, 2048)
+        tn = _pick_tile(n, 2048, 128)
         tk = gs * _pick_tile(n_groups, 8)
     else:
-        tn = _pick_tile(n, 1024)
+        tn = _pick_tile(n, 1024, 128)
         tk = gs * _pick_tile(n_groups, 4)
     return tm, tn, tk
 

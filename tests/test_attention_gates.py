@@ -93,10 +93,10 @@ class TestMeshGeometry:
         key = jax.random.PRNGKey(0)
         ks = jax.random.split(key, 5)
         q = jax.random.normal(ks[0], (b, 1, hq, d), jnp.float32)
-        kc = jax.random.normal(ks[1], (1 + b * mb, bs, hkv, d), jnp.float32)
-        vc = jax.random.normal(ks[2], (1 + b * mb, bs, hkv, d), jnp.float32)
-        wk = jax.random.normal(ks[3], (b, kwin, hkv, d), jnp.float32)
-        wv = jax.random.normal(ks[4], (b, kwin, hkv, d), jnp.float32)
+        kc = jax.random.normal(ks[1], (1 + b * mb, bs, hkv * d), jnp.float32)
+        vc = jax.random.normal(ks[2], (1 + b * mb, bs, hkv * d), jnp.float32)
+        wk = jax.random.normal(ks[3], (b, kwin, hkv * d), jnp.float32)
+        wv = jax.random.normal(ks[4], (b, kwin, hkv * d), jnp.float32)
         bt = jnp.arange(1, 1 + b * mb, dtype=jnp.int32).reshape(b, mb)
         c0 = jnp.full((b,), mb * bs, jnp.int32)
 
@@ -125,9 +125,9 @@ class TestFp8Gates:
             b, hq, hkv, d, bs, mb = 2, 8, 4, 32, 16, 2
             key = jax.random.PRNGKey(1)
             q = jax.random.normal(key, (b, 1, hq, d), jnp.float32)
-            kc = jnp.ones((1 + b * mb, bs, hkv, d),
+            kc = jnp.ones((1 + b * mb, bs, hkv * d),
                           jnp.float8_e4m3fn)
-            vc = jnp.ones((1 + b * mb, bs, hkv, d), jnp.float8_e4m3fn)
+            vc = jnp.ones((1 + b * mb, bs, hkv * d), jnp.float8_e4m3fn)
             bt = jnp.arange(1, 1 + b * mb, dtype=jnp.int32).reshape(b, mb)
             pos = jnp.full((b, 1), bs * mb - 1, jnp.int32)
             ctx = jnp.full((b,), bs * mb, jnp.int32)
@@ -142,10 +142,10 @@ class TestFp8Gates:
         b, hq, hkv, d, bs, mb, kwin = 2, 8, 4, 32, 8, 2, 4
         key = jax.random.PRNGKey(2)
         q = jax.random.normal(key, (b, 1, hq, d), jnp.float32)
-        kc = jnp.ones((1 + b * mb, bs, hkv, d), jnp.float8_e4m3fn)
-        vc = jnp.ones((1 + b * mb, bs, hkv, d), jnp.float8_e4m3fn)
-        wk = jnp.ones((b, kwin, hkv, d), jnp.float32)
-        wv = jnp.ones((b, kwin, hkv, d), jnp.float32)
+        kc = jnp.ones((1 + b * mb, bs, hkv * d), jnp.float8_e4m3fn)
+        vc = jnp.ones((1 + b * mb, bs, hkv * d), jnp.float8_e4m3fn)
+        wk = jnp.ones((b, kwin, hkv * d), jnp.float32)
+        wv = jnp.ones((b, kwin, hkv * d), jnp.float32)
         bt = jnp.arange(1, 1 + b * mb, dtype=jnp.int32).reshape(b, mb)
         c0 = jnp.full((b,), mb * bs, jnp.int32)
         # 1-byte cache: must take the gather path (kernel would need

@@ -88,8 +88,8 @@ def test_window_forward_matches_stepwise_cache_writes():
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, 256, (B, CTX0)), jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(CTX0, dtype=jnp.int32), (B, CTX0))
-    kv = (jnp.zeros((L, NB, BS, hkv, d), jnp.float32),
-          jnp.zeros((L, NB, BS, hkv, d), jnp.float32))
+    kv = (jnp.zeros((L, NB, BS, hkv * d), jnp.float32),
+          jnp.zeros((L, NB, BS, hkv * d), jnp.float32))
     logits, kv = cdm.forward_step(
         params, CFG, prompt, pos, kv, bt,
         jnp.full((B,), CTX0, jnp.int32),
@@ -109,7 +109,7 @@ def test_window_forward_matches_stepwise_cache_writes():
         toks_a.append(np.asarray(t))
 
     # path B: deferred window + single merge
-    win_k = jnp.zeros((L, B, K, hkv, d), jnp.float32)
+    win_k = jnp.zeros((L, B, K, hkv * d), jnp.float32)
     win_v = jnp.zeros_like(win_k)
     toks_b, t = [], tok0
     for i in range(K):
@@ -135,10 +135,10 @@ def test_partial_merge_respects_steps_taken():
     """Entries past a row's active steps must NOT land in the cache."""
     L, NB, BS, hkv, d = 1, 8, 4, 2, 8
     B, K = 2, 4
-    kv_k = jnp.zeros((L, NB, BS, hkv, d), jnp.float32)
+    kv_k = jnp.zeros((L, NB, BS, hkv * d), jnp.float32)
     kv_v = jnp.zeros_like(kv_k)
     bt = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
-    win_k = jnp.ones((L, B, K, hkv, d), jnp.float32)
+    win_k = jnp.ones((L, B, K, hkv * d), jnp.float32)
     win_v = 2 * jnp.ones_like(win_k)
     ctx0 = jnp.array([0, 2], jnp.int32)
     steps = jnp.array([3, 0], jnp.int32)  # row1 wholly inactive
@@ -160,11 +160,11 @@ def test_merge_sub_slab_exactness_and_history_preservation():
     L, NB, BS, hkv, d = 2, 6, 128, 2, 8
     B, K = 3, 16
     rng = np.random.default_rng(7)
-    hist_k = jnp.asarray(rng.standard_normal((L, NB, BS, hkv, d)), jnp.float32)
-    hist_v = jnp.asarray(rng.standard_normal((L, NB, BS, hkv, d)), jnp.float32)
+    hist_k = jnp.asarray(rng.standard_normal((L, NB, BS, hkv * d)), jnp.float32)
+    hist_v = jnp.asarray(rng.standard_normal((L, NB, BS, hkv * d)), jnp.float32)
     bt = jnp.asarray([[1, 2], [3, 4], [5, 0]], jnp.int32)
-    win_k = jnp.asarray(rng.standard_normal((L, B, K, hkv, d)), jnp.float32)
-    win_v = jnp.asarray(rng.standard_normal((L, B, K, hkv, d)), jnp.float32)
+    win_k = jnp.asarray(rng.standard_normal((L, B, K, hkv * d)), jnp.float32)
+    win_v = jnp.asarray(rng.standard_normal((L, B, K, hkv * d)), jnp.float32)
     # row0 mid-slab; row1 crosses a sub-slab boundary; row2 crosses the
     # BLOCK boundary (124 + 16 > 128)
     ctx0 = jnp.asarray([5, 30, 124], jnp.int32)

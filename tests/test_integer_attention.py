@@ -112,8 +112,8 @@ def test_paged_integer_matches_varlen_integer():
                                  integer_softmax=True)
 
     nb = 4
-    kc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
-    vc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    kc = jnp.zeros((nb, bs, hkv * d), jnp.float32)
+    vc = jnp.zeros((nb, bs, hkv * d), jnp.float32)
     bt = jnp.asarray([[1, 2]], jnp.int32)
     positions = jnp.arange(t, dtype=jnp.int32)[None]
     kc, vc = write_kv(kc, vc, k, v, bt, positions,

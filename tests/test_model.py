@@ -14,12 +14,12 @@ from vllm_i64_tpu.models import complexity_deep as cdm
 
 
 def make_kv(cfg, num_blocks=64, block_size=4, dtype=jnp.float32):
+    # flat pages (L, NB, bs, Hkv*d) — engine/runner kv_shape
     shape = (
         cfg.num_hidden_layers,
         num_blocks,
         block_size,
-        cfg.num_key_value_heads,
-        cfg.head_dim,
+        cfg.num_key_value_heads * cfg.head_dim,
     )
     return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 

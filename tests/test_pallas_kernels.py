@@ -84,8 +84,8 @@ def make_paged_case(key, b=3, hq=8, hkv=2, d=32, bs=16, nb=64, mb=8,
                     dtype=jnp.float32):
     """Random paged KV state with per-seq context lengths."""
     keys = jax.random.split(key, 8)
-    k_cache = jax.random.normal(keys[0], (nb, bs, hkv, d), dtype)
-    v_cache = jax.random.normal(keys[1], (nb, bs, hkv, d), dtype)
+    k_cache = jax.random.normal(keys[0], (nb, bs, hkv * d), dtype)
+    v_cache = jax.random.normal(keys[1], (nb, bs, hkv * d), dtype)
     q = jax.random.normal(keys[2], (b, hq, d), dtype)
     # unique random physical blocks per sequence
     perm = np.random.default_rng(0).permutation(nb - 1)[: b * mb] + 1
@@ -96,8 +96,10 @@ def make_paged_case(key, b=3, hq=8, hkv=2, d=32, bs=16, nb=64, mb=8,
 
 def test_paged_decode_pallas_matches_xla(key):
     q, kc, vc, bt, ctx = make_paged_case(key)
+    hkv = 2
     got = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=2, interpret=True)
+        q, kc, vc, bt, ctx, block_size=16, num_kv_heads=hkv,
+        chunk_blocks=2, interpret=True)
     positions = (ctx - 1)[:, None]
     want = paged_attention(q[:, None], kc, vc, bt, positions, ctx)[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -106,8 +108,10 @@ def test_paged_decode_pallas_matches_xla(key):
 
 def test_paged_decode_pallas_single_chunk(key):
     q, kc, vc, bt, ctx = make_paged_case(key, b=2, mb=4)
+    hkv = 2
     got = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=8, interpret=True)
+        q, kc, vc, bt, ctx, block_size=16, num_kv_heads=hkv,
+        chunk_blocks=8, interpret=True)
     positions = (ctx - 1)[:, None]
     want = paged_attention(q[:, None], kc, vc, bt, positions, ctx)[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -118,8 +122,8 @@ def test_paged_decode_pallas_after_write(key):
     """End-to-end: write_kv then attend — mirrors the engine's decode step."""
     b, hq, hkv, d, bs = 2, 4, 2, 16, 4
     nb, mb = 32, 4
-    kc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
-    vc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    kc = jnp.zeros((nb, bs, hkv * d), jnp.float32)
+    vc = jnp.zeros((nb, bs, hkv * d), jnp.float32)
     bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
     # prefill 7 tokens for each row
     t = 7
@@ -131,7 +135,8 @@ def test_paged_decode_pallas_after_write(key):
     q = jax.random.normal(keys[2], (b, hq, d))
     ctx = jnp.full((b,), t, jnp.int32)
     got = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=bs, chunk_blocks=2, interpret=True)
+        q, kc, vc, bt, ctx, block_size=bs, num_kv_heads=hkv,
+        chunk_blocks=2, interpret=True)
     want = paged_attention(q[:, None], kc, vc, bt,
                            jnp.full((b, 1), t - 1, jnp.int32), ctx)[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -150,8 +155,8 @@ def test_paged_prefill_pallas_matches_xla(key):
 
     b, t, hq, hkv, d, bs, nb, mb = 2, 16, 8, 2, 32, 4, 64, 16
     keys = jax.random.split(key, 6)
-    kc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
-    vc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    kc = jnp.zeros((nb, bs, hkv * d), jnp.float32)
+    vc = jnp.zeros((nb, bs, hkv * d), jnp.float32)
     perm = np.random.default_rng(1).permutation(nb - 1)[: b * mb] + 1
     bt = jnp.asarray(perm.reshape(b, mb).astype(np.int32))
     # row 0: fresh prefill of 16 tokens; row 1: chunk starting at pos 32
@@ -166,8 +171,8 @@ def test_paged_prefill_pallas_matches_xla(key):
     q = jax.random.normal(keys[2], (b, t, hq, d))
 
     got = paged_prefill_attention_pallas(
-        q, kc, vc, bt, positions, ctx, block_size=bs, chunk_blocks=2,
-        t_tile=8, interpret=True)
+        q, kc, vc, bt, positions, ctx, block_size=bs, num_kv_heads=hkv,
+        chunk_blocks=2, t_tile=8, interpret=True)
     want = paged_attention(q, kc, vc, bt, positions, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
@@ -180,8 +185,8 @@ def test_paged_prefill_pallas_single_tile(key):
 
     b, t, hq, hkv, d, bs = 1, 8, 4, 2, 16, 4
     nb, mb = 16, 4
-    kc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
-    vc = jnp.zeros((nb, bs, hkv, d), jnp.float32)
+    kc = jnp.zeros((nb, bs, hkv * d), jnp.float32)
+    vc = jnp.zeros((nb, bs, hkv * d), jnp.float32)
     bt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
     positions = jnp.arange(t, dtype=jnp.int32)[None]
     ctx = jnp.asarray([t], jnp.int32)
@@ -190,8 +195,8 @@ def test_paged_prefill_pallas_single_tile(key):
     kc, vc = write_kv(kc, vc, k_new, v_new, bt, positions)
     q = jax.random.normal(jax.random.fold_in(key, 2), (b, t, hq, d))
     got = paged_prefill_attention_pallas(
-        q, kc, vc, bt, positions, ctx, block_size=bs, chunk_blocks=2,
-        t_tile=8, interpret=True)
+        q, kc, vc, bt, positions, ctx, block_size=bs, num_kv_heads=hkv,
+        chunk_blocks=2, t_tile=8, interpret=True)
     want = paged_attention(q, kc, vc, bt, positions, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
@@ -210,8 +215,8 @@ def test_long_context_prefill_dispatches_to_pallas(key, monkeypatch):
     mb = t // bs
     k1, k2, k3 = jax.random.split(key, 3)
     q = jax.random.normal(k1, (b, t, hq, d), jnp.float32)
-    kc = jax.random.normal(k2, (nb, bs, hkv, d), jnp.float32)
-    vc = jax.random.normal(k3, (nb, bs, hkv, d), jnp.float32)
+    kc = jax.random.normal(k2, (nb, bs, hkv * d), jnp.float32)
+    vc = jax.random.normal(k3, (nb, bs, hkv * d), jnp.float32)
     bt = jnp.arange(1, mb + 1, dtype=jnp.int32)[None]
     pos = jnp.arange(t, dtype=jnp.int32)[None]
     ctx = jnp.asarray([t], jnp.int32)
@@ -242,20 +247,20 @@ def test_kv_write_decode_pallas_matches_scatter(key):
 
     nb, bs, hkv, d, b = 16, 16, 4, 32, 11
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    kc = jax.random.normal(k1, (nb, bs, hkv, d), jnp.float32)
-    vc = jax.random.normal(k2, (nb, bs, hkv, d), jnp.float32)
-    kn = jax.random.normal(k3, (b, hkv, d), jnp.float32)
-    vn = jax.random.normal(k4, (b, hkv, d), jnp.float32)
+    kc = jax.random.normal(k1, (nb, bs, hkv * d), jnp.float32)
+    vc = jax.random.normal(k2, (nb, bs, hkv * d), jnp.float32)
+    kn = jax.random.normal(k3, (b, hkv * d), jnp.float32)
+    vn = jax.random.normal(k4, (b, hkv * d), jnp.float32)
     slots = jnp.asarray(
         [5, 17, 40, 66, 100, 2**30, 130, 150, 170, 2**30, 200], jnp.int32)
     ko, vo = kv_write_decode_pallas(kc, vc, kn, vn, slots, interpret=True)
 
-    want_k = kc.reshape(nb * bs, hkv, d).at[slots].set(kn, mode="drop")
-    want_v = vc.reshape(nb * bs, hkv, d).at[slots].set(vn, mode="drop")
+    want_k = kc.reshape(nb * bs, hkv * d).at[slots].set(kn, mode="drop")
+    want_v = vc.reshape(nb * bs, hkv * d).at[slots].set(vn, mode="drop")
     np.testing.assert_allclose(
-        np.asarray(ko.reshape(nb * bs, hkv, d)), np.asarray(want_k))
+        np.asarray(ko.reshape(nb * bs, hkv * d)), np.asarray(want_k))
     np.testing.assert_allclose(
-        np.asarray(vo.reshape(nb * bs, hkv, d)), np.asarray(want_v))
+        np.asarray(vo.reshape(nb * bs, hkv * d)), np.asarray(want_v))
 
 
 def test_write_kv_decode_dispatches_to_pallas(key, monkeypatch):
@@ -266,8 +271,8 @@ def test_write_kv_decode_dispatches_to_pallas(key, monkeypatch):
 
     nb, bs, hkv, d, b = 8, 16, 2, 64, 4
     k1, k2, k3 = jax.random.split(key, 3)
-    kc = jax.random.normal(k1, (nb, bs, hkv, d), jnp.float32)
-    vc = jax.random.normal(k2, (nb, bs, hkv, d), jnp.float32)
+    kc = jax.random.normal(k1, (nb, bs, hkv * d), jnp.float32)
+    vc = jax.random.normal(k2, (nb, bs, hkv * d), jnp.float32)
     kn = jax.random.normal(k3, (b, 1, hkv, d), jnp.float32)
     bt = jnp.asarray([[1, 2], [3, 4], [5, 6], [7, 0]], jnp.int32)
     pos = jnp.asarray([[3], [17], [0], [31]], jnp.int32)
@@ -296,15 +301,17 @@ def test_paged_decode_pallas_stats(key):
     """return_stats (m, l) must reproduce the online-softmax invariant:
     out == (sum exp(s - m) * v) / l, with m the true row max."""
     q, kc, vc, bt, ctx = make_paged_case(key)
+    hkv = 2
     out, m, l = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=2, interpret=True,
-        return_stats=True)
+        q, kc, vc, bt, ctx, block_size=16, num_kv_heads=hkv,
+        chunk_blocks=2, interpret=True, return_stats=True)
     b, hq, d = q.shape
-    hkv = kc.shape[2]
     g = hq // hkv
     scale = 1.0 / (d ** 0.5)
-    k, v = gather_kv(kc, vc, bt)  # (B, S, Hkv, d)
+    k, v = gather_kv(kc, vc, bt)  # (B, S, HD) flat
     s = k.shape[1]
+    k = k.reshape(b, s, hkv, d)
+    v = v.reshape(b, s, hkv, d)
     qg = q.reshape(b, hkv, g, d)
     scores = jnp.einsum("bhgd,bshd->bhgs", qg, k,
                         preferred_element_type=jnp.float32) * scale
@@ -330,11 +337,11 @@ def test_window_attention_flash_matches_xla(key):
 
     b, hq, hkv, d, bs, nb, mb, kwin = 3, 8, 2, 64, 8, 32, 4, 4
     keys = jax.random.split(key, 6)
-    kc = jax.random.normal(keys[0], (nb, bs, hkv, d), jnp.float32)
-    vc = jax.random.normal(keys[1], (nb, bs, hkv, d), jnp.float32)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv * d), jnp.float32)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv * d), jnp.float32)
     q = jax.random.normal(keys[2], (b, 1, hq, d), jnp.float32)
-    win_k = jax.random.normal(keys[3], (b, kwin, hkv, d), jnp.float32)
-    win_v = jax.random.normal(keys[4], (b, kwin, hkv, d), jnp.float32)
+    win_k = jax.random.normal(keys[3], (b, kwin, hkv * d), jnp.float32)
+    win_v = jax.random.normal(keys[4], (b, kwin, hkv * d), jnp.float32)
     perm = np.random.default_rng(2).permutation(nb - 1)[: b * mb] + 1
     bt = jnp.asarray(perm.reshape(b, mb).astype(np.int32))
     ctx0 = jnp.asarray([0, 5, bs * 3], jnp.int32)  # incl. empty history
@@ -371,15 +378,16 @@ def test_paged_decode_pallas_contiguous_run_dma(key):
     b, hq, hkv, d, bs, mb = 3, 8, 2, 32, 16, 8
     nb = b * mb + 2
     keys = jax.random.split(key, 3)
-    kc = jax.random.normal(keys[0], (nb, bs, hkv, d), jnp.float32)
-    vc = jax.random.normal(keys[1], (nb, bs, hkv, d), jnp.float32)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv * d), jnp.float32)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv * d), jnp.float32)
     q = jax.random.normal(keys[2], (b, hq, d), jnp.float32)
     # ascending contiguous tables, as a fresh block pool hands out
     bt = (jnp.arange(b * mb, dtype=jnp.int32) + 2).reshape(b, mb)
     # full-chunk contexts, a mid-block tail, and a sub-chunk context
     ctx = jnp.asarray([bs * mb, bs * 5 + 3, bs - 1], jnp.int32)
     got = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=bs, chunk_blocks=4, interpret=True)
+        q, kc, vc, bt, ctx, block_size=bs, num_kv_heads=hkv,
+        chunk_blocks=4, interpret=True)
     positions = (ctx - 1)[:, None]
     want = paged_attention(q[:, None], kc, vc, bt, positions, ctx)[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -393,8 +401,8 @@ def test_paged_decode_pallas_batched_tile(key):
     b, hq, hkv, d, bs, mb = 8, 8, 2, 32, 16, 8
     nb = b * mb + 2
     keys = jax.random.split(key, 3)
-    kc = jax.random.normal(keys[0], (nb, bs, hkv, d), jnp.float32)
-    vc = jax.random.normal(keys[1], (nb, bs, hkv, d), jnp.float32)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv * d), jnp.float32)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv * d), jnp.float32)
     q = jax.random.normal(keys[2], (b, hq, d), jnp.float32)
     # rows 0-3 contiguous ascending, rows 4-7 scattered
     first = (np.arange(4 * mb, dtype=np.int32) + 2).reshape(4, mb)
@@ -404,8 +412,8 @@ def test_paged_decode_pallas_batched_tile(key):
     ctx = jnp.asarray([bs * mb, 0, 7, bs * 3 + 5,
                        bs * mb, 1, bs * 2, bs * 5], jnp.int32)
     got = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=bs, chunk_blocks=4, batch_tile=4,
-        interpret=True)
+        q, kc, vc, bt, ctx, block_size=bs, num_kv_heads=hkv,
+        chunk_blocks=4, batch_tile=4, interpret=True)
     want = paged_attention(
         q[:, None], kc, vc, bt,
         jnp.maximum(ctx - 1, 0)[:, None], ctx)[:, 0]
@@ -419,18 +427,18 @@ def test_paged_decode_pallas_batched_tile_stats(key):
     b, hq, hkv, d, bs, mb = 4, 8, 2, 32, 16, 8
     nb = b * mb + 2
     keys = jax.random.split(key, 3)
-    kc = jax.random.normal(keys[0], (nb, bs, hkv, d), jnp.float32)
-    vc = jax.random.normal(keys[1], (nb, bs, hkv, d), jnp.float32)
+    kc = jax.random.normal(keys[0], (nb, bs, hkv * d), jnp.float32)
+    vc = jax.random.normal(keys[1], (nb, bs, hkv * d), jnp.float32)
     q = jax.random.normal(keys[2], (b, hq, d), jnp.float32)
     perm = np.random.default_rng(4).permutation(nb - 2)[: b * mb] + 2
     bt = jnp.asarray(perm.reshape(b, mb).astype(np.int32))
     ctx = jnp.asarray([5, bs * 3, bs * mb, bs + 1], jnp.int32)
     o1, m1, l1 = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=2, batch_tile=1,
-        interpret=True, return_stats=True)
+        q, kc, vc, bt, ctx, block_size=16, num_kv_heads=hkv,
+        chunk_blocks=2, batch_tile=1, interpret=True, return_stats=True)
     o2, m2, l2 = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=16, chunk_blocks=2, batch_tile=2,
-        interpret=True, return_stats=True)
+        q, kc, vc, bt, ctx, block_size=16, num_kv_heads=hkv,
+        chunk_blocks=2, batch_tile=2, interpret=True, return_stats=True)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
@@ -445,16 +453,16 @@ def test_paged_decode_pallas_fp8_kv(key):
     b, hq, hkv, d, bs, mb = 4, 8, 2, 32, 16, 4
     nb = b * mb + 2
     keys = jax.random.split(key, 3)
-    kc = jax.random.normal(keys[0], (nb, bs, hkv, d)).astype(
+    kc = jax.random.normal(keys[0], (nb, bs, hkv * d)).astype(
         jnp.float8_e4m3fn)
-    vc = jax.random.normal(keys[1], (nb, bs, hkv, d)).astype(
+    vc = jax.random.normal(keys[1], (nb, bs, hkv * d)).astype(
         jnp.float8_e4m3fn)
     q = jax.random.normal(keys[2], (b, hq, d), jnp.float32)
     bt = (jnp.arange(b * mb, dtype=jnp.int32) + 2).reshape(b, mb)
     ctx = jnp.asarray([bs * mb, 3, bs + 2, bs * 2], jnp.int32)
     got = paged_decode_attention_pallas(
-        q, kc, vc, bt, ctx, block_size=bs, chunk_blocks=2, batch_tile=2,
-        interpret=True)
+        q, kc, vc, bt, ctx, block_size=bs, num_kv_heads=hkv,
+        chunk_blocks=2, batch_tile=2, interpret=True)
     want = paged_attention(
         q[:, None], kc.astype(jnp.float32), vc.astype(jnp.float32), bt,
         (ctx - 1)[:, None], ctx)[:, 0]
@@ -470,8 +478,8 @@ def test_write_kv_block_aligned_matches_scatter(key):
     nb, bs, hkv, d = 24, 8, 2, 16
     b, t = 4, 16  # 2 blocks per row
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    kc = jax.random.normal(k1, (nb, bs, hkv, d), jnp.float32)
-    vc = jax.random.normal(k2, (nb, bs, hkv, d), jnp.float32)
+    kc = jax.random.normal(k1, (nb, bs, hkv * d), jnp.float32)
+    vc = jax.random.normal(k2, (nb, bs, hkv * d), jnp.float32)
     kn = jax.random.normal(k3, (b, t, hkv, d), jnp.float32)
     vn = jax.random.normal(k4, (b, t, hkv, d), jnp.float32)
     bt = jnp.asarray([[1, 2, 0, 0], [3, 4, 5, 0],

@@ -65,7 +65,8 @@ def test_sharded_paged_step(setup):
     ids = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, cfg.vocab_size, dtype=jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
-    kv_shape = (cfg.num_hidden_layers, 16, 4, cfg.num_key_value_heads, cfg.head_dim)
+    kv_shape = (cfg.num_hidden_layers, 16, 4,
+                cfg.num_key_value_heads * cfg.head_dim)
 
     def run(p, kv):
         return cdm.forward_step(

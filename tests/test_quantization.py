@@ -250,9 +250,9 @@ def test_kv_swap_roundtrip(tiny_config):
     runner.kv_v = runner.kv_v.at[:, [3, 5]].set(0.0)
     # restore to different physical blocks
     runner.swap_in_blocks(saved, [7, 9])
-    assert float(runner.kv_k[0, 7, 0, 0, 0]) == 1.5
-    assert float(runner.kv_v[0, 9, 0, 0, 0]) == -2.5
-    assert float(runner.kv_k[0, 3, 0, 0, 0]) == 0.0
+    assert float(runner.kv_k[0, 7, 0, 0]) == 1.5
+    assert float(runner.kv_v[0, 9, 0, 0]) == -2.5
+    assert float(runner.kv_k[0, 3, 0, 0]) == 0.0
 
 
 # ---------------------------------------------------------------------------

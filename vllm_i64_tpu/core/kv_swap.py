@@ -41,8 +41,8 @@ class RunnerKVSwap:
 
     def _block_bytes(self) -> int:
         # per-block bytes across all layers, K and V
-        k = self.runner.kv_k
-        per_layer = k.shape[2] * k.shape[3] * k.shape[4] * k.dtype.itemsize
+        k = self.runner.kv_k  # (L, NB, bs, HD) flat pages
+        per_layer = k.shape[2] * k.shape[3] * k.dtype.itemsize
         return 2 * k.shape[0] * per_layer
 
     def swap_out(self, block_ids) -> Optional[Dict[int, tuple]]:

@@ -139,9 +139,10 @@ class SpeculativeDecoder:
                     jnp.float32 if jax.default_backend() == "cpu"
                     else jnp.bfloat16)
             cfg = self.draft_cfg
+            # flat pages (L, NB, bs, Hkv*d) — see engine/runner kv_shape
             shape = (cfg.num_hidden_layers,
                      self.max_slots * self.blocks_per_slot, self.block_size,
-                     cfg.num_key_value_heads, cfg.head_dim)
+                     cfg.num_key_value_heads * cfg.head_dim)
             self._kv = (jnp.zeros(shape, self._kv_dtype),
                         jnp.zeros(shape, self._kv_dtype))
         return self._kv

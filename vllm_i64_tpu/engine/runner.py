@@ -196,12 +196,18 @@ class ModelRunner:
             num_blocks = _auto_kv_blocks(
                 dev, per_block, engine_cfg, num_blocks)
         self.num_blocks = num_blocks
+        # FLAT page shape: (L, NB, bs, Hkv*d). The trailing (bs, Hkv*d)
+        # dims tile the TPU (8, 128) registers exactly, so one row-major
+        # layout serves the write scatter, the decode gather, the window
+        # merge and the Pallas kernels alike — the 5D (.., Hkv=4, d=64)
+        # shape could not tile and cost whole-cache relayout copies
+        # (r5 decode trace). External interop (export/import/swap wire
+        # format) stays (L, n, bs, Hkv, d); boundaries reshape.
         kv_shape = (
             model_cfg.num_hidden_layers,
             num_blocks,
             engine_cfg.kv_block_size,
-            model_cfg.num_key_value_heads,
-            model_cfg.head_dim,
+            model_cfg.num_key_value_heads * model_cfg.head_dim,
         )
         if mesh is not None:
             # place device state on THIS runner's mesh explicitly — two
@@ -243,11 +249,37 @@ class ModelRunner:
         _attn2.set_prefill_staging_budget(PREFILL_STAGING_BUDGET)
         self.block_buckets = self._make_block_buckets()
         self._seen_combos = set()
+        # Pin the persistent KV caches to the default row-major layout at
+        # every program boundary. Left to layout auto-assignment, the write
+        # programs prefer a token-minor cache layout while the window
+        # decode's flat gather prefers row-major — XLA then reconciles with
+        # a whole-cache (2 x 500 MB) relayout copy per decode window
+        # (measured 5 ms/window in the r5 trace). One pinned layout
+        # everywhere means no boundary copies and matching donation.
+        self._kv_fmt = None
+        if jax.default_backend() != "cpu":
+            from jax.experimental import layout as jax_layout
+
+            self._kv_fmt = jax_layout.Format(
+                jax_layout.Layout(
+                    major_to_minor=tuple(range(self.kv_k.ndim))),
+                self.kv_k.sharding,
+            )
+
+        def _kv_out(*slots):
+            """out_shardings pytree pinning the kv positions (None = auto)."""
+            if self._kv_fmt is None:
+                return {}
+            return {"out_shardings": tuple(
+                self._kv_fmt if s else None for s in slots)}
+
         self._step_fn = functools.partial(
             jax.jit,
             static_argnames=("features", "return_logits",
                              "block_aligned_write"),
             donate_argnames=("kv_k", "kv_v", "counts"),
+            # (tokens, out_logits, kv_k, kv_v, counts)
+            **_kv_out(0, 0, 1, 1, 0),
         )(self._step_impl)
         # prefill dispatches compile under the raised scoped-VMEM limit so
         # the flash-prefill kernel's q/out staging fits inside the layer
@@ -258,13 +290,17 @@ class ModelRunner:
             static_argnames=("features", "return_logits",
                              "block_aligned_write"),
             donate_argnames=("kv_k", "kv_v", "counts"),
+            **_kv_out(0, 0, 1, 1, 0),
             compiler_options=_prefill_compiler_options(),
         )(self._step_impl)
         self._multi_decode_fn = functools.partial(
             jax.jit,
             static_argnames=("features", "num_steps"),
             donate_argnames=("kv_k", "kv_v", "counts"),
+            # (emitted, carry_out, kv_k, kv_v, counts)
+            **_kv_out(0, 0, 1, 1, 0),
         )(self._multi_decode_impl)
+        self._kv_out = _kv_out
 
     def _sync_w8a8(self):
         """Context manager: hold the dispatch lock with this runner's W8A8
@@ -391,7 +427,7 @@ class ModelRunner:
             ctx0 = ctx_entry - 1
             win_shape = (
                 self.cfg.num_hidden_layers, b, num_steps,
-                self.cfg.num_key_value_heads, self.cfg.head_dim,
+                self.cfg.num_key_value_heads * self.cfg.head_dim,
             )
             win_k = jnp.zeros(win_shape, kv_k.dtype)
             win_v = jnp.zeros(win_shape, kv_v.dtype)
@@ -752,6 +788,7 @@ class ModelRunner:
         if not hasattr(self, "_verify_fn"):
             self._verify_fn = jax.jit(
                 self._verify_impl, donate_argnames=("kv_k", "kv_v"),
+                **self._kv_out(0, 1, 1),
                 compiler_options=_prefill_compiler_options())
         t_actual = token_ids.shape[1]
         mb = _bucket(max(int(block_tables.shape[1]), 1), self.block_buckets)
@@ -988,9 +1025,17 @@ class ModelRunner:
         compiled gather is bucketed on block count."""
         ids = np.zeros((self._block_id_bucket(len(block_ids)),), np.int32)
         ids[: len(block_ids)] = np.asarray(block_ids, np.int32)
+        hkv = self.cfg.num_key_value_heads
+        hdim = self.cfg.head_dim
         if not hasattr(self, "_export_fn"):
+            # boundary reshape: the wire/interop format keeps per-head dims
             self._export_fn = jax.jit(
-                lambda ck, cv, ids: (ck[:, ids], cv[:, ids]))
+                lambda ck, cv, ids: (
+                    ck[:, ids].reshape(*ck.shape[:1], ids.shape[0],
+                                       ck.shape[2], hkv, hdim),
+                    cv[:, ids].reshape(*cv.shape[:1], ids.shape[0],
+                                       cv.shape[2], hkv, hdim),
+                ))
         k, v = self._export_fn(self.kv_k, self.kv_v, jnp.asarray(ids))
         return k[:, : len(block_ids)], v[:, : len(block_ids)]
 
@@ -1009,6 +1054,9 @@ class ModelRunner:
             pad[1] = (0, bucket - n)
             k = jnp.pad(k, pad)
             v = jnp.pad(v, pad)
+        # wire format (L, n, bs, Hkv, d) -> flat pages (L, n, bs, HD)
+        k = k.reshape(*k.shape[:3], -1)
+        v = v.reshape(*v.shape[:3], -1)
         k = jax.device_put(k, self.kv_k.sharding)
         v = jax.device_put(v, self.kv_v.sharding)
         if not hasattr(self, "_import_fn"):
@@ -1018,6 +1066,7 @@ class ModelRunner:
                     cv.at[:, ids].set(v.astype(cv.dtype)),
                 ),
                 donate_argnums=(0, 1),
+                **self._kv_out(1, 1),
             )
         self.kv_k, self.kv_v = self._import_fn(
             self.kv_k, self.kv_v, k, v, jnp.asarray(ids))
@@ -1026,8 +1075,11 @@ class ModelRunner:
         """Copy the given physical blocks (all layers) to host memory.
         Returns {block_id: (k_np, v_np)} with arrays (L, bs, Hkv, d)."""
         ids = np.asarray(block_ids, np.int32)
-        k = np.asarray(self.kv_k[:, ids])  # (L, n, bs, Hkv, d)
+        hkv, hdim = self.cfg.num_key_value_heads, self.cfg.head_dim
+        k = np.asarray(self.kv_k[:, ids])  # (L, n, bs, HD)
         v = np.asarray(self.kv_v[:, ids])
+        k = k.reshape(*k.shape[:3], hkv, hdim)
+        v = v.reshape(*v.shape[:3], hkv, hdim)
         return {int(b): (k[:, i], v[:, i]) for i, b in enumerate(ids)}
 
     def swap_in_blocks(self, saved: dict, target_block_ids) -> None:
@@ -1039,5 +1091,7 @@ class ModelRunner:
                         self.kv_k.dtype)  # (L, n, bs, Hkv, d)
         v = jnp.asarray(np.stack([s[1] for s in src], axis=1),
                         self.kv_v.dtype)
+        k = k.reshape(*k.shape[:3], -1)  # -> flat pages (L, n, bs, HD)
+        v = v.reshape(*v.shape[:3], -1)
         self.kv_k = self.kv_k.at[:, ids].set(k)
         self.kv_v = self.kv_v.at[:, ids].set(v)

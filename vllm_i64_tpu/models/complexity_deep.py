@@ -199,16 +199,28 @@ def _attention_block(
         # in-band (ops/attention.paged_attention_window). The per-layer
         # scatter->gather chain this replaces was ~60% of a decode
         # iteration on v5e; the cache merge happens once per window.
-        win_k_l, win_v_l, k_idx, ctx0 = window_ctx
+        win_k_l, win_v_l, k_idx, ctx0, layer_idx = window_ctx
         k_cache, v_cache = kv_layer
+        bt = block_tables
+        if layer_idx is not None:
+            # stacked read-only cache closed over the layer scan: gather
+            # with layer-flattened block ids instead of letting scan
+            # dynamic-slice a full per-layer cache copy out of the stack
+            # (2 x 16.8 MB HBM copy per layer per iteration measured in
+            # the r5 decode trace — 27% of the whole iteration)
+            nl, nb = k_cache.shape[0], k_cache.shape[1]
+            k_cache = k_cache.reshape(nl * nb, *k_cache.shape[2:])
+            v_cache = v_cache.reshape(nl * nb, *v_cache.shape[2:])
+            bt = block_tables + layer_idx * nb
+        # window side buffers are FLAT (B, K, Hkv*d) like the cache pages
         zero = jnp.zeros((), k_idx.dtype)
-        idx = (zero, k_idx, zero, zero)
+        idx = (zero, k_idx, zero)
         win_k_l = jax.lax.dynamic_update_slice(
-            win_k_l, k.astype(win_k_l.dtype), idx)
+            win_k_l, k.reshape(b, t, hkv * d).astype(win_k_l.dtype), idx)
         win_v_l = jax.lax.dynamic_update_slice(
-            win_v_l, v.astype(win_v_l.dtype), idx)
+            win_v_l, v.reshape(b, t, hkv * d).astype(win_v_l.dtype), idx)
         out = paged_attention_window(
-            q, k_cache, v_cache, block_tables, ctx0, win_k_l, win_v_l, k_idx,
+            q, k_cache, v_cache, bt, ctx0, win_k_l, win_v_l, k_idx,
             integer_softmax=cfg.use_integer_attention,
         )
         new_kv = (win_k_l, win_v_l)
@@ -354,7 +366,7 @@ def _ep_mlp_block(mp: Params, cfg: ModelConfig, x: jax.Array,
 
 
 def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array,
-               token_ids: jax.Array, valid=None):
+               token_ids: jax.Array, valid=None, routes=None):
     b, t, h = hidden.shape
     x = hidden.reshape(b * t, h)
     mp = p["mlp"]
@@ -382,6 +394,7 @@ def _mlp_block(p: Params, cfg: ModelConfig, hidden: jax.Array,
             up_w=up_w,
             down_w=mp["down"],
             topk_table=mp["route_table"],
+            routes=routes,
             num_experts=cfg.num_experts,
             vocab_size=cfg.vocab_size,
             primary_weight=cfg.primary_weight,
@@ -423,15 +436,25 @@ def _layer_fn(
     valid,
     window_meta=None,  # (k_idx, ctx0) for deferred-KV decode
     block_aligned_write: bool = False,
+    stacked_kv=None,  # (k, v) full (L, NB, bs, Hkv, d) read-only stack
+    routes=None,  # (K, N) precomputed expert routes for this layer
 ):
     hidden, mu_prev = carry
     window_ctx = None
-    if len(layer_in) == 5:
+    if stacked_kv is not None:
+        # deferred-KV decode, cache closed over the scan: layer_in carries
+        # (params, win_k, win_v, layer_idx); the body gathers straight from
+        # the stacked cache with layer-flattened block ids
+        p, wk, wv, layer_idx = layer_in
+        kv_layer = stacked_kv
+        k_idx, ctx0 = window_meta
+        window_ctx = (wk, wv, k_idx, ctx0, layer_idx)
+    elif len(layer_in) == 5:
         # deferred-KV decode: per-layer caches (read-only) + window buffers
         p, kc, vc, wk, wv = layer_in
         kv_layer = (kc, vc)
         k_idx, ctx0 = window_meta
-        window_ctx = (wk, wv, k_idx, ctx0)
+        window_ctx = (wk, wv, k_idx, ctx0, None)
     elif len(layer_in) == 3:
         p, kc, vc = layer_in
         kv_layer = (kc, vc)
@@ -453,7 +476,7 @@ def _layer_fn(
     mp = p["mlp"]
     h = _norm_maybe_quant(hidden, p["post_ln"], cfg.rms_norm_eps,
                           mp.get("gate_up", mp.get("gate")))
-    hidden = res + _mlp_block(p, cfg, h, token_ids, valid)
+    hidden = res + _mlp_block(p, cfg, h, token_ids, valid, routes=routes)
 
     mu_next = mu_prev
     if cfg.mu_enabled:
@@ -505,23 +528,57 @@ def forward_layers(
         win_k, win_v, k_idx, ctx0 = window
         window_meta = (k_idx, ctx0)
 
-    def body(carry, layer_in):
+    # Hoist MoE routing out of the layer scan: ONE gather over the stacked
+    # (L, K, vocab) route tables replaces a per-layer dynamic-slice of the
+    # full (K, vocab) table inside the loop (a 22.6 us strided HBM copy per
+    # layer per iteration in the r5 decode trace — 0.68 ms/iter at 30L).
+    routes_all = None
+    mp0 = layer_params.get("mlp") if hasattr(layer_params, "get") else None
+    if (
+        cfg.use_token_routed_mlp
+        and cfg.num_experts > 1
+        and cfg.moe_backend != "ep_a2a"
+        and isinstance(mp0, dict)
+        and mp0.get("route_table") is not None
+    ):
+        ids_flat = jnp.clip(
+            token_ids.reshape(-1), 0, cfg.vocab_size - 1
+        ).astype(jnp.int32)
+        routes_all = jnp.take(
+            mp0["route_table"], ids_flat, axis=2
+        )  # (L, K, N)
+
+    def body(carry, layer_in, stacked_kv=None):
+        if routes_all is not None:
+            *layer_in, routes = layer_in
+            layer_in = tuple(layer_in)
+        else:
+            routes = None
         return _layer_fn(
             cfg, carry, layer_in, token_ids, positions, block_tables,
             ctx_lens, seq_lens, valid, window_meta=window_meta,
             block_aligned_write=block_aligned_write,
+            stacked_kv=stacked_kv, routes=routes,
         )
 
+    def with_routes(xs):
+        return xs + (routes_all,) if routes_all is not None else xs
+
     if kv is not None and window is not None:
-        xs = (layer_params, kv[0], kv[1], win_k, win_v)
-        (hidden, mu), new_wins = jax.lax.scan(body, carry, xs)
+        # decode window: the paged cache is READ-ONLY — close it over the
+        # scan and index by layer inside the body (no per-layer slice copy)
+        nl = win_k.shape[0]
+        li = jnp.arange(nl, dtype=jnp.int32)
+        xs = with_routes((layer_params, win_k, win_v, li))
+        (hidden, mu), new_wins = jax.lax.scan(
+            lambda c, x: body(c, x, stacked_kv=(kv[0], kv[1])), carry, xs)
         new_kv = (new_wins[0], new_wins[1])
     elif kv is not None:
-        xs = (layer_params, kv[0], kv[1])
+        xs = with_routes((layer_params, kv[0], kv[1]))
         (hidden, mu), new_caches = jax.lax.scan(body, carry, xs)
         new_kv = (new_caches[0], new_caches[1])
     else:
-        xs = (layer_params,)
+        xs = with_routes((layer_params,))
         (hidden, mu), _ = jax.lax.scan(body, carry, xs)
         new_kv = None
     return hidden, mu, new_kv

@@ -179,7 +179,7 @@ def kv_cache_slots(
 
 
 def write_kv(
-    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    k_cache: jax.Array,  # (NB, bs, HD) — flat pages, HD = Hkv*d
     v_cache: jax.Array,
     k: jax.Array,  # (B, T, Hkv, d)
     v: jax.Array,
@@ -194,16 +194,18 @@ def write_kv(
     Functional update — callers donate the cache buffers so XLA performs the
     scatter in place (no copy of the multi-hundred-MB cache per step).
 
-    Decode steps (T=1) route through the Pallas window-RMW kernel instead:
-    XLA's scatter serializes on TPU at ~0.4-0.8 ms per (K,V) pair — 15-25 ms
-    per 30-layer decode iteration, several times the forward math itself.
-    The kernel's aligned window DMAs cut that to ~0.2 ms/layer. Safe because
-    decode rows of one dispatch always write DISTINCT blocks (block tables
-    are per-sequence exclusive; shared prefix blocks are never decode-written).
+    The cache stores pages FLAT: (NB, bs, Hkv*d). The trailing (bs=128,
+    HD=256) dims tile the TPU's native (8, 128) exactly, so one row-major
+    layout serves every consumer — the 5D (.., Hkv=4, d=64) shape could
+    never tile and cost a whole-cache relayout copy somewhere in each program
+    (r5 decode trace). Scatters write (HD,) token rows or whole page
+    images; readers gather (bs, HD) pages.
     """
-    nb, bs, hkv, d = k_cache.shape
+    nb, bs, hd = k_cache.shape
     t = k.shape[1]
     b = k.shape[0]
+    k = k.reshape(b, t, hd)
+    v = v.reshape(b, t, hd)
     if block_aligned and t % bs == 0 and t >= bs:
         # Prefill fast path. CONTRACT (checked by the host gate in
         # engine/runner.execute before setting the flag): per row, valid
@@ -216,8 +218,8 @@ def write_kv(
         # exclusive; packed subrows of one request cover disjoint
         # block-aligned token ranges).
         w = t // bs
-        img_k = k.reshape(b, w, bs, hkv, d).astype(k_cache.dtype)
-        img_v = v.reshape(b, w, bs, hkv, d).astype(v_cache.dtype)
+        img_k = k.reshape(b, w, bs, hd).astype(k_cache.dtype)
+        img_v = v.reshape(b, w, bs, hd).astype(v_cache.dtype)
         start_blk = positions[:, 0] // bs  # (B,)
         wi = jnp.arange(w, dtype=jnp.int32)
         mb = block_tables.shape[1]
@@ -232,14 +234,14 @@ def write_kv(
         wr = nrow // bs  # whole blocks actually covered per row
         dst = jnp.where(wi[None] < wr[:, None], phys, jnp.int32(2**30))
         k_cache = k_cache.at[dst.reshape(-1)].set(
-            img_k.reshape(-1, bs, hkv, d), mode="drop")
+            img_k.reshape(-1, bs, hd), mode="drop")
         v_cache = v_cache.at[dst.reshape(-1)].set(
-            img_v.reshape(-1, bs, hkv, d), mode="drop")
+            img_v.reshape(-1, bs, hd), mode="drop")
         return k_cache, v_cache
     if (
         t == 1
         and bs % 8 == 0
-        and (hkv * d) % 128 == 0
+        and hd % 128 == 0
         and k_cache.dtype.itemsize >= 2  # 1-byte dtypes tile (32, 128)
         and _PALLAS_KV_WRITE
         and _use_pallas_decode()
@@ -251,24 +253,59 @@ def write_kv(
             k_cache, v_cache, k[:, 0], v[:, 0], slots_b
         )
     slots = kv_cache_slots(block_tables, positions, bs, valid).reshape(-1)
-    k_flat = k.reshape(-1, hkv, d).astype(k_cache.dtype)
-    v_flat = v.reshape(-1, hkv, d).astype(v_cache.dtype)
-    k_cache = k_cache.reshape(nb * bs, hkv, d).at[slots].set(k_flat, mode="drop")
-    v_cache = v_cache.reshape(nb * bs, hkv, d).at[slots].set(v_flat, mode="drop")
-    return k_cache.reshape(nb, bs, hkv, d), v_cache.reshape(nb, bs, hkv, d)
+    k_flat = k.reshape(-1, hd).astype(k_cache.dtype)
+    v_flat = v.reshape(-1, hd).astype(v_cache.dtype)
+    k_cache = k_cache.reshape(nb * bs, hd).at[slots].set(k_flat, mode="drop")
+    v_cache = v_cache.reshape(nb * bs, hd).at[slots].set(v_flat, mode="drop")
+    return k_cache.reshape(nb, bs, hd), v_cache.reshape(nb, bs, hd)
 
 
 def gather_kv(
-    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    k_cache: jax.Array,  # (NB, bs, HD) flat pages
     v_cache: jax.Array,
     block_tables: jax.Array,  # (B, MB)
 ):
-    """Gather the paged context into dense (B, MB*bs, Hkv, d) views."""
-    nb, bs, hkv, d = k_cache.shape
-    k = jnp.take(k_cache, block_tables, axis=0)  # (B, MB, bs, Hkv, d)
-    v = jnp.take(v_cache, block_tables, axis=0)
+    """Gather the paged context into dense FLAT (B, MB*bs, HD) views.
+
+    mode="clip" matters: jnp.take's default out-of-bounds fill semantics
+    make XLA materialize a fill-value broadcast of the ENTIRE cache shape
+    (500 MB) alongside the gather. Block tables only ever hold valid
+    physical ids (padding rows point at the null block 0), so clamping is
+    free and exact.
+    """
+    nb, bs, hd = k_cache.shape
+    k = jnp.take(k_cache, block_tables, axis=0, mode="clip")
+    v = jnp.take(v_cache, block_tables, axis=0, mode="clip")
     b, mb = block_tables.shape
-    return k.reshape(b, mb * bs, hkv, d), v.reshape(b, mb * bs, hkv, d)
+    return k.reshape(b, mb * bs, hd), v.reshape(b, mb * bs, hd)
+
+
+def _block_diag_q(q: jax.Array, hkv: int) -> jax.Array:
+    """(B, Hq, d) query -> (B, HD, Hq) block-diagonal operand.
+
+    Lets decode attention run ONE dot against the FLAT (B, S, HD) gathered
+    pages with no transpose of the S-major data: scores[b, s, h*g+j] =
+    sum_d q[b, h*g+j, d] * k_flat[b, s, h*d + d'] restricted to the head's
+    own d-columns. The off-block zeros waste (Hkv x) MXU work — free at
+    decode, where the MXU is idle — and buy a zero-relayout data path
+    (r5 probe: 114.7 -> 42.9 us/layer at B=64 ctx 256).
+    """
+    b, hq, d = q.shape
+    g = hq // hkv
+    qr = q.reshape(b, hkv, g, d)
+    qbd = jnp.zeros((b, hkv, d, hkv, g), q.dtype)
+    ii = jnp.arange(hkv)
+    qbd = qbd.at[:, ii, :, ii].set(qr.transpose(1, 0, 3, 2))
+    return qbd.reshape(b, hkv * d, hq)
+
+
+def _block_diag_extract(out_flat: jax.Array, hkv: int, d: int) -> jax.Array:
+    """(B, Hq, HD) block-diag dot output -> (B, Hq, d) per-head slices."""
+    b, hq = out_flat.shape[:2]
+    g = hq // hkv
+    od = out_flat.reshape(b, hkv, g, hkv, d)
+    eye = jnp.eye(hkv, dtype=out_flat.dtype)
+    return jnp.einsum("bhgid,hi->bhgd", od, eye).reshape(b, hq, d)
 
 
 
@@ -289,7 +326,7 @@ def _attn_softmax(scores: jax.Array, integer: bool) -> jax.Array:
 
 def paged_attention(
     q: jax.Array,  # (B, T, Hq, d) — T=1 for decode
-    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    k_cache: jax.Array,  # (NB, bs, HD) flat pages, HD = Hkv*d
     v_cache: jax.Array,
     block_tables: jax.Array,  # (B, MB)
     positions: jax.Array,  # (B, T) int32 query positions
@@ -303,12 +340,14 @@ def paged_attention(
     contain the current tokens — write_kv runs first, matching ref
     model.py:203-236 write-then-read ordering). Returns (B, T, Hq, d)."""
     b, t, hq, d = q.shape
+    hkv_d = k_cache.shape[2]
+    hkv = hkv_d // d
+    g = hq // hkv
 
     # decode fast path: stream pages HBM->VMEM in the Pallas kernel instead
     # of materializing the dense gathered context. Requires a lane-aligned
     # flat page row (Hkv*d % 128 == 0, true for the production models'
     # 4 kv-heads x 64 d) — Mosaic cannot DMA-slice misaligned minor dims.
-    hkv_d = k_cache.shape[2] * k_cache.shape[3]
     if (
         t == 1
         and sliding_window is None
@@ -325,7 +364,7 @@ def paged_attention(
 
         out = paged_decode_attention_pallas(
             q[:, 0], k_cache, v_cache, block_tables, ctx_lens,
-            block_size=k_cache.shape[1], scale=scale,
+            block_size=k_cache.shape[1], num_kv_heads=hkv, scale=scale,
         )
         return out[:, None]
     # chunked-prefill flash kernel instead of dense gather + (T, S) scores.
@@ -349,24 +388,46 @@ def paged_attention(
 
         return paged_prefill_attention_pallas(
             q, k_cache, v_cache, block_tables, positions, ctx_lens,
-            block_size=k_cache.shape[1], scale=scale,
+            block_size=k_cache.shape[1], num_kv_heads=hkv, scale=scale,
             interpret=_interpret_kernels(),
         )
-    _, _, hkv, _ = k_cache.shape
-    g = hq // hkv
     if scale is None:
         scale = 1.0 / (d**0.5)
 
-    k, v = gather_kv(k_cache, v_cache, block_tables)  # (B, S, Hkv, d)
+    k, v = gather_kv(k_cache, v_cache, block_tables)  # (B, S, HD) flat
     s = k.shape[1]
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
 
+    if t == 1 and not integer_softmax:
+        # decode: block-diagonal flat formulation — both attention dots
+        # consume the gathered pages EXACTLY as laid out (S-major rows),
+        # no transpose/relayout of the 8+ MB context per layer
+        qbd = _block_diag_q(q[:, 0], hkv)  # (B, HD, Hq)
+        sc = jnp.einsum(
+            "bsf,bfh->bsh", k, qbd, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        mask = (k_pos <= positions[:, 0][:, None]) \
+            & (k_pos < ctx_lens[:, None])
+        if sliding_window is not None:
+            mask &= (positions[:, 0][:, None] - k_pos) < sliding_window
+        sc = jnp.where(mask[:, :, None], sc, NEG_INF)
+        smax = jnp.maximum(jnp.max(sc, axis=1, keepdims=True), -1e30)
+        un = jnp.exp(sc - smax)
+        p = un / jnp.maximum(jnp.sum(un, axis=1, keepdims=True), 1e-30)
+        out_flat = jnp.einsum(
+            "bsh,bsf->bhf", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )  # (B, Hq, HD)
+        return _block_diag_extract(out_flat, hkv, d)[:, None].astype(q.dtype)
+
+    k = k.reshape(b, s, hkv, d)
+    v = v.reshape(b, s, hkv, d)
     qg = q.reshape(b, t, hkv, g, d)
     # scores: (B, Hkv, g, T, S) in fp32
     scores = jnp.einsum(
         "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
 
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     q_pos = positions  # (B, T)
     mask = k_pos[:, None, :] <= q_pos[:, :, None]  # causal, (B, T, S)
     mask &= k_pos[:, None, :] < ctx_lens[:, None, None]
@@ -414,14 +475,15 @@ def _interpret_kernels() -> bool:
 
 def _window_attention_flash(
     q: jax.Array,  # (B, 1, Hq, d)
-    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    k_cache: jax.Array,  # (NB, bs, HD) flat pages
     v_cache: jax.Array,
     block_tables: jax.Array,  # (B, MB)
     ctx0: jax.Array,  # (B,) cache-resident tokens (may be -1 on pad rows)
-    win_k: jax.Array,  # (B, K, Hkv, d)
+    win_k: jax.Array,  # (B, K, HD) flat
     win_v: jax.Array,
     k_idx: jax.Array,  # scalar i32
     *,
+    num_kv_heads: int,
     scale: float,
 ) -> jax.Array:
     """paged_attention_window via the Pallas flash-decode kernel: history
@@ -437,7 +499,7 @@ def _window_attention_flash(
     from .paged_attention_pallas import paged_decode_attention_pallas
 
     b, t, hq, d = q.shape
-    hkv = k_cache.shape[2]
+    hkv = num_kv_heads
     g = hq // hkv
     kwin = win_k.shape[1]
 
@@ -451,6 +513,7 @@ def _window_attention_flash(
     def history(q3, kc, vc, bt, c0):
         return paged_decode_attention_pallas(
             q3, kc, vc, bt, c0, block_size=k_cache.shape[1],
+            num_kv_heads=hkv // tp if mesh is not None else hkv,
             chunk_blocks=_cb, batch_tile=_tb,
             scale=scale, return_stats=True,
             interpret=_interpret_kernels(),
@@ -466,16 +529,18 @@ def _window_attention_flash(
         out_h, m_h, l_h = jax.shard_map(
             history,
             mesh=mesh,
-            in_specs=(hs, P(None, None, "tp", None),
-                      P(None, None, "tp", None), P(), P()),
+            in_specs=(hs, P(None, None, "tp"),
+                      P(None, None, "tp"), P(), P()),
             out_specs=(hs, P(None, "tp"), P(None, "tp")),
             check_vma=False,
         )(q[:, 0], k_cache, v_cache, block_tables, jnp.maximum(ctx0, 0))
     # (B, Hq, d), (B, Hq), (B, Hq)
 
     qg = q.reshape(b, t, hkv, g, d)
+    wk = win_k.reshape(b, kwin, hkv, d)
+    wv = win_v.reshape(b, kwin, hkv, d)
     scores_w = jnp.einsum(
-        "bthgd,bjhd->bhgtj", qg, win_k, preferred_element_type=jnp.float32
+        "bthgd,bjhd->bhgtj", qg, wk, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)  # (B, Hkv, G, 1, K)
     j_pos = jnp.arange(kwin, dtype=jnp.int32)
     mask_w = j_pos <= k_idx
@@ -487,7 +552,7 @@ def _window_attention_flash(
     l_w = jnp.sum(p_w, axis=-1)  # (B, Hkv, G, 1)
     out_w = jnp.einsum(
         "bhgtj,bjhd->bhgtd", p_w.astype(jnp.float32),
-        win_v.astype(jnp.float32), preferred_element_type=jnp.float32,
+        wv.astype(jnp.float32), preferred_element_type=jnp.float32,
     )  # (B, Hkv, G, 1, d) — UNNORMALIZED (sum p_w · v)
 
     # combine: heads are laid out h = kv_head * g + g_idx in q's Hq axis
@@ -506,11 +571,11 @@ def _window_attention_flash(
 
 def paged_attention_window(
     q: jax.Array,  # (B, 1, Hq, d) — decode only
-    k_cache: jax.Array,  # (NB, bs, Hkv, d) — history through ctx0 only
+    k_cache: jax.Array,  # (NB, bs, HD) flat pages — history through ctx0
     v_cache: jax.Array,
     block_tables: jax.Array,  # (B, MB)
     ctx0: jax.Array,  # (B,) tokens in the CACHE (window-start context)
-    win_k: jax.Array,  # (B, K, Hkv, d) — this window's deferred K rows
+    win_k: jax.Array,  # (B, K, HD) — this window's deferred K rows, flat
     win_v: jax.Array,
     k_idx: jax.Array,  # scalar i32 — current iteration within the window
     *,
@@ -528,7 +593,8 @@ def paged_attention_window(
     tokens. Window entries j > k_idx are masked (stale or future).
     """
     b, t, hq, d = q.shape
-    hkv = k_cache.shape[2]
+    hd = k_cache.shape[2]
+    hkv = hd // d
     g = hq // hkv
     kwin = win_k.shape[1]
     if scale is None:
@@ -541,7 +607,7 @@ def paged_attention_window(
     # alignment gates apply to the PER-DEVICE shard (heads divide tp; a
     # device's flat page row (Hkv/tp)*d stays lane-aligned).
     _mesh, _tp = _mesh_and_tp()
-    hkv_d_local = (k_cache.shape[2] // max(_tp, 1)) * k_cache.shape[3]
+    hkv_d_local = hd // max(_tp, 1)
     if (
         t == 1
         and not integer_softmax
@@ -558,26 +624,58 @@ def paged_attention_window(
     ):
         return _window_attention_flash(
             q, k_cache, v_cache, block_tables, ctx0, win_k, win_v, k_idx,
-            scale=scale,
+            num_kv_heads=hkv, scale=scale,
         )
 
-    k, v = gather_kv(k_cache, v_cache, block_tables)  # (B, S, Hkv, d)
+    k, v = gather_kv(k_cache, v_cache, block_tables)  # (B, S, HD) flat
     s = k.shape[1]
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    mask_h = k_pos < ctx0[:, None]  # strictly historical, (B, S)
+    j_pos = jnp.arange(kwin, dtype=jnp.int32)
+    mask_w = j_pos <= k_idx  # (K,) — causal within the window
+
+    if t == 1 and not integer_softmax:
+        # block-diagonal flat formulation: history AND window scores from
+        # one dot each against the flat (.., HD) buffers, one softmax over
+        # the concatenated (small) score tensor, combine outputs flat and
+        # extract the per-head diagonal once (see _block_diag_q)
+        qbd = _block_diag_q(q[:, 0], hkv)  # (B, HD, Hq)
+        sc_h = jnp.einsum(
+            "bsf,bfh->bsh", k, qbd, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        sc_h = jnp.where(mask_h[:, :, None], sc_h, NEG_INF)
+        sc_w = jnp.einsum(
+            "bjf,bfh->bjh", win_k, qbd, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        sc_w = jnp.where(mask_w[None, :, None], sc_w, NEG_INF)
+        sc = jnp.concatenate([sc_h, sc_w], axis=1)  # (B, S+K, Hq)
+        smax = jnp.maximum(jnp.max(sc, axis=1, keepdims=True), -1e30)
+        un = jnp.exp(sc - smax)
+        p = un / jnp.maximum(jnp.sum(un, axis=1, keepdims=True), 1e-30)
+        out_flat = jnp.einsum(
+            "bsh,bsf->bhf", p[:, :s].astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bjh,bjf->bhf", p[:, s:].astype(win_v.dtype), win_v,
+            preferred_element_type=jnp.float32,
+        )
+        return _block_diag_extract(out_flat, hkv, d)[:, None].astype(q.dtype)
+
+    k = k.reshape(b, s, hkv, d)
+    v = v.reshape(b, s, hkv, d)
+    wk = win_k.reshape(b, kwin, hkv, d)
+    wv = win_v.reshape(b, kwin, hkv, d)
     qg = q.reshape(b, t, hkv, g, d)
 
     scores_h = jnp.einsum(
         "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
     fill = jnp.float32(-1e4) if integer_softmax else NEG_INF
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
-    mask_h = k_pos < ctx0[:, None]  # strictly historical
     scores_h = jnp.where(mask_h[:, None, None, None, :], scores_h, fill)
 
     scores_w = jnp.einsum(
-        "bthgd,bjhd->bhgtj", qg, win_k, preferred_element_type=jnp.float32
+        "bthgd,bjhd->bhgtj", qg, wk, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
-    j_pos = jnp.arange(kwin, dtype=jnp.int32)
-    mask_w = j_pos <= k_idx  # (K,) — causal within the window
     scores_w = jnp.where(mask_w[None, None, None, None, :], scores_w, fill)
 
     scores = jnp.concatenate([scores_h, scores_w], axis=-1)
@@ -587,7 +685,7 @@ def paged_attention_window(
         "bhgts,bshd->bthgd", probs[..., :s].astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     ) + jnp.einsum(
-        "bhgtj,bjhd->bthgd", probs[..., s:].astype(win_v.dtype), win_v,
+        "bhgtj,bjhd->bthgd", probs[..., s:].astype(wv.dtype), wv,
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, t, hq, d).astype(q.dtype)
@@ -614,9 +712,9 @@ def _merge_sub_rows(kwin: int, bs: int) -> int:
 
 
 def merge_window_kv(
-    k_cache: jax.Array,  # (NB, bs, Hkv, d) per layer stacked: (L, NB, bs, ...)
+    k_cache: jax.Array,  # (L, NB, bs, HD) flat pages, all layers
     v_cache: jax.Array,
-    win_k: jax.Array,  # (L, B, K, Hkv, d)
+    win_k: jax.Array,  # (L, B, K, HD) flat
     win_v: jax.Array,
     block_tables: jax.Array,  # (B, MB)
     ctx0: jax.Array,  # (B,) window-start context
@@ -644,7 +742,7 @@ def merge_window_kv(
     padding rows are never-read and zeros suffice. Entries beyond a row's
     active steps (frozen/padding rows) drop via an out-of-range destination.
     """
-    l, nb, bs, hkv, d = k_cache.shape
+    l, nb, bs, hd = k_cache.shape
     b, kwin = win_k.shape[1], win_k.shape[2]
     mb = block_tables.shape[1]
     s = sub_rows or _merge_sub_rows(kwin, bs)
@@ -671,31 +769,32 @@ def merge_window_kv(
 
     def blend(cache, win):
         img = jnp.take_along_axis(
-            win[:, :, None], jc[None, :, :, :, None, None], axis=3
-        )  # (L, B, W, s, hkv, d)
+            win[:, :, None], jc[None, :, :, :, None], axis=3
+        )  # (L, B, W, s, HD)
         # only slab 0 (the one holding ctx0) can contain real history —
         # slabs w >= 1 start at (start_sub+1)*s >= ctx0, past everything any
         # earlier window wrote, so their non-covered rows are never-read
         # padding and zeros are as good as a gather
         cur0 = jnp.take(
-            cache.reshape(l, nb * spb, s, hkv, d), phys[:, 0], axis=1
+            cache.reshape(l, nb * spb, s, hd), phys[:, 0], axis=1,
+            mode="clip",
         )[:, :, None]
         cur = jnp.concatenate(
-            [cur0, jnp.zeros((l, b, w - 1, s, hkv, d), cache.dtype)], axis=2)
+            [cur0, jnp.zeros((l, b, w - 1, s, hd), cache.dtype)], axis=2)
         return jnp.where(
-            valid[None, :, :, :, None, None], img.astype(cache.dtype), cur)
+            valid[None, :, :, :, None], img.astype(cache.dtype), cur)
 
     dst = jnp.where(any_valid, phys, jnp.int32(2**30))  # (B, W)
     lay = jnp.arange(l, dtype=jnp.int32)[:, None, None] * (nb * spb)
     flat = jnp.minimum(lay + dst[None], jnp.int32(2**30)).reshape(-1)
 
-    kf = k_cache.reshape(l * nb * spb, s, hkv, d)
-    vf = v_cache.reshape(l * nb * spb, s, hkv, d)
+    kf = k_cache.reshape(l * nb * spb, s, hd)
+    vf = v_cache.reshape(l * nb * spb, s, hd)
     kf = kf.at[flat].set(
-        blend(k_cache, win_k).reshape(-1, s, hkv, d), mode="drop")
+        blend(k_cache, win_k).reshape(-1, s, hd), mode="drop")
     vf = vf.at[flat].set(
-        blend(v_cache, win_v).reshape(-1, s, hkv, d), mode="drop")
-    return kf.reshape(l, nb, bs, hkv, d), vf.reshape(l, nb, bs, hkv, d)
+        blend(v_cache, win_v).reshape(-1, s, hd), mode="drop")
+    return kf.reshape(l, nb, bs, hd), vf.reshape(l, nb, bs, hd)
 
 
 def varlen_self_attention(

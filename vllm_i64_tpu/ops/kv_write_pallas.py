@@ -128,9 +128,9 @@ def _kernel(nwin_ref,  # (B,) i32 window index per row (scalar prefetch)
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_write_decode_pallas(
-    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    k_cache: jax.Array,  # (NB, bs, HD) flat pages
     v_cache: jax.Array,
-    k_new: jax.Array,  # (B, Hkv, d) — one token per row
+    k_new: jax.Array,  # (B, HD) — one token per row, flat
     v_new: jax.Array,
     slots: jax.Array,  # (B,) i32 flat slot ids; >= NB*bs means "skip"
     *,
@@ -138,11 +138,10 @@ def kv_write_decode_pallas(
 ):
     """Write one token per row into the paged cache via aligned window DMAs.
 
-    Requires bs % 8 == 0 and (Hkv*d) % 128 == 0 (production models: 16, 256).
+    Requires bs % 8 == 0 and HD % 128 == 0 (production models: 16, 256).
     Returns the updated caches; callers donate them as usual.
     """
-    nb, bs, hkv, d = k_cache.shape
-    hd = hkv * d
+    nb, bs, hd = k_cache.shape
     b = k_new.shape[0]
     nslots = nb * bs
     nw = nslots // 8
@@ -195,4 +194,4 @@ def kv_write_decode_pallas(
         interpret=interpret,
     )(win, off, k_rows, v_rows, kf, vf)
 
-    return k_out.reshape(nb, bs, hkv, d), v_out.reshape(nb, bs, hkv, d)
+    return k_out.reshape(nb, bs, hd), v_out.reshape(nb, bs, hd)

@@ -143,12 +143,18 @@ def token_routed_mlp(
     shared_output_gate: Optional[jax.Array] = None,  # learnable scalars
     routed_output_gate: Optional[jax.Array] = None,
     shared_fused_cols: int = 0,  # >0: shared expert folded into gate/up/down
+    routes: Optional[jax.Array] = None,  # (K, N) precomputed expert routes
 ) -> jax.Array:
-    """Full token-routed MLP: routed experts + shared expert + output mixing."""
+    """Full token-routed MLP: routed experts + shared expert + output mixing.
+
+    ``routes`` lets the caller hoist the route-table gather out of a layer
+    scan (one gather over the stacked tables instead of a per-layer table
+    slice inside the loop); when absent it is computed here."""
     from .linear import linear
 
     acc_t = _acc_dtype(x.dtype)
-    routes = compute_routes(topk_table, token_ids, vocab_size)
+    if routes is None:
+        routes = compute_routes(topk_table, token_ids, vocab_size)
     mask = route_mask(routes, num_experts, primary_weight, dtype=acc_t)  # (N, E)
 
     if shared_fused_cols:

@@ -397,16 +397,17 @@ def _decode_kernel_tiled(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "chunk_blocks", "batch_tile", "scale",
-                     "interpret", "return_stats"))
+    static_argnames=("block_size", "num_kv_heads", "chunk_blocks",
+                     "batch_tile", "scale", "interpret", "return_stats"))
 def paged_decode_attention_pallas(
     q: jax.Array,  # (B, Hq, d)
-    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    k_cache: jax.Array,  # (NB, bs, HD) flat pages, HD = Hkv*d
     v_cache: jax.Array,
     block_tables: jax.Array,  # (B, MB) int32
     ctx_lens: jax.Array,  # (B,) int32
     *,
     block_size: int,
+    num_kv_heads: int,
     chunk_blocks: int = 8,
     batch_tile: int = 8,
     scale: float | None = None,
@@ -421,10 +422,11 @@ def paged_decode_attention_pallas(
     ``batch_tile`` sequences share one grid program (the batched-tile
     kernel); tiles fall back to 1 when it does not divide B."""
     b, hq, d = q.shape
-    nb, bs, hkv, _ = k_cache.shape
+    nb, bs, hd = k_cache.shape
     assert bs == block_size
+    hkv = num_kv_heads
+    assert hd == hkv * d, (hd, hkv, d)
     g = hq // hkv
-    hd = hkv * d
     mb = block_tables.shape[1]
     if scale is None:
         scale = 1.0 / (d ** 0.5)

@@ -160,17 +160,18 @@ def _prefill_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "chunk_blocks", "t_tile", "scale",
-                     "interpret"))
+    static_argnames=("block_size", "num_kv_heads", "chunk_blocks", "t_tile",
+                     "scale", "interpret"))
 def paged_prefill_attention_pallas(
     q: jax.Array,  # (B, T, Hq, d)
-    k_cache: jax.Array,  # (NB, bs, Hkv, d)
+    k_cache: jax.Array,  # (NB, bs, HD) flat pages, HD = Hkv*d
     v_cache: jax.Array,
     block_tables: jax.Array,  # (B, MB)
     positions: jax.Array,  # (B, T) — must be start + arange(T) per row
     ctx_lens: jax.Array,  # (B,)
     *,
     block_size: int,
+    num_kv_heads: int,
     chunk_blocks: int = 8,
     t_tile: int = 128,
     scale: float | None = None,
@@ -180,9 +181,10 @@ def paged_prefill_attention_pallas(
     positions (the engine's chunked-prefill layout). T must divide by
     t_tile after padding (caller pads)."""
     b, t, hq, d = q.shape
-    nb, bs, hkv, _ = k_cache.shape
+    nb, bs, hd = k_cache.shape
+    hkv = num_kv_heads
+    assert hd == hkv * d, (hd, hkv, d)
     g = hq // hkv
-    hd = hkv * d
     mb = block_tables.shape[1]
     if scale is None:
         scale = 1.0 / (d ** 0.5)

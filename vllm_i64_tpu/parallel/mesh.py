@@ -129,7 +129,10 @@ def param_specs(cfg: ModelConfig) -> dict:
 
 
 def kv_cache_spec() -> P:
-    return P(None, None, None, "tp", None)
+    # flat pages (L, NB, bs, Hkv*d): the trailing dim flattens head-major,
+    # so sharding it over "tp" gives each device a contiguous block of
+    # whole kv heads (Hkv % tp == 0 enforced at engine init)
+    return P(None, None, None, "tp")
 
 
 def _spec_for_leaf_path(specs, path):

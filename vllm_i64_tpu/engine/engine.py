@@ -1025,12 +1025,19 @@ class Engine:
         if k <= 1:
             return 1
         mixed_cap = self.engine_config.multistep_mixed
-        if self.scheduler.num_pending > 0:
+        if (self.scheduler.num_pending > 0
+                and len(self.scheduler.running)
+                < self.scheduler.max_batch_size):
             # schedule() already admitted every admissible pending request,
             # so the remainder is blocked on slots/blocks. A short window
             # keeps the wait after a slot frees small; collapsing to 1 here
             # once destroyed throughput 5x when the batch sizer pinched one
             # request out of a saturated batch (k=1 for its whole lifetime).
+            # When the batch is FULL, pending requests cannot admit until a
+            # row finishes, so the collapse buys nothing and costs 4x the
+            # per-window overhead for the whole sustained-load regime
+            # (r5: 256-request bench ran 72% over its burst-regime
+            # pro-rata before this gate).
             return max(1, min(k, mixed_cap)) if mixed_cap else 1
         if mixed_cap and any(s.is_prefill for s in batch.seqs):
             return max(1, min(k, mixed_cap))
@@ -1107,12 +1114,22 @@ class Engine:
     def _chain_can_continue(self, reqs, k: int) -> bool:
         """May the NEXT window dispatch before this one resolves?
 
-        Conservative: any admission waiting, any row no longer RUNNING
-        (cancel), any expired deadline, or any capacity shortfall breaks the
-        chain. Rows the host already knows are finished are frozen on device
-        too (EOS and budget freezing are on-device), so block release for
-        them is deferred until the chain ends — no reuse hazard."""
-        if self.scheduler.num_pending > 0:
+        Conservative: any admission waiting on a free slot, any row no
+        longer RUNNING (cancel), any expired deadline, or any capacity
+        shortfall breaks the chain. Rows the host already knows are
+        finished are frozen on device too (EOS and budget freezing are
+        on-device), so block release for them is deferred until the chain
+        ends — no reuse hazard.
+
+        Pending work does NOT break a chain while the batch is full with
+        no finished row: admission needs a free slot, and the chain breaks
+        on its own the moment a resolve reveals one (at worst one window's
+        dispatch-ahead later). Priority preemption is likewise delayed by
+        at most one window — best-effort, as the scheduler documents."""
+        if self.scheduler.num_pending > 0 and (
+            len(self.scheduler.running) < self.scheduler.max_batch_size
+            or any(req.is_finished for req in reqs)
+        ):
             return False
         now = time.monotonic()
         for req in reqs:

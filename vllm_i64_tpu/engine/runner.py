@@ -229,10 +229,22 @@ class ModelRunner:
                 NamedSharding(mesh, P()),
             )
         else:
-            self.kv_k = jnp.zeros(kv_shape, dtype)
-            self.kv_v = jnp.zeros(kv_shape, dtype)
-            self.counts = jnp.zeros(
-                (engine_cfg.max_batch_size, model_cfg.vocab_size), jnp.int32
+            # COMMIT the persistent buffers to their device at creation:
+            # an uncommitted jnp.zeros keys the jit cache as
+            # UnspecifiedValue, while the same buffer AFTER one program
+            # round-trip keys as SingleDeviceSharding — so the first
+            # program combo of a session compiled twice (once per key)
+            # through the slow remote-compile tunnel (r5 longctx: an 8 s
+            # recompile in the first post-warmup step).
+            sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            self.kv_k = jax.device_put(jnp.zeros(kv_shape, dtype), sh)
+            self.kv_v = jax.device_put(jnp.zeros(kv_shape, dtype), sh)
+            self.counts = jax.device_put(
+                jnp.zeros(
+                    (engine_cfg.max_batch_size, model_cfg.vocab_size),
+                    jnp.int32,
+                ),
+                sh,
             )
         # FIXED base key: the sampler's per-row keys are
         # fold_in(fold_in(base, seed), gen_index). Explicit request seeds
@@ -256,7 +268,13 @@ class ModelRunner:
         # a whole-cache (2 x 500 MB) relayout copy per decode window
         # (measured 5 ms/window in the r5 trace). One pinned layout
         # everywhere means no boundary copies and matching donation.
-        self._kv_fmt = None
+        # Pin layouts of the persistent DONATED buffers (kv caches, counts)
+        # at every program boundary. Left to auto layout assignment, a
+        # program's chosen output layout feeds the next call's input — and
+        # a layout change recompiles the jit (each step program compiled
+        # TWICE through the slow remote tunnel before this: once against
+        # the creation layout, once against its own output layout).
+        self._kv_fmt = self._counts_fmt = None
         if jax.default_backend() != "cpu":
             from jax.experimental import layout as jax_layout
 
@@ -265,13 +283,18 @@ class ModelRunner:
                     major_to_minor=tuple(range(self.kv_k.ndim))),
                 self.kv_k.sharding,
             )
+            self._counts_fmt = jax_layout.Format(
+                jax_layout.Layout(major_to_minor=(0, 1)),
+                self.counts.sharding,
+            )
 
         def _kv_out(*slots):
-            """out_shardings pytree pinning the kv positions (None = auto)."""
+            """out_shardings pytree: 'kv'/'counts' pin those buffers,
+            None = compiler's choice."""
             if self._kv_fmt is None:
                 return {}
-            return {"out_shardings": tuple(
-                self._kv_fmt if s else None for s in slots)}
+            fmts = {"kv": self._kv_fmt, "counts": self._counts_fmt}
+            return {"out_shardings": tuple(fmts.get(s) for s in slots)}
 
         self._step_fn = functools.partial(
             jax.jit,
@@ -279,7 +302,7 @@ class ModelRunner:
                              "block_aligned_write"),
             donate_argnames=("kv_k", "kv_v", "counts"),
             # (tokens, out_logits, kv_k, kv_v, counts)
-            **_kv_out(0, 0, 1, 1, 0),
+            **_kv_out(None, None, "kv", "kv", "counts"),
         )(self._step_impl)
         # prefill dispatches compile under the raised scoped-VMEM limit so
         # the flash-prefill kernel's q/out staging fits inside the layer
@@ -290,7 +313,7 @@ class ModelRunner:
             static_argnames=("features", "return_logits",
                              "block_aligned_write"),
             donate_argnames=("kv_k", "kv_v", "counts"),
-            **_kv_out(0, 0, 1, 1, 0),
+            **_kv_out(None, None, "kv", "kv", "counts"),
             compiler_options=_prefill_compiler_options(),
         )(self._step_impl)
         self._multi_decode_fn = functools.partial(
@@ -298,7 +321,7 @@ class ModelRunner:
             static_argnames=("features", "num_steps"),
             donate_argnames=("kv_k", "kv_v", "counts"),
             # (emitted, carry_out, kv_k, kv_v, counts)
-            **_kv_out(0, 0, 1, 1, 0),
+            **_kv_out(None, None, "kv", "kv", "counts"),
         )(self._multi_decode_impl)
         self._kv_out = _kv_out
 
@@ -788,7 +811,7 @@ class ModelRunner:
         if not hasattr(self, "_verify_fn"):
             self._verify_fn = jax.jit(
                 self._verify_impl, donate_argnames=("kv_k", "kv_v"),
-                **self._kv_out(0, 1, 1),
+                **self._kv_out(None, "kv", "kv"),
                 compiler_options=_prefill_compiler_options())
         t_actual = token_ids.shape[1]
         mb = _bucket(max(int(block_tables.shape[1]), 1), self.block_buckets)
@@ -1066,7 +1089,7 @@ class ModelRunner:
                     cv.at[:, ids].set(v.astype(cv.dtype)),
                 ),
                 donate_argnums=(0, 1),
-                **self._kv_out(1, 1),
+                **self._kv_out("kv", "kv"),
             )
         self.kv_k, self.kv_v = self._import_fn(
             self.kv_k, self.kv_v, k, v, jnp.asarray(ids))

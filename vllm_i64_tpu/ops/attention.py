@@ -694,21 +694,27 @@ def paged_attention_window(
 def _merge_sub_rows(kwin: int, bs: int) -> int:
     """Sub-slab row granularity for merge_window_kv.
 
-    MEASURED ON v5e (2026-08-20, tools/tpu_decode_ablate.py, B=64
-    ctx 128 K=16 bs=128): whole-block merge costs 1.08 ms/iter;
-    sub-slab s=16 costs 1.68 and s=32 costs 1.57 DESPITE 8x/4x less
-    HBM traffic — XLA's TPU scatter serializes per update and smaller
-    slabs pay the same per-update overhead on less data, so update
-    count (unchanged at L*B*W), not bytes, is the binding cost.
-    Default is therefore whole-block; VLLM_I64_TPU_MERGE_SUB_ROWS
-    overrides for A/B (0 = whole-block)."""
+    On the OLD 5D cache layout whole-block was fastest (r4 A/B: s=16 paid
+    1.68 vs 1.08 ms/iter — the scatter's per-update overhead dominated on
+    the untileable (Hkv, d) trailing dims). On the FLAT page layout the
+    balance flips completely: the whole-block blend materialized two
+    128-row block images per row (126 MB of traffic to land <= 16 tokens)
+    while the flat sub-slab scatter writes tile-aligned (s, HD) rows —
+    measured r5 (v5e, B=64 K=16 bs=128, decode trace): merge chain
+    10.4 -> 0.69 ms per window at s=K. Default: the window length.
+    VLLM_I64_TPU_MERGE_SUB_ROWS overrides for A/B (0 = whole-block)."""
     import os
 
     env = os.environ.get("VLLM_I64_TPU_MERGE_SUB_ROWS")
     if env is not None:
         n = int(env)
         return bs if n <= 0 else min(n, bs)
-    return bs
+    # power-of-two >= kwin that divides bs (kwin is 16 in production;
+    # odd window lengths fall back to whole-block)
+    s = 1
+    while s < min(kwin, bs):
+        s *= 2
+    return s if bs % s == 0 else bs
 
 
 def merge_window_kv(

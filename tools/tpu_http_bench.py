@@ -170,7 +170,9 @@ async def _stream_one_async(session, port: int, prompt: str,
     body = {"prompt": prompt, "max_tokens": max_tokens,
             "min_tokens": max_tokens, "temperature": 0.0, "stream": True}
     t0 = time.perf_counter()
+    t0_wall = time.time()  # wall clock: comparable across client processes
     stamps = []
+    wall_stamps = []
     async with session.post(
         f"http://127.0.0.1:{port}/v1/completions", json=body
     ) as resp:
@@ -185,8 +187,85 @@ async def _stream_one_async(session, port: int, prompt: str,
             text = payload.get("choices", [{}])[0].get("text", "")
             if text:
                 stamps.append((time.perf_counter() - t0, len(text)))
+                wall_stamps.append((time.time(), len(text)))
     return {"ttft": stamps[0][0] if stamps else None,
-            "stamps": stamps, "total": time.perf_counter() - t0}
+            "stamps": stamps, "wall_stamps": wall_stamps,
+            "t0_wall": t0_wall, "total": time.perf_counter() - t0}
+
+
+async def _drive_sustained_async(port: int, mkjob, concurrency: int,
+                                 deadline: float) -> list:
+    """Constant-concurrency closed loop: each worker slot immediately
+    replaces a finished request with a fresh one until `deadline` (wall
+    clock). This is the steady-state serving regime — the admission ramp
+    amortizes to zero instead of dominating a short burst."""
+    import asyncio
+
+    import aiohttp
+
+    results: list = []
+    async with aiohttp.ClientSession(
+        timeout=aiohttp.ClientTimeout(total=900),
+        connector=aiohttp.TCPConnector(limit=0),
+    ) as session:
+        async def worker(wid: int):
+            n = 0
+            while time.time() < deadline:
+                p, g = mkjob(wid, n)
+                n += 1
+                try:
+                    results.append(
+                        await _stream_one_async(session, port, p, g))
+                except Exception as e:  # noqa: BLE001
+                    results.append({"error": repr(e)[:100]})
+
+        await asyncio.gather(
+            *[worker(w) for w in range(max(concurrency, 1))])
+    return results
+
+
+def _sustained_worker_proc(port: int, wid0: int, conc: int, duration: float,
+                           uniform: bool, uniform_gen: int, conn) -> None:
+    import asyncio
+    import random
+
+    def mkjob(wid, n):
+        rng = random.Random((wid0 + wid) * 100003 + n)
+        if uniform:
+            plen, gen = 128, uniform_gen
+        else:
+            plen = rng.choice([16, 32, 48, 64, 96, 128, 192, 256, 384, 512])
+            gen = rng.choice([16, 32, 48, 64, 96, 128])
+        prompt = "".join(
+            chr(97 + rng.randrange(26)) for _ in range(plen))
+        return prompt, gen
+
+    deadline = time.time() + duration
+    res = asyncio.run(_drive_sustained_async(port, mkjob, conc, deadline))
+    conn.send(res)
+    conn.close()
+
+
+def drive_sustained(port: int, concurrency: int, workers: int,
+                    duration: float, uniform: bool, uniform_gen: int):
+    """Sustained closed-loop load from `workers` processes x asyncio."""
+    workers = max(1, min(workers, concurrency))
+    conc = -(-concurrency // workers)
+    ctx = multiprocessing.get_context("spawn")
+    procs, pipes = [], []
+    for w in range(workers):
+        rx, tx = ctx.Pipe(duplex=False)
+        p = ctx.Process(target=_sustained_worker_proc,
+                        args=(port, w * conc, conc, duration, uniform,
+                              uniform_gen, tx))
+        p.start()
+        procs.append(p)
+        pipes.append(rx)
+    results = []
+    for p, rx in zip(procs, pipes):
+        results.extend(rx.recv())
+        p.join()
+    return results
 
 
 async def _drive_async(port: int, jobs: list, concurrency: int) -> list:
@@ -284,6 +363,15 @@ def main() -> None:
     ap.add_argument("--client-warmup", action="store_true",
                     help="legacy client-side warmup passes (superseded by "
                          "the server's exhaustive program warmup)")
+    ap.add_argument("--sustained", type=float, default=0.0,
+                    help="run a closed-loop constant-concurrency load for "
+                         "this many seconds (>= 60 recommended) and report "
+                         "STEADY-STATE wire throughput over the window "
+                         "after --ramp — the VERDICT r4 #3 regime where "
+                         "the admission ramp amortizes to zero")
+    ap.add_argument("--ramp", type=float, default=10.0,
+                    help="seconds at the start of a --sustained run "
+                         "excluded from the steady-state window")
     args = ap.parse_args()
     if args.serve:
         serve(args)
@@ -390,6 +478,55 @@ def main() -> None:
                   f"{time.perf_counter()-t0w:.0f}s",
                   file=_sys.stderr, flush=True)
 
+        if args.sustained > 0:
+            t_load0 = time.time()
+            results = drive_sustained(
+                args.port, args.concurrency, args.workers, args.sustained,
+                args.uniform, args.uniform_gen)
+            ok = [r for r in results if r and "error" not in r and r["ttft"]]
+            errors = len(results) - len(ok)
+            w0 = t_load0 + args.ramp
+            w1 = t_load0 + args.sustained
+            win_tokens = sum(
+                n for r in ok for (tw, n) in r.get("wall_stamps", ())
+                if w0 <= tw <= w1)
+            win_len = max(w1 - w0, 1e-9)
+            # latency stats over requests fully inside the steady window
+            steady = [r for r in ok
+                      if r["t0_wall"] >= w0
+                      and r["t0_wall"] + r["total"] <= w1]
+            ttfts = sorted(r["ttft"] for r in steady) or [0.0]
+            itls = sorted(
+                b[0] - a[0] for r in steady
+                for a, b in zip(r["stamps"], r["stamps"][1:])) or [0.0]
+            pct = lambda xs, p: xs[min(int(len(xs) * p), len(xs) - 1)]
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{args.port}/v1/monitor",
+                        timeout=10) as r:
+                    mon = json.loads(r.read())
+                print(f"[http-bench] server monitor: "
+                      f"{json.dumps(mon)[:800]}", file=_sys.stderr,
+                      flush=True)
+            except Exception:
+                pass
+            print(json.dumps({
+                "metric": "http_sustained_throughput",
+                "value": round(win_tokens / win_len, 1),
+                "unit": "tok/s",
+                "window_s": round(win_len, 1),
+                "ramp_s": args.ramp,
+                "concurrency": args.concurrency,
+                "workload": "uniform" if args.uniform else "mixed",
+                "requests_completed": len(ok),
+                "requests_in_window": len(steady),
+                "errors": errors,
+                "ttft_ms_p50": round(pct(ttfts, 0.5) * 1000, 1),
+                "ttft_ms_p99": round(pct(ttfts, 0.99) * 1000, 1),
+                "itl_ms_p50": round(pct(itls, 0.5) * 1000, 1),
+                "itl_ms_p99": round(pct(itls, 0.99) * 1000, 1),
+            }), flush=True)
+            return
         results, wall = drive(jobs)
         try:
             with urllib.request.urlopen(

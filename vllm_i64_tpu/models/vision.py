@@ -50,6 +50,15 @@ class VisionConfig:
     # encoder MLPs. Defaults keep the lean from-scratch tower.
     use_class_token: bool = False
     hidden_act: str = "gelu"  # or "quick_gelu" (CLIP)
+    # SigLIP exactness knobs (ref loads SigLIP towers too,
+    # ref: vision.py:79-88, all-patch last_hidden_state at :145):
+    # SigLIP's patch conv HAS a bias, there is NO pre-embedding layernorm,
+    # and post_layernorm applies to last_hidden_state (in CLIP it only
+    # feeds the pooled output, so the CLIP path skips it).
+    patch_bias: bool = False
+    use_pre_ln: bool = True
+    use_post_ln: bool = False
+    ln_eps: float = 1e-5  # CLIP 1e-5, SigLIP 1e-6 (HF layer_norm_eps)
 
     @property
     def num_patches(self) -> int:
@@ -109,10 +118,16 @@ def init_vision_params(cfg: VisionConfig, key: jax.Array,
     params: Params = {
         "patch_embed": w((cfg.patch_dim, h)),
         "pos_embed": w((cfg.num_positions, h)),
-        "pre_ln_w": jnp.ones((h,), dtype),
-        "pre_ln_b": jnp.zeros((h,), dtype),
         "blocks": blocks,
     }
+    if cfg.use_pre_ln:
+        params["pre_ln_w"] = jnp.ones((h,), dtype)
+        params["pre_ln_b"] = jnp.zeros((h,), dtype)
+    if cfg.use_post_ln:
+        params["post_ln_w"] = jnp.ones((h,), dtype)
+        params["post_ln_b"] = jnp.zeros((h,), dtype)
+    if cfg.patch_bias:
+        params["patch_embed_b"] = jnp.zeros((h,), dtype)
     if cfg.use_class_token:
         params["class_embed"] = w((h,))
     if cfg.projector_type == "linear":
@@ -141,11 +156,11 @@ def _act(x, hidden_act: str):
     return jax.nn.gelu(x)
 
 
-def _vit_block(p, x, num_heads, hidden_act="gelu"):
+def _vit_block(p, x, num_heads, hidden_act="gelu", eps=1e-5):
     b, n, h = x.shape
     d = h // num_heads
     res = x
-    y = _layer_norm(x, p["ln1_w"], p["ln1_b"])
+    y = _layer_norm(x, p["ln1_w"], p["ln1_b"], eps)
     qkv = y @ p["qkv"] + p["qkv_b"]
     q, k, v = jnp.split(qkv.reshape(b, n, 3, num_heads, d), 3, axis=2)
     q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B, N, Hh, d)
@@ -156,7 +171,7 @@ def _vit_block(p, x, num_heads, hidden_act="gelu"):
     x = res + (attn @ p["proj"] + p["proj_b"])
 
     res = x
-    y = _layer_norm(x, p["ln2_w"], p["ln2_b"])
+    y = _layer_norm(x, p["ln2_w"], p["ln2_b"], eps)
     y = _act(y @ p["fc1"] + p["fc1_b"], hidden_act)
     return res + (y @ p["fc2"] + p["fc2_b"])
 
@@ -171,19 +186,29 @@ def vision_encode(params: Params, cfg: VisionConfig,
     x = pixel_values.reshape(n, g, p, g, p, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, g * g, cfg.patch_dim)
     x = x @ params["patch_embed"]
+    if cfg.patch_bias:
+        x = x + params["patch_embed_b"]
     if cfg.use_class_token:
         cls = jnp.broadcast_to(
             params["class_embed"][None, None], (n, 1, cfg.hidden_size)
         ).astype(x.dtype)
         x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"][None]
-    x = _layer_norm(x, params["pre_ln_w"], params["pre_ln_b"])
+    if cfg.use_pre_ln:
+        x = _layer_norm(x, params["pre_ln_w"], params["pre_ln_b"],
+                        cfg.ln_eps)
 
     def body(x, block):
-        return _vit_block(block, x, cfg.num_heads, cfg.hidden_act), None
+        return _vit_block(block, x, cfg.num_heads, cfg.hidden_act,
+                          cfg.ln_eps), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
+    if cfg.use_post_ln:
+        # SigLIP applies post_layernorm to last_hidden_state itself
+        # (transformers SiglipVisionTransformer.forward); CLIP does not
+        x = _layer_norm(x, params["post_ln_w"], params["post_ln_b"],
+                        cfg.ln_eps)
     if cfg.use_class_token:
         # the reference projects patch tokens only; CLS is dropped AFTER
         # the encoder so patches still attended to it (ref: vision.py CLIP
@@ -409,5 +434,143 @@ def load_clip_vision_tower(state_dict: Dict[str, np.ndarray],
                          f"{missing[:6]}")
     if missing:
         logger.warning("CLIP tower: %d keys missing (kept init): %s",
+                       len(missing), missing[:6])
+    return params
+
+
+def siglip_vision_config(hf_cfg, llm_hidden_size: int,
+                         projector_type: str = "mlp2x_gelu") -> VisionConfig:
+    """VisionConfig mirroring a transformers SiglipVisionConfig.
+
+    SigLIP differences vs CLIP, all reflected here (ref consumes either
+    tower through the same VisionEncoder, ref: vision.py:79-88 with the
+    all-patch branch at :145): no class token, a biased patch conv, no
+    pre-embedding layernorm, post_layernorm applied to last_hidden_state,
+    tanh-gelu activations, eps 1e-6.
+    """
+    return VisionConfig(
+        image_size=hf_cfg.image_size,
+        patch_size=hf_cfg.patch_size,
+        hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        mlp_ratio=hf_cfg.intermediate_size // hf_cfg.hidden_size,
+        llm_hidden_size=llm_hidden_size,
+        projector_type=projector_type,
+        use_class_token=False,
+        hidden_act=getattr(hf_cfg, "hidden_act", "gelu_pytorch_tanh"),
+        patch_bias=True,
+        use_pre_ln=False,
+        use_post_ln=True,
+        ln_eps=getattr(hf_cfg, "layer_norm_eps", 1e-6),
+    )
+
+
+def load_siglip_vision_tower(state_dict: Dict[str, np.ndarray],
+                             cfg: VisionConfig, dtype=jnp.float32,
+                             strict: bool = True) -> Params:
+    """Assemble tower params from a HF ``SiglipVisionModel`` state dict —
+    the second tower family the reference wraps (ref: vision.py:79-88).
+
+    Key map (HF ``vision_model.*`` layout): embeddings.patch_embedding
+    (conv WITH bias) / position_embedding.weight; encoder.layers.{i}.
+    self_attn.{q,k,v,out}_proj + layer_norm1/2 + mlp.fc1/fc2;
+    post_layernorm (applied to last_hidden_state — loaded, unlike CLIP's).
+    The attention-pooling ``head.*`` keys are ignored: the reference
+    consumes last_hidden_state, which the pooling head never touches.
+
+    Projector weights (``mm_projector.*``) load when present, as in
+    ``load_clip_vision_tower``.
+    """
+    if cfg.use_class_token or cfg.use_pre_ln or not cfg.use_post_ln:
+        raise ValueError("SigLIP towers need use_class_token=False, "
+                         "use_pre_ln=False, use_post_ln=True "
+                         "(siglip_vision_config builds this)")
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("vision_model.head."):
+            continue  # pooling head: unused by last_hidden_state
+        sd[k[len("vision_model."):] if k.startswith("vision_model.") else k] \
+            = np.asarray(v, np.float32)
+    params = init_vision_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    h, L = cfg.hidden_size, cfg.num_layers
+    missing = []
+
+    def take(key):
+        w = sd.get(key)
+        if w is None:
+            missing.append(key)
+        return w
+
+    conv = take("embeddings.patch_embedding.weight")  # (h, 3, p, p)
+    if conv is not None:
+        params["patch_embed"] = jnp.asarray(
+            conv.transpose(2, 3, 1, 0).reshape(cfg.patch_dim, h), dtype)
+    cb = take("embeddings.patch_embedding.bias")
+    if cb is not None:
+        params["patch_embed_b"] = jnp.asarray(cb, dtype)
+    pos = take("embeddings.position_embedding.weight")
+    if pos is not None:
+        params["pos_embed"] = jnp.asarray(pos, dtype)
+    for pk, ck in (("post_ln_w", "post_layernorm.weight"),
+                   ("post_ln_b", "post_layernorm.bias")):
+        w = take(ck)
+        if w is not None:
+            params[pk] = jnp.asarray(w, dtype)
+
+    def stack(fmt, transpose=False):
+        rows = [take(fmt.format(i)) for i in range(L)]
+        if any(r is None for r in rows):
+            return None
+        return np.stack([r.T if transpose else r for r in rows])
+
+    pre = "encoder.layers.{}."
+    qw = stack(pre + "self_attn.q_proj.weight", transpose=True)
+    kw = stack(pre + "self_attn.k_proj.weight", transpose=True)
+    vw = stack(pre + "self_attn.v_proj.weight", transpose=True)
+    qb = stack(pre + "self_attn.q_proj.bias")
+    kb = stack(pre + "self_attn.k_proj.bias")
+    vb = stack(pre + "self_attn.v_proj.bias")
+    blocks = dict(params["blocks"])
+    if all(w is not None for w in (qw, kw, vw, qb, kb, vb)):
+        blocks["qkv"] = jnp.asarray(np.concatenate([qw, kw, vw], -1), dtype)
+        blocks["qkv_b"] = jnp.asarray(np.concatenate([qb, kb, vb], -1), dtype)
+    for pk, fmt, tr in (
+        ("proj", pre + "self_attn.out_proj.weight", True),
+        ("proj_b", pre + "self_attn.out_proj.bias", False),
+        ("ln1_w", pre + "layer_norm1.weight", False),
+        ("ln1_b", pre + "layer_norm1.bias", False),
+        ("ln2_w", pre + "layer_norm2.weight", False),
+        ("ln2_b", pre + "layer_norm2.bias", False),
+        ("fc1", pre + "mlp.fc1.weight", True),
+        ("fc1_b", pre + "mlp.fc1.bias", False),
+        ("fc2", pre + "mlp.fc2.weight", True),
+        ("fc2_b", pre + "mlp.fc2.bias", False),
+    ):
+        rows = stack(fmt, transpose=tr)
+        if rows is not None:
+            blocks[pk] = jnp.asarray(rows, dtype)
+    params["blocks"] = blocks
+
+    proj = dict(params["proj_out"])
+    if cfg.projector_type == "linear":
+        pairs = (("w1", "mm_projector.weight", True),
+                 ("b1", "mm_projector.bias", False))
+    else:
+        pairs = (("w1", "mm_projector.0.weight", True),
+                 ("b1", "mm_projector.0.bias", False),
+                 ("w2", "mm_projector.2.weight", True),
+                 ("b2", "mm_projector.2.bias", False))
+    for pk, ck, tr in pairs:
+        w = sd.get(ck)
+        if w is not None and pk in proj:
+            proj[pk] = jnp.asarray(w.T if tr else w, dtype)
+    params["proj_out"] = proj
+
+    if missing and strict:
+        raise ValueError(f"SigLIP tower load missing {len(missing)} keys: "
+                         f"{missing[:6]}")
+    if missing:
+        logger.warning("SigLIP tower: %d keys missing (kept init): %s",
                        len(missing), missing[:6])
     return params

@@ -349,3 +349,103 @@ def test_disaggregated_decode_death_mid_transfer(tmp_path):
     res = json.loads(p_out.read_text())
     assert res["send_error"], res  # death was DETECTED, not silent
     assert json.loads(d_out.read_text())["died"] is True
+
+
+# ---------------------------------------------------------------------------
+# End-to-end multi-process `serve` through the REAL CLI entry (VERDICT r4
+# #7): two OS processes run `vllm_i64_tpu.cli serve --cross-host`; host 0
+# joins jax.distributed, becomes router + HTTP server, host 1 blocks as an
+# engine worker; a streamed completion must flow over the wire.
+# (ref: parallel/launcher.py:29-59 torchrun spawn + worker.py:127-182
+# rank-0-serves role split.)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_host_serve_cli_end_to_end(tmp_path):
+    import time
+    import urllib.request
+
+    coord = _free_port()
+    http = _free_port()
+
+    env_base = dict(os.environ)
+    env_base.pop("XLA_FLAGS", None)
+    env_base["PYTHONPATH"] = (os.getcwd() + os.pathsep
+                              + env_base.get("PYTHONPATH", ""))
+    procs = []
+    logs = []
+    for host_id in range(2):
+        env = dict(env_base)
+        env["VLLM_I64_TPU_COORDINATOR"] = f"127.0.0.1:{coord}"
+        env["VLLM_I64_TPU_NUM_HOSTS"] = "2"
+        env["VLLM_I64_TPU_HOST_ID"] = str(host_id)
+        log = open(tmp_path / f"serve{host_id}.log", "w")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "vllm_i64_tpu.cli", "serve",
+             "tr-moe-306", "--no-model", "--platform", "cpu",
+             "--cross-host", "--port", str(http),
+             "--max-batch-size", "4", "--max-seq-len", "64",
+             "--block-size", "4", "--max-kv-blocks", "64"],
+            env=env, stdout=log, stderr=log))
+    try:
+        t0 = time.time()
+        up = False
+        while time.time() - t0 < 240:
+            if any(p.poll() is not None for p in procs):
+                break
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{http}/health", timeout=3):
+                    up = True
+                    break
+            except Exception:
+                time.sleep(2)
+        if not up:
+            details = "\n".join(
+                (tmp_path / f"serve{i}.log").read_text()[-1500:]
+                for i in range(2))
+            raise AssertionError(f"cross-host serve never came up:\n{details}")
+
+        # several completions so the round-robin reaches the remote worker
+        texts = []
+        for i in range(4):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{http}/v1/completions",
+                data=json.dumps({
+                    "model": "tr-moe-306",
+                    "prompt": f"hello world {i}",
+                    "max_tokens": 4,
+                    "min_tokens": 4,
+                    "stream": True,
+                }).encode(),
+                headers={"Content-Type": "application/json"})
+            chunks = 0
+            with urllib.request.urlopen(req, timeout=60) as r:
+                for raw in r:
+                    line = raw.decode().strip()
+                    if line.startswith("data: ") and line != "data: [DONE]":
+                        payload = json.loads(line[6:])
+                        fr = payload["choices"][0].get("finish_reason")
+                        chunks += 1
+                        if fr:
+                            texts.append(fr)
+            # model-less random tokens detokenize to empty deltas, which
+            # the SSE stream suppresses — the finish chunk must arrive
+            assert chunks >= 1, f"request {i}: no streamed chunks"
+        # model-less engines sample random ids: a draw that hits EOS
+        # finishes 'stop', otherwise the budget finishes 'length' — either
+        # proves the full wire round-trip
+        assert len(texts) == 4 and all(
+            t in ("length", "stop") for t in texts), texts
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        for log in logs:
+            log.close()

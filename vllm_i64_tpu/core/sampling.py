@@ -118,17 +118,36 @@ class SamplerFeatures:
 
     @staticmethod
     def for_params(params_list) -> "SamplerFeatures":
+        """Program-family key for a batch's SamplingParams.
+
+        Two deliberate collapses keep the warmup program space bounded
+        (each distinct SamplerFeatures is a full program family across
+        every batch/token/block bucket — axes multiply):
+
+        - min_tokens is ALWAYS compiled in: the eos-suppress mask is a
+          value-driven (B,) bool whose False rows no-op exactly, so a
+          static on/off axis bought nothing but programs (same pattern
+          as the -1-masked suppress_step0 input).
+        - the four sampled filters (top_k/top_p/min_p/typical_p) merge
+          into ONE family whenever any is active: every filter has an
+          exact neutral-value no-op guard (top_k<=0 keeps all, p==1 /
+          min_p==0 mask nothing), so the merged program is bit-identical
+          per row. Greedy batches keep the argmax-only specialization.
+        """
+        any_filter = any(
+            not p.is_greedy and (
+                0 < p.top_k or p.top_p < 1.0 or p.min_p > 0.0
+                or p.typical_p < 1.0
+            )
+            for p in params_list
+        )
         return SamplerFeatures(
             penalties=any(p.needs_token_history for p in params_list),
-            top_k=any(
-                not p.is_greedy and 0 < p.top_k for p in params_list
-            ),
-            top_p=any(not p.is_greedy and p.top_p < 1.0 for p in params_list),
-            min_p=any(not p.is_greedy and p.min_p > 0.0 for p in params_list),
-            typical_p=any(
-                not p.is_greedy and p.typical_p < 1.0 for p in params_list
-            ),
-            min_tokens=any(p.min_tokens > 0 for p in params_list),
+            top_k=any_filter,
+            top_p=any_filter,
+            min_p=any_filter,
+            typical_p=any_filter,
+            min_tokens=True,
             all_greedy=all(p.is_greedy for p in params_list),
         )
 

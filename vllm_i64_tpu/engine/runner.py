@@ -29,6 +29,22 @@ from ..config import EngineConfig, ModelConfig
 from ..core.sampling import SamplerFeatures, sample_tokens
 from ..models import complexity_deep as cdm
 
+# the TWO sampler families prefill programs compile with (see
+# ModelRunner.execute). A prefill step samples once per request amortized
+# over a whole chunk of forward compute, so per-subset specializations buy
+# nothing — but the feature axis multiplied the (batch x token x block x
+# aligned) prefill program space in warmup. Greedy batches keep the cheap
+# argmax-only program (the B x V Gumbel draw + three vocab sorts of the
+# generic family cost ~40 ms per prefill dispatch AND triple its remote
+# compile time); penalties/min_tokens ride along as exact neutral no-ops.
+PREFILL_GREEDY_FEATURES = SamplerFeatures(
+    penalties=True, min_tokens=True, all_greedy=True,
+)
+PREFILL_SAMPLER_FEATURES = SamplerFeatures(
+    penalties=True, top_k=True, top_p=True, min_p=True, typical_p=True,
+    min_tokens=True, all_greedy=False,
+)
+
 logger = logging.getLogger("vllm_i64_tpu.runner")
 
 
@@ -687,6 +703,12 @@ class ModelRunner:
         else:
             b = _bucket(b_actual, self.ecfg.prefill_batch_buckets)
             t = _bucket(t_actual, self.ecfg.prefill_token_buckets)
+            # canonicalize onto one of TWO prefill sampler families —
+            # bit-exact for every row: greedy rows take the final where()'s
+            # argmax, penalties/filters no-op exactly at neutral values
+            # (core/sampling.for_params documents the guards)
+            features = (PREFILL_GREEDY_FEATURES if features.all_greedy
+                        else PREFILL_SAMPLER_FEATURES)
 
         if kind == "prefill" and np.any(valid):
             # clamp the block table to this dispatch's actual position span:
@@ -981,7 +1003,14 @@ class ModelRunner:
                                  f"logits={rl} #{n}")
 
         if include_prefill:
-            for fs in fsets:
+            # prefill dispatches are canonicalized onto TWO sampler
+            # families (ModelRunner.execute) — the feature axis collapses
+            # out of the prefill program space. The generic family is only
+            # reachable when sampled traffic is possible.
+            pre_sets = [PREFILL_GREEDY_FEATURES]
+            if any(not f.all_greedy for f in fsets):
+                pre_sets.append(PREFILL_SAMPLER_FEATURES)
+            for fs in pre_sets:
                 for b in ecfg.prefill_batch_buckets:
                     sargs = self._warmup_sample_args(b)
                     for t in ecfg.prefill_token_buckets:
@@ -1006,9 +1035,8 @@ class ModelRunner:
                                 nv = int(valid[0].sum())
                                 if nv < 1:
                                     continue
-                                for rl, ls in ((False, fsets), (True, lsets)):
-                                    if fs not in ls:
-                                        continue
+                                rls = [False] + ([True] if lsets else [])
+                                for rl in rls:
                                     self.execute(
                                         np.zeros((b, t), np.int64),
                                         pos,

@@ -197,6 +197,9 @@ class Scheduler:
 
         self._next_id = 0
         self.step_counter = 0
+        # KV-pressure observability: preemptions are the leading indicator
+        # of an undersized block pool (ref i64_scheduler.py preempt path)
+        self.num_preemptions = 0
         self._requests: Dict[int, Request] = {}
 
     # -- queue ops ---------------------------------------------------------
@@ -381,6 +384,7 @@ class Scheduler:
                 (victim.priority, victim.arrival_step, victim.request_id, victim),
             )
             self._pending_count += 1
+            self.num_preemptions += 1
             logger.info(
                 "preempted request %d (saved %d generated tokens)",
                 victim.request_id,
@@ -649,4 +653,5 @@ class Scheduler:
             "finished": len(self.finished),
             "free_kv_blocks": self.blocks.num_free,
             "total_steps": self.step_counter,
+            "preemptions": self.num_preemptions,
         }

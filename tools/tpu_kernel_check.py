@@ -87,17 +87,17 @@ def main() -> int:
     # --- decode KV write window-RMW kernel ---------------------------------
     def kvwrite():
         nb, bs, hkv, d, b = 64, 16, 4, 64, 16
-        kc = jnp.zeros((nb, bs, hkv, d), jnp.bfloat16)
+        kc = jnp.zeros((nb, bs, hkv * d), jnp.bfloat16)
         vc = jnp.zeros_like(kc)
-        kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
-        vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+        kn = jnp.asarray(rng.standard_normal((b, hkv * d)), jnp.bfloat16)
+        vn = jnp.asarray(rng.standard_normal((b, hkv * d)), jnp.bfloat16)
         slots = jnp.asarray(np.arange(b, dtype=np.int32) * bs + 3)
         ko, vo = kv_write_decode_pallas(kc, vc, kn, vn, slots)
         for out, new in ((ko, kn), (vo, vn)):
-            ref = np.zeros((nb * bs, hkv, d), np.float32)
+            ref = np.zeros((nb * bs, hkv * d), np.float32)
             ref[np.asarray(slots)] = np.asarray(new, np.float32)
             np.testing.assert_allclose(
-                np.asarray(out.reshape(-1, hkv, d), np.float32), ref,
+                np.asarray(out.reshape(-1, hkv * d), np.float32), ref,
                 atol=1e-2)
 
     ok &= check("kv_write_decode_pallas (B=16 bs=16)", kvwrite)
@@ -109,12 +109,13 @@ def main() -> int:
         b, hq, hkv, d, bs, mb = 16, 16, 4, 64, 16, 16
         nb = b * mb + 8
         q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
-        kc = jnp.asarray(rng.standard_normal((nb, bs, hkv, d)), jnp.bfloat16)
-        vc = jnp.asarray(rng.standard_normal((nb, bs, hkv, d)), jnp.bfloat16)
+        kc = jnp.asarray(rng.standard_normal((nb, bs, hkv * d)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((nb, bs, hkv * d)), jnp.bfloat16)
         bt = jnp.asarray((np.arange(b * mb, dtype=np.int32).reshape(b, mb)
                           % (nb - 1)) + 1)
         ctx = jnp.full((b,), 128, jnp.int32)
-        out = paged_decode_attention_pallas(q, kc, vc, bt, ctx, block_size=bs)
+        out = paged_decode_attention_pallas(
+            q, kc, vc, bt, ctx, block_size=bs, num_kv_heads=hkv)
         ref = attn.paged_attention(
             q[:, None], kc, vc, bt, (ctx - 1)[:, None], ctx)[:, 0]
         np.testing.assert_allclose(np.asarray(out, np.float32),
@@ -130,14 +131,14 @@ def main() -> int:
         mb = t // bs + 2
         nb = b * mb + 8
         q = jnp.asarray(rng.standard_normal((b, t, hq, d)), jnp.bfloat16)
-        kc = jnp.asarray(rng.standard_normal((nb, bs, hkv, d)), jnp.bfloat16)
-        vc = jnp.asarray(rng.standard_normal((nb, bs, hkv, d)), jnp.bfloat16)
+        kc = jnp.asarray(rng.standard_normal((nb, bs, hkv * d)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((nb, bs, hkv * d)), jnp.bfloat16)
         bt = jnp.asarray((np.arange(b * mb, dtype=np.int32).reshape(b, mb)
                           % (nb - 1)) + 1)
         pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
         ctx = jnp.full((b,), t, jnp.int32)
         out = paged_prefill_attention_pallas(
-            q, kc, vc, bt, pos, ctx, block_size=bs)
+            q, kc, vc, bt, pos, ctx, block_size=bs, num_kv_heads=hkv)
         prev = attn._PALLAS_PREFILL_MIN_T
         attn._PALLAS_PREFILL_MIN_T = 1 << 30  # force gather reference
         try:

@@ -87,6 +87,10 @@ def main() -> None:
     p.add_argument("--longctx-prompt", type=int, default=1920)
     p.add_argument("--longctx-gen", type=int, default=96)
     p.add_argument("--longctx-requests", type=int, default=16)
+    p.add_argument("--compilation-cache",
+                   default="/tmp/vllm_i64_tpu_jax_cache",
+                   help="persistent XLA compile-cache dir shared across "
+                        "runs on this host (empty string disables)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     p.add_argument("--watchdog-s", type=int, default=1800,
@@ -118,6 +122,22 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.compilation_cache:
+        # persistent XLA compile cache: first-use compiles through the
+        # remote-TPU tunnel run minutes-cold (a single step program can
+        # block >8 min on a cold day); the cache makes warmup ~seconds on
+        # every later run on this host (mirrors `serve --compilation-cache`)
+        try:
+            import os as _osc
+
+            _osc.makedirs(args.compilation_cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir",
+                              args.compilation_cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] compilation cache unavailable: {e}")
 
     import numpy as np
 
@@ -236,7 +256,12 @@ def main() -> None:
         max_prefill_tokens=max(args.prompt_len, args.prefill_budget),
         quantization=args.quantization,
         decode_batch_buckets=(args.max_batch,),
-        prefill_batch_buckets=(1, 2, 4, 8, 16),
+        # up to a full wave per prefill dispatch (the engine's budget-aware
+        # splitter keeps bucketed batch x token <= the chunk budget); each
+        # dispatch costs fixed host/tunnel overhead, so one 64 x 128
+        # dispatch replaces eight 8 x 128 ones (r5: prefill step 580 ms ->
+        # ~150 ms)
+        prefill_batch_buckets=(1, 2, 4, 8, 16, 32, 64),
         # rows pad to the CHUNK length, not the whole budget — a 128-token
         # prompt must not burn a 512-wide prefill row
         prefill_token_buckets=(args.prompt_len, max(args.prompt_len, 512)),
@@ -434,7 +459,7 @@ def main() -> None:
                 max_prefill_tokens=max(512, args.prefill_budget),
                 quantization=args.quantization,
                 decode_batch_buckets=(args.longctx_requests,),
-                prefill_batch_buckets=(1, 2, 4, 8, 16),
+                prefill_batch_buckets=(1, 2, 4, 8, 16, 32, 64),
                 prefill_token_buckets=(128, 512),
                 multistep_decode=args.multistep,
                 w8a8=args.w8a8 and args.quantization in ("int8", "int4"),

@@ -250,7 +250,12 @@ class EngineConfig:
     # ref analog: core/cuda_graph.py batch-size buckets {1..64})
     decode_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32)
     prefill_token_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
-    prefill_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+    # up to max_batch rows per prefill dispatch: one 64-request wave of
+    # short prompts is ONE program execution (fixed per-dispatch host cost
+    # was 8x'd by the old 8-row cap); the engine's _budget_split keeps
+    # bucketed batch x token <= max_prefill_tokens, and warmup prunes the
+    # program space by the same rule, so the axis growth stays bounded
+    prefill_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
 
     # Scheduling extras
     enable_request_merging: bool = True

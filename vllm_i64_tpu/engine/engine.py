@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
 from ..core.logits_processor import (
@@ -894,8 +895,7 @@ class Engine:
                     multi = {}
                     for part in _split(decode, dec_cap):
                         multi.update(self._run_multi_decode(part, k))
-                    for pg in pending:
-                        single.update(self._finish_group(pg))
+                    single.update(self._finish_groups(pending))
                     self._step_mix["window"] += 1
                     self._step_mix["window_k_sum"] += k
                     self._step_mix["decode_rows"] += len(decode)
@@ -914,8 +914,7 @@ class Engine:
                     self._dispatch_group(part, kind="prefill")
                     for part in self._split_prefill_parts(prefill, pre_cap)
                 ]
-                for pg in pending:
-                    single.update(self._finish_group(pg))
+                single.update(self._finish_groups(pending))
                 self._step_mix["single"] += 1
                 self._step_mix["decode_rows"] += len(decode)
                 self._step_mix["prefill_rows"] += len(prefill)
@@ -1430,10 +1429,47 @@ class Engine:
         # two tiny parts cost an extra program execution for nothing
         if not aligned or not rest or len(prefill) <= cap and (
                 len(aligned) < 2 or len(rest) < 2):
-            yield from _split(prefill, cap)
+            yield from self._budget_split(prefill, cap)
             return
-        yield from _split(aligned, cap)
-        yield from _split(rest, cap)
+        yield from self._budget_split(aligned, cap)
+        yield from self._budget_split(rest, cap)
+
+    def _budget_split(self, rows: list, cap: int):
+        """Chunk prefill rows into parts whose BUCKETED dispatch size
+        (batch bucket x token bucket) stays within max_prefill_tokens.
+
+        With batch buckets up to max_batch, one wave of short prompts packs
+        into a single dispatch (64 x 128 = one program execution instead of
+        eight — each dispatch costs fixed host/tunnel overhead), while a
+        part is still split before a wide row would blow the padded token
+        area past the scheduler's chunk budget. Row order is preserved, so
+        a request's packed subrows never reorder across parts (their KV
+        write-before-attend contract — see _pack_prefill_rows). Warmup
+        prunes the program space by the same rule, so every part shape this
+        produces is precompiled."""
+        ecfg = self.engine_config
+        budget = max(ecfg.max_prefill_tokens, ecfg.prefill_token_buckets[0])
+        bb, tb = ecfg.prefill_batch_buckets, ecfg.prefill_token_buckets
+
+        def bucket(v, buckets):
+            for x in buckets:
+                if v <= x:
+                    return x
+            return buckets[-1]
+
+        cur, cur_t = [], 0
+        for s in rows:
+            t = bucket(len(s.token_ids), tb)
+            grown_t = max(cur_t, t)
+            grown_b = bucket(len(cur) + 1, bb)
+            if cur and (len(cur) >= cap or grown_b * grown_t > budget):
+                yield cur
+                cur, cur_t = [s], t
+            else:
+                cur.append(s)
+                cur_t = grown_t
+        if cur:
+            yield cur
 
     def _pack_prefill_rows(self, prefill: list) -> list:
         """Split prefill chunks into subrows of <= prefill_pack_tokens.
@@ -1495,10 +1531,47 @@ class Engine:
             np.asarray(old.tokens)  # sync: program long since retired
         return {}
 
-    def _resolve_group(self, pending: "_PendingGroup") -> Dict[int, int]:
+    def _finish_groups(self, pendings: list) -> Dict[int, int]:
+        """Resolve many dispatched groups with ONE host sync.
+
+        Each group resolve is a device sync, and through the remote tunnel
+        a sync costs ~20-30 ms of fixed latency on top of device time — the
+        r5 profile showed a 64-request burst admission paying 8 sequential
+        group resolves (~45 ms each) inside one step. Concatenating the
+        sampled-token arrays device-side (one cheap eager op) and fetching
+        the result in one np.asarray collapses that to a single sync.
+        Groups that need host-side logits keep their individual path."""
+        result: Dict[int, int] = {}
+        to_resolve = []
+        for pg in pendings:
+            if any(s.needs_sample for s in pg.seqs):
+                to_resolve.append(pg)
+            else:
+                result.update(self._finish_group(pg))  # defers, no sync
+        fused = [pg for pg in to_resolve if pg.logits is None]
+        if len(fused) > 1:
+            cat = np.asarray(jnp.concatenate(
+                [jnp.asarray(pg.tokens) for pg in fused]))
+            off = 0
+            for pg in fused:
+                n = int(pg.tokens.shape[0])
+                result.update(
+                    self._resolve_group(pg, tokens_np=cat[off:off + n]))
+                off += n
+        elif fused:
+            result.update(self._resolve_group(fused[0]))
+        for pg in to_resolve:
+            if pg.logits is not None:
+                result.update(self._resolve_group(pg))
+        return result
+
+    def _resolve_group(
+        self, pending: "_PendingGroup", tokens_np: Optional[np.ndarray] = None
+    ) -> Dict[int, int]:
         """Host-sync one dispatched group and assemble its sampled tokens."""
         b = len(pending.seqs)
-        tokens = np.asarray(pending.tokens)[:b]
+        tokens = (np.asarray(pending.tokens)
+                  if tokens_np is None else tokens_np)[:b]
         logits = (
             np.asarray(pending.logits)[:b]
             if pending.logits is not None

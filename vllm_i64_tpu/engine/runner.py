@@ -277,6 +277,9 @@ class ModelRunner:
         _attn2.set_prefill_staging_budget(PREFILL_STAGING_BUDGET)
         self.block_buckets = self._make_block_buckets()
         self._seen_combos = set()
+        # slot -> pending counts row (np vector) or None (= clear); applied
+        # as one batched scatter at the next dispatch (_flush_slot_counts)
+        self._pending_slot_counts: Dict[int, Optional[np.ndarray]] = {}
         # Pin the persistent KV caches to the default row-major layout at
         # every program boundary. Left to layout auto-assignment, the write
         # programs prefer a token-minor cache layout while the window
@@ -626,6 +629,7 @@ class ModelRunner:
         bt[: prev.b_actual, : min(block_tables.shape[1], mb)] = (
             block_tables[:, :mb]
         )
+        self._flush_slot_counts()
         with self._sync_w8a8():
             (emitted, carry, self.kv_k, self.kv_v,
              self.counts) = self._multi_decode_fn(
@@ -773,6 +777,7 @@ class ModelRunner:
             )
         )
         # padding rows must not look greedy-sampled into counts
+        self._flush_slot_counts()
         step_fn = self._prefill_step_fn if kind == "prefill" else self._step_fn
         if _LOG_DISPATCH:
             combo = (kind, b, t, mb, aligned, bool(return_logits),
@@ -851,15 +856,62 @@ class ModelRunner:
     # -- slot/count management -------------------------------------------------
 
     def load_slot_history(self, slot: int, token_ids: np.ndarray) -> None:
-        """Upload prompt token counts for penalty tracking at admission."""
+        """Record prompt token counts for penalty tracking at admission.
+
+        LAZY: the device update is deferred and batched into one scatter at
+        the next dispatch (_flush_slot_counts). Eagerly updating per slot
+        cost ~2.2 ms of host-blocking dispatch per call through the remote
+        tunnel — a 64-request burst admission paid ~140 ms of it before the
+        prefill even dispatched (r5 profile)."""
         bc = np.bincount(
             np.clip(token_ids, 0, self.cfg.vocab_size - 1),
             minlength=self.cfg.vocab_size,
         ).astype(np.int32)
-        self.counts = self.counts.at[slot].set(jnp.asarray(bc))
+        self._pending_slot_counts[slot] = bc
 
     def clear_slot(self, slot: int) -> None:
-        self.counts = self.counts.at[slot].set(0)
+        """Lazily zero a slot's penalty counts (see load_slot_history).
+
+        Clears only matter when the slot is REASSIGNED, and every dispatch
+        flushes pending updates first, so deferring is exact."""
+        self._pending_slot_counts[slot] = None
+
+    def _flush_slot_counts(self) -> None:
+        """Apply all pending slot-count updates as ONE batched scatter.
+
+        The batch is padded to a power-of-two row count (duplicating row 0,
+        same value — scatter-set with identical duplicate updates is
+        deterministic) so the eager op only ever compiles at
+        log2(max_batch) distinct shapes. Pure clears skip the (n, vocab)
+        value upload entirely via the scalar-fill form."""
+        if not self._pending_slot_counts:
+            return
+        items = sorted(self._pending_slot_counts.items())
+        self._pending_slot_counts.clear()
+        n = len(items)
+        nb = 1
+        while nb < n:
+            nb *= 2
+        idx = np.fromiter((s for s, _ in items), np.int32, n)
+        if nb > n:
+            idx = np.concatenate([idx, np.full(nb - n, idx[0], np.int32)])
+        if all(v is None for _, v in items):
+            self.counts = self.counts.at[jnp.asarray(idx)].set(0)
+        else:
+            vals = np.zeros((nb, self.counts.shape[1]), np.int32)
+            for i, (_, v) in enumerate(items):
+                if v is not None:
+                    vals[i] = v
+            if nb > n and items[0][1] is not None:
+                vals[n:] = items[0][1]
+            self.counts = self.counts.at[jnp.asarray(idx)].set(
+                jnp.asarray(vals))
+        # re-commit to the pinned format: the eager scatter's output keys
+        # the jit cache differently from the program-boundary layout, and
+        # ONE admission after a release cycle recompiled the whole step
+        # program (~9 s through the remote tunnel, r5 bench epoch 1)
+        if self._counts_fmt is not None:
+            self.counts = jax.device_put(self.counts, self._counts_fmt)
 
     def kv_cache_memory_bytes(self) -> int:
         return int(self.kv_k.size + self.kv_v.size) * self.kv_k.dtype.itemsize
@@ -941,10 +993,26 @@ class ModelRunner:
             if log is not None:
                 log(f"[warmup] {msg} ({time.perf_counter() - t0:.1f}s)")
 
-        # slot count maintenance ops (tiny eager scatters) also compile on
-        # first use — touch them so admission can't stall either
-        self.load_slot_history(0, np.zeros(1, np.int64))
-        self.clear_slot(0)
+        # slot count maintenance is a batched scatter compiled per
+        # power-of-two batch size (plus a value-carrying variant) — touch
+        # every flush shape so admission can't stall on a first-use compile
+        nslots = int(self.counts.shape[0])
+        nb = 1
+        while True:
+            for s in range(min(nb, nslots)):
+                self.clear_slot(s)
+            self._flush_slot_counts()
+            self.load_slot_history(0, np.zeros(1, np.int64))
+            for s in range(1, min(nb, nslots)):
+                self.clear_slot(s)
+            self._flush_slot_counts()
+            if nb >= nslots:
+                break
+            nb *= 2
+        # leave the counts table clean for admission
+        for s in range(nslots):
+            self.clear_slot(s)
+        self._flush_slot_counts()
 
         if include_decode:
             window_ks = []
@@ -1010,10 +1078,18 @@ class ModelRunner:
             pre_sets = [PREFILL_GREEDY_FEATURES]
             if any(not f.all_greedy for f in fsets):
                 pre_sets.append(PREFILL_SAMPLER_FEATURES)
+            prefill_budget = max(ecfg.max_prefill_tokens,
+                                 ecfg.prefill_token_buckets[0])
             for fs in pre_sets:
                 for b in ecfg.prefill_batch_buckets:
                     sargs = self._warmup_sample_args(b)
                     for t in ecfg.prefill_token_buckets:
+                        # the engine's _budget_split never emits a part
+                        # whose bucketed area exceeds the chunk budget
+                        # (except unsplittable single rows, b=1) — prune
+                        # the unreachable combos from the program space
+                        if b > 1 and b * t > prefill_budget:
+                            continue
                         for mb in self.block_buckets:
                             # mb < ceil(t/bs) is REACHABLE: groups pad rows
                             # up to the token bucket, and the span clamp

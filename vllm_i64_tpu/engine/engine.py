@@ -884,17 +884,25 @@ class Engine:
                     self._step_mix["decode_rows"] += len(decode)
                 else:
                     # decode rows run the fused multistep window even when
-                    # prefill chunks share the step — the chunks dispatch
-                    # first (deferred), the window executes behind them, and
-                    # the chunks resolve after: one round-trip per step
+                    # prefill chunks share the step. WINDOWS enqueue first:
+                    # a request is either prefilling or decoding, so the
+                    # window never reads KV the wave is about to write, and
+                    # decode tokens resolve after ~one window of device
+                    # time instead of queueing behind the wave (~130 ms —
+                    # that queue WAS the sustained-load ITL p99). The wave
+                    # rides behind the window and both resolve in order.
+                    wins = [
+                        self._dispatch_multi_decode(part, k)
+                        for part in _split(decode, dec_cap)
+                    ]
                     pending = [
                         self._dispatch_group(part, kind="prefill")
                         for part in self._split_prefill_parts(
                             prefill, pre_cap)
                     ]
                     multi = {}
-                    for part in _split(decode, dec_cap):
-                        multi.update(self._run_multi_decode(part, k))
+                    for w in wins:
+                        multi.update(self._resolve_multi_decode(*w))
                     single.update(self._finish_groups(pending))
                     self._step_mix["window"] += 1
                     self._step_mix["window_k_sum"] += k
@@ -1191,6 +1199,17 @@ class Engine:
         return result
 
     def _run_multi_decode(self, seqs, k: int) -> Dict[int, List[int]]:
+        return self._resolve_multi_decode(*self._dispatch_multi_decode(seqs, k))
+
+    def _dispatch_multi_decode(self, seqs, k: int):
+        """Enqueue one fused decode window WITHOUT resolving it.
+
+        Returns (win, rows, fallback_rows); win is None when no row can
+        ride the window (all host-sampled / capacity-blocked). Splitting
+        dispatch from resolve lets a mixed step enqueue its windows BEFORE
+        the prefill wave: the decode rows' tokens resolve after ~one window
+        of device time instead of queueing behind the wave's ~130 ms, which
+        was the serving ITL p99 under sustained load (r5: ~230 ms)."""
         rows = []
         fallback_rows = []
         for s in seqs:
@@ -1206,18 +1225,25 @@ class Engine:
                 fallback_rows.append(s)
                 self._step_mix["fb_capacity"] += 1
         if not rows:
-            return {
-                rid: [tok]
-                for rid, tok in self._run_group(seqs, kind="decode").items()
-            }
+            return None, [], seqs
 
         (last_tokens, positions, block_tables, ctx_lens, slot_ids,
          tokens_left, sample_args, features, requests) = (
             self._build_decode_arrays(rows))
-        emitted = self.runner.execute_multi_decode(
+        win = self.runner.dispatch_multi_decode(
             last_tokens, positions, block_tables, ctx_lens, slot_ids,
             tokens_left, sample_args, features, num_steps=k,
-        )  # (k, b)
+        )
+        return win, rows, fallback_rows
+
+    def _resolve_multi_decode(self, win, rows, fallback_rows):
+        if win is None:
+            return {
+                rid: [tok]
+                for rid, tok in self._run_group(
+                    fallback_rows, kind="decode").items()
+            }
+        emitted = self.runner.resolve_window(win)  # (k, b)
 
         out: Dict[int, List[int]] = {}
         for i, s in enumerate(rows):

@@ -74,3 +74,110 @@ def test_pack_preserves_row_structure():
     assert all(r.request is req for r in rows)
     flat = np.concatenate([r.positions for r in rows])
     np.testing.assert_array_equal(flat, np.arange(20))
+
+
+def _mkseq(rid, n):
+    from vllm_i64_tpu.core.scheduler import Request, ScheduledSeq
+
+    return ScheduledSeq(
+        request=Request(request_id=rid,
+                        prompt_token_ids=np.arange(n, dtype=np.int64),
+                        max_new_tokens=1),
+        token_ids=np.arange(n, dtype=np.int64),
+        positions=np.arange(n, dtype=np.int32),
+        is_prefill=True,
+        needs_sample=True,
+    )
+
+
+class TestBudgetSplit:
+    """engine._budget_split: parts' BUCKETED area must stay within
+    max_prefill_tokens (r5: full-wave prefill dispatch) while preserving
+    row order so packed subrows never reorder across parts."""
+
+    def _engine(self, budget, bb=(1, 2, 4, 8, 16, 32, 64),
+                tb=(16, 32, 64, 128, 512)):
+        ecfg = EngineConfig(**{**KW, "max_prefill_tokens": budget,
+                               "prefill_batch_buckets": bb,
+                               "prefill_token_buckets": tb})
+        return Engine(None, None, ecfg)
+
+    def test_uniform_wave_single_part(self):
+        eng = self._engine(8192)
+        rows = [_mkseq(i, 128) for i in range(64)]
+        parts = list(eng._budget_split(rows, 64))
+        assert len(parts) == 1 and len(parts[0]) == 64
+
+    def test_bucketed_area_never_exceeds_budget(self):
+        eng = self._engine(8192)
+        rng = np.random.default_rng(3)
+        rows = [_mkseq(i, int(n)) for i, n in
+                enumerate(rng.integers(1, 513, size=40))]
+        bucket = lambda v, B: next((x for x in B if v <= x), B[-1])
+        for part in eng._budget_split(rows, 64):
+            b = bucket(len(part), (1, 2, 4, 8, 16, 32, 64))
+            t = bucket(max(len(s.token_ids) for s in part),
+                       (16, 32, 64, 128, 512))
+            assert len(part) == 1 or b * t <= 8192, (len(part), b, t)
+
+    def test_row_order_preserved(self):
+        eng = self._engine(2048)
+        rng = np.random.default_rng(5)
+        rows = [_mkseq(i, int(n)) for i, n in
+                enumerate(rng.integers(1, 513, size=30))]
+        flat = [s.request.request_id
+                for part in eng._budget_split(rows, 64) for s in part]
+        assert flat == [s.request.request_id for s in rows]
+
+    def test_single_wide_row_allowed(self):
+        # one row wider than the budget must still dispatch (as its own part)
+        eng = self._engine(256, tb=(16, 512))
+        rows = [_mkseq(0, 400), _mkseq(1, 10)]
+        parts = list(eng._budget_split(rows, 64))
+        assert [len(p) for p in parts] == [1, 1]
+
+
+class TestLazySlotCounts:
+    """runner._flush_slot_counts: lazy clears/history-loads must land as
+    one batched scatter with exactly the per-slot semantics of the old
+    eager path."""
+
+    def _runner(self):
+        from vllm_i64_tpu.engine.runner import ModelRunner
+
+        params = cdm.init_params(CFG, jax.random.PRNGKey(0))
+        return ModelRunner(params, CFG, EngineConfig(**KW))
+
+    def test_flush_applies_clears_and_histories(self):
+        r = self._runner()
+        r.load_slot_history(0, np.array([3, 3, 5], np.int64))
+        r.load_slot_history(2, np.array([7], np.int64))
+        r.clear_slot(1)
+        r._flush_slot_counts()
+        counts = np.asarray(r.counts)
+        assert counts[0, 3] == 2 and counts[0, 5] == 1
+        assert counts[1].sum() == 0
+        assert counts[2, 7] == 1 and counts[2].sum() == 1
+        assert not r._pending_slot_counts
+
+    def test_last_update_per_slot_wins(self):
+        r = self._runner()
+        r.load_slot_history(1, np.array([4, 4], np.int64))
+        r.clear_slot(1)  # overwrite: reassignment after release
+        r._flush_slot_counts()
+        assert np.asarray(r.counts)[1].sum() == 0
+        r.clear_slot(1)
+        r.load_slot_history(1, np.array([9], np.int64))
+        r._flush_slot_counts()
+        assert np.asarray(r.counts)[1, 9] == 1
+
+    def test_flush_happens_before_dispatch(self):
+        # penalties must see the prompt history loaded in the SAME step the
+        # slot is first used — engine path covers it end-to-end
+        params = cdm.init_params(CFG, jax.random.PRNGKey(0))
+        eng = Engine(params, CFG, EngineConfig(**KW))
+        sp = SamplingParams(temperature=0.7, repetition_penalty=1.8,
+                            seed=3, max_tokens=6)
+        a = eng.generate([5, 5, 5, 5], sp).output_tokens
+        b = eng.generate([5, 5, 5, 5], sp).output_tokens
+        assert a == b

@@ -16,6 +16,7 @@ intermediate materialization is layered underneath for long contexts.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Optional
 
 import jax
@@ -48,7 +49,8 @@ _PALLAS_KV_WRITE = False
 # when the query chunk is tile-aligned and the block-table span is >= 512
 # tokens.
 _PALLAS_PREFILL_MIN_T = 128
-_PALLAS_PREFILL_MIN_SPAN = 512
+_PALLAS_PREFILL_MIN_SPAN = int(_os.environ.get(
+    "VLLM_I64_TPU_FLASH_PREFILL_MIN_SPAN", "512"))
 # XLA-TPU stack-allocates the pallas call's full q input and output in
 # scoped VMEM whenever the call sits inside a lax.scan body (the layer
 # stack) — with the default 16 MB scoped limit the kernel failed to compile

@@ -103,15 +103,17 @@ def _fused_swiglu_quant_kernel(
     oq_ref, os_ref, accg_ref, accu_ref, prod_ref, rmax_ref,
     *, n_n: int, n_k: int,
 ):
-    """Grid (N/ti, K/tk), K inner. int8 x int8 MXU dots accumulate in int32;
-    at each column tile's K end the SwiGLU+mask product lands in a
-    persistent (M, I) bf16 scratch and the running row max updates; the
-    final instance quantizes the whole product to int8 + row scales.
+    """Grid (M/tm, N/ti, K/tk), M outer, K inner. int8 x int8 MXU dots
+    accumulate in int32; at each column tile's K end the SwiGLU+mask
+    product lands in a persistent (tm, I) bf16 scratch and the running row
+    max updates; each row tile's final instance quantizes its whole
+    product to int8 + row scales. (The M axis makes prefill-sized M
+    possible — scratch stays (tm, I), not (M, I).)
 
     Numerics are BIT-IDENTICAL to the unfused chain: product cast to the
     output dtype before the f32 row-max/round (matching
     quantize_activations_int8 over the bf16 intermediate)."""
-    n, k = pl.program_id(0), pl.program_id(1)
+    n, k = pl.program_id(1), pl.program_id(2)
 
     @pl.when(k == 0)
     def _init_acc():
@@ -156,37 +158,37 @@ def _fused_swiglu_quant_kernel(
             jnp.round(pf / scale), -128, 127).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("ti", "tk", "interpret"))
-def _fused_swiglu_quant_pallas(xq, xs, wq, ws, mask, ti, tk,
+@functools.partial(jax.jit, static_argnames=("tm", "ti", "tk", "interpret"))
+def _fused_swiglu_quant_pallas(xq, xs, wq, ws, mask, tm, ti, tk,
                                interpret=False):
     m, k = xq.shape
     w2 = wq.shape[1]
     w = w2 // 2
-    n_n, n_k = w // ti, k // tk
-    grid = (n_n, n_k)
+    n_m, n_n, n_k = m // tm, w // ti, k // tk
+    grid = (n_m, n_n, n_k)
     return pl.pallas_call(
         functools.partial(_fused_swiglu_quant_kernel, n_n=n_n, n_k=n_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, tk), lambda a, c: (0, c),
+            pl.BlockSpec((tm, tk), lambda mi, a, c: (mi, c),
                          memory_space=pltpu.VMEM),  # xq
-            pl.BlockSpec((m, 1), lambda a, c: (0, 0),
+            pl.BlockSpec((tm, 1), lambda mi, a, c: (mi, 0),
                          memory_space=pltpu.VMEM),  # xs
-            pl.BlockSpec((tk, ti), lambda a, c: (c, a),
+            pl.BlockSpec((tk, ti), lambda mi, a, c: (c, a),
                          memory_space=pltpu.VMEM),  # gate cols
-            pl.BlockSpec((tk, ti), lambda a, c: (c, a + n_n),
+            pl.BlockSpec((tk, ti), lambda mi, a, c: (c, a + n_n),
                          memory_space=pltpu.VMEM),  # up cols
-            pl.BlockSpec((1, ti), lambda a, c: (0, a),
+            pl.BlockSpec((1, ti), lambda mi, a, c: (0, a),
                          memory_space=pltpu.VMEM),  # gate scales (pre-sliced)
-            pl.BlockSpec((1, ti), lambda a, c: (0, a),
+            pl.BlockSpec((1, ti), lambda mi, a, c: (0, a),
                          memory_space=pltpu.VMEM),  # up scales (pre-sliced)
-            pl.BlockSpec((m, ti), lambda a, c: (0, a),
+            pl.BlockSpec((tm, ti), lambda mi, a, c: (mi, a),
                          memory_space=pltpu.VMEM),  # mask cols
         ],
         out_specs=(
-            pl.BlockSpec((m, w), lambda a, c: (0, 0),
+            pl.BlockSpec((tm, w), lambda mi, a, c: (mi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda a, c: (0, 0),
+            pl.BlockSpec((tm, 1), lambda mi, a, c: (mi, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -194,10 +196,10 @@ def _fused_swiglu_quant_pallas(xq, xs, wq, ws, mask, ti, tk,
             jax.ShapeDtypeStruct((m, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((m, ti), jnp.int32),
-            pltpu.VMEM((m, ti), jnp.int32),
-            pltpu.VMEM((m, w), jnp.bfloat16),
-            pltpu.VMEM((m, 1), jnp.float32),
+            pltpu.VMEM((tm, ti), jnp.int32),
+            pltpu.VMEM((tm, ti), jnp.int32),
+            pltpu.VMEM((tm, w), jnp.bfloat16),
+            pltpu.VMEM((tm, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * m * w * k,
@@ -225,6 +227,14 @@ import os as _os
 
 _SWIGLU_QUANT_MAX_M = 256
 _SWIGLU_QUANT = _os.environ.get("VLLM_I64_TPU_SWIGLU_QUANT", "0") == "1"
+# PREFILL regime (m >= this): the r5 M-tiled kernel admits prefill-sized
+# dispatches, where the XLA chain's f32 (M, 2I) gate_up intermediate is
+# pure HBM traffic (268 MB at M=8192 — fusion.216/217 were ~1.05 ms of a
+# ~3.5 ms layer in the r5 trace). Gated separately from the decode flag so
+# the regimes A/B independently.
+_SWIGLU_QUANT_PREFILL_MIN_M = 1024
+_SWIGLU_QUANT_PREFILL = _os.environ.get(
+    "VLLM_I64_TPU_SWIGLU_QUANT_PREFILL", "0") == "1"
 
 
 def set_swiglu_quant(enabled: bool) -> None:
@@ -232,10 +242,21 @@ def set_swiglu_quant(enabled: bool) -> None:
     _SWIGLU_QUANT = bool(enabled)
 
 
+def set_swiglu_quant_prefill(enabled: bool) -> None:
+    global _SWIGLU_QUANT_PREFILL
+    _SWIGLU_QUANT_PREFILL = bool(enabled)
+
+
 def fused_swiglu_quant_eligible(x, gate_w, m: int, w2: int, k: int) -> bool:
     from .quant import PreQuantActs
 
-    if not _SWIGLU_QUANT or not isinstance(x, PreQuantActs):
+    if not isinstance(x, PreQuantActs):
+        return False
+    if m <= _SWIGLU_QUANT_MAX_M:
+        if not _SWIGLU_QUANT:
+            return False
+    elif not (_SWIGLU_QUANT_PREFILL and m >= _SWIGLU_QUANT_PREFILL_MIN_M
+              and m % 256 == 0):
         return False
     try:
         on_tpu = jax.default_backend() not in ("cpu",)
@@ -250,7 +271,6 @@ def fused_swiglu_quant_eligible(x, gate_w, m: int, w2: int, k: int) -> bool:
         and gate_w.q.ndim == 2
         and gate_w.q.dtype == jnp.int8
         and m % 32 == 0  # int8 sublane tile
-        and m <= _SWIGLU_QUANT_MAX_M
         and k % 128 == 0
         and w2 % 256 == 0  # each half lane-aligned
     )
@@ -274,11 +294,12 @@ def fused_swiglu_quant(x, gate_up_w: QTensor, mask: jax.Array,
     m, k = xq.shape
     w2 = gate_up_w.q.shape[1]
     w = w2 // 2
+    tm = _pick_tile(m, 256)
     ti = _pick_tile(w, 512)
     tk = _pick_tile(k, 512)
     oq, os_ = _fused_swiglu_quant_pallas(
         xq, xs, gate_up_w.q, gate_up_w.s.astype(jnp.float32), mask,
-        ti, tk, interpret=interpret)
+        tm, ti, tk, interpret=interpret)
     return PreQuantActs(oq, os_, (m, w), x.dtype)
 
 

@@ -40,10 +40,15 @@ def main() -> None:
                         "cannot resolve a perf change)")
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--gen-tokens", type=int, default=64)
-    p.add_argument("--max-batch", type=int, default=64,
-                   help="sweep on v5e (2026-08-19): 16 -> 2709 tok/s, "
-                        "64 -> 4722, 128 -> 3388 (gather over-read); 64 is "
-                        "the single-chip sweet spot")
+    p.add_argument("--max-batch", type=int, default=128,
+                   help="r5 sustained sweep on v5e (2026-08-21, flat-page "
+                        "cache, 3-epoch medians): 64 -> 9044 tok/s, 96 -> "
+                        "9580, 128 -> 11261, 192 -> 9833 (1.33-wave pad), "
+                        "256 -> 11453 but epoch-1 compile stall + ITL p99 "
+                        "3.2 s; K=32 at 128 no gain. 128 is the sweet spot "
+                        "(the r3-era 128 -> 3388 gather over-read penalty "
+                        "died with flat pages); ITL p99 trades 173 -> "
+                        "220 ms vs batch 64")
     p.add_argument("--multistep", type=int, default=16,
                    help="decode iterations fused per device dispatch")
     p.add_argument("--prefill-budget", type=int, default=8192,

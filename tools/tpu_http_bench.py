@@ -95,7 +95,9 @@ def serve(args) -> None:
 
     bs = 128 if jax.default_backend() != "cpu" else 16
     ecfg = EngineConfig(
-        max_batch_size=64,
+        # batch 128 x K=16: the r5 sustained sweep winner (BASELINE.md);
+        # two decode buckets so sub-wave residency doesn't pad 2x
+        max_batch_size=128,
         max_seq_len=1024,
         max_kv_blocks=0,  # auto-size from free HBM
         kv_block_size=bs,
@@ -106,8 +108,8 @@ def serve(args) -> None:
         fuse_shared_expert=True,
         multistep_decode=16,
         decode_chaining=True,
-        decode_batch_buckets=(64,),
-        prefill_batch_buckets=(1, 2, 4, 8, 16),
+        decode_batch_buckets=(64, 128),
+        prefill_batch_buckets=(1, 2, 4, 8, 16, 32, 64),
         prefill_token_buckets=(128, 512),
     )
     tok = SyntheticTokenizer(cfg.vocab_size)

@@ -78,7 +78,10 @@ class TestKernelExactness:
                                    rtol=0, atol=0)
 
     def test_bit_exact_multiple_tile_shapes(self):
-        for m, k, w in ((32, 128, 256), (64, 512, 1024), (96, 256, 768)):
+        # 1024 rows exercises the r5 M grid axis (multiple 256-row tiles,
+        # per-tile row-max/quantize) that admits prefill-sized dispatches
+        for m, k, w in ((32, 128, 256), (64, 512, 1024), (96, 256, 768),
+                        (1024, 256, 512)):
             pre, gate_up, mask = make_inputs(seed=m + k, m=m, k=k, w=w)
             got = fsw.fused_swiglu_quant(pre, gate_up, mask, interpret=True)
             want_q, want_s = unfused_chain(pre, gate_up, mask)

@@ -181,3 +181,64 @@ class TestLazySlotCounts:
         a = eng.generate([5, 5, 5, 5], sp).output_tokens
         b = eng.generate([5, 5, 5, 5], sp).output_tokens
         assert a == b
+
+
+class TestMixedStepOrdering:
+    """r5 scheduling inversion: in a mixed step, decode windows must
+    ENQUEUE before the prefill wave (a decode token's latency is bounded
+    by ~one window, not the wave), and resolves must still produce the
+    same tokens as a pure-FIFO engine."""
+
+    def test_windows_dispatch_before_prefill_wave(self):
+        params = cdm.init_params(CFG, jax.random.PRNGKey(0))
+        ecfg = EngineConfig(**{**KW, "multistep_decode": 2,
+                               "decode_chaining": False})
+        eng = Engine(params, CFG, ecfg)
+        calls = []
+        runner = eng.runner
+        orig_win = type(runner).dispatch_multi_decode
+        orig_exec = type(runner).execute
+
+        def spy_win(self_, *a, **k):
+            calls.append("window")
+            return orig_win(self_, *a, **k)
+
+        def spy_exec(self_, *a, **k):
+            calls.append(k.get("kind", "decode"))
+            return orig_exec(self_, *a, **k)
+
+        runner.dispatch_multi_decode = spy_win.__get__(runner)
+        runner.execute = spy_exec.__get__(runner)
+
+        sp = SamplingParams(temperature=0.0, max_tokens=8)
+        rng = np.random.default_rng(0)
+        eng.add_request(rng.integers(3, 250, size=8).tolist(), sp)
+        eng.step()  # prefill request 1
+        # request 2's prefill shares a step with request 1's decode window
+        eng.add_request(rng.integers(3, 250, size=8).tolist(), sp)
+        calls.clear()
+        eng.step()
+        assert "window" in calls and "prefill" in calls, calls
+        assert calls.index("window") < calls.index("prefill"), calls
+
+    def test_mixed_host_and_device_groups_resolve(self):
+        # logprobs rows take the host-logits path; plain rows ride the
+        # fused single-sync resolve — one step with both must finish both
+        params = cdm.init_params(CFG, jax.random.PRNGKey(0))
+        eng = Engine(params, CFG, EngineConfig(**KW))
+        rng = np.random.default_rng(1)
+        plain = SamplingParams(temperature=0.0, max_tokens=4)
+        hostp = SamplingParams(temperature=0.0, max_tokens=4, logprobs=2)
+        ids = []
+        for i in range(6):
+            ids.append(eng.add_request(
+                rng.integers(3, 250, size=10).tolist(),
+                hostp if i % 2 else plain))
+        out = {}
+        guard = 0
+        while eng.scheduler.has_work and guard < 300:
+            for rid, t in eng.step().items():
+                out.setdefault(rid, []).extend(t)
+            guard += 1
+        assert len(out) == 6 and all(len(v) == 4 for v in out.values()), \
+            {k: len(v) for k, v in out.items()}
